@@ -1,0 +1,26 @@
+"""image_deid_etl_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch re-imagination of the reference pipeline
+(d3b-center/image-deid-etl: fetch -> anonymize -> idempotent upsert -> commit
+checkpoint) as a Spark-first change-data-capture loop over a lake table of
+source-code repositories::
+
+    (repo: string, path: string, commit: string, lang: string, content: string)
+
+Subpackages
+-----------
+lake       minimal snapshot table format over Parquet (manifest + atomic
+           pointer swap, schema evolution, time travel) — the MERGE target.
+cdc        the engine: change-feed generator/reader, vectorized scrub UDF,
+           LWW dedup + MERGE apply, checkpoint/offset log, skew salting,
+           lineage metrics, driver loop.
+operators  reusable relational + training-data operators (anti-join frontier,
+           as-of join, dedup family, ANN similarity, text analysis).
+sources    batch readers (parquet/csv/json) with pushdown-friendly shapes.
+functions  scalar column expressions mirroring the reference's projection
+           surface (SURVEY.md §2.2 / §2.8).
+plans      the query catalog exported through __spark_entry__.py.
+streaming  Structured Streaming ingest (readStream + foreachBatch MERGE).
+"""
+
+__version__ = "0.1.0"

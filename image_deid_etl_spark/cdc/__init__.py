@@ -1,0 +1,1 @@
+"""The CDC engine core: feed → scrub → LWW → MERGE → checkpoint."""

@@ -1,0 +1,119 @@
+"""The ingest driver loop: plan → apply → commit, resumable from offsets.
+
+Reference analog: the cron-driven batch loop (`__main__.py:121-261`) —
+``check`` computes the frontier (source minus checkpoint), ``run`` applies
+each change unit, and the processed-UUID insert at the end commits progress
+(`database.py:39-46`). Here the frontier is *delivery chunks beyond the
+committed offset*; within a chunk, keyed LWW absorbs duplicates, so a crash
+anywhere simply replays the uncommitted batch to the identical result
+(effectively-once via idempotence — the standard Spark pattern).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import SnapshotTable
+from .feed import FEED_SCHEMA, list_feed_files, read_feed_files
+from .merge import merge_into
+
+#: the lake table's user-facing schema (input_hint shape)
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class IngestStats:
+    batches: int = 0
+    events: int = 0
+    snapshot_id: int = 0
+    duration_sec: float = 0.0
+    events_per_sec: float = 0.0
+    batch_events: list[int] = field(default_factory=list)
+
+
+def open_or_create_table(root: str, n_buckets: int = 16) -> SnapshotTable:
+    import os
+
+    if os.path.exists(os.path.join(root, "_current")):
+        return SnapshotTable(root)
+    return SnapshotTable.create(root, TABLE_SCHEMA, ["repo", "path"], n_buckets)
+
+
+def plan_frontier(table: SnapshotTable, feed_dir: str) -> list[str]:
+    """EP1 `check`: delivery chunks not yet committed (source − checkpoint)."""
+    files = list_feed_files(feed_dir)
+    done = table.offsets()["committed_feed_files"]
+    return files[done:]
+
+
+def run_ingest(
+    spark: SparkSession,
+    table_root: str,
+    feed_dir: str,
+    max_files_per_batch: int = 4,
+    n_buckets: int = 16,
+    scrub: bool = True,
+    salt_partitions: int | None = None,
+    max_batches: int | None = None,
+    fail_before_commit_on_batch: int | None = None,
+) -> IngestStats:
+    """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
+    one snapshot per micro-batch. Safe to re-invoke after any crash."""
+    table = open_or_create_table(table_root, n_buckets)
+    stats = IngestStats()
+    t0 = time.time()
+    while True:
+        todo = plan_frontier(table, feed_dir)
+        if not todo or (max_batches is not None and stats.batches >= max_batches):
+            break
+        chunk = todo[:max_files_per_batch]
+        off = table.offsets()
+        batch = read_feed_files(spark, chunk)
+        n = batch.count()
+        mx = batch.agg(F.max("seq")).collect()[0][0] or 0
+        new_offsets = {
+            "committed_feed_files": off["committed_feed_files"] + len(chunk),
+            "max_seq_seen": max(off["max_seq_seen"], mx),
+            "batch_id": off["batch_id"] + 1,
+        }
+        snap = merge_into(
+            spark,
+            table,
+            batch,
+            offsets=new_offsets,
+            scrub=scrub,
+            salt_partitions=salt_partitions,
+            fail_before_commit=(fail_before_commit_on_batch == stats.batches),
+        )
+        stats.batches += 1
+        stats.events += n
+        stats.batch_events.append(n)
+        stats.snapshot_id = snap
+    stats.duration_sec = time.time() - t0
+    stats.events_per_sec = stats.events / stats.duration_sec if stats.duration_sec else 0.0
+    return stats
+
+
+def bootstrap_offsets(table_root: str, committed_feed_files: int, n_buckets: int = 16) -> None:
+    """`importuuids` analog (`__main__.py:106-118`): mark prior feed chunks
+    as already processed without replaying them (checkpoint bootstrap)."""
+    table = open_or_create_table(table_root, n_buckets)
+    off = table.offsets()
+    off["committed_feed_files"] = committed_feed_files
+    off["batch_id"] = off["batch_id"] + 1
+    table.commit_snapshot(
+        new_files=[], touched_buckets=set(), offsets=off, lineage_extra={"bootstrap": True}
+    )

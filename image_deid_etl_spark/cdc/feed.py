@@ -1,0 +1,228 @@
+"""Deterministic WAL/binlog-style change-feed generation + reading.
+
+Reference analog: the stream of *new* study UUIDs discovered per run
+(`/root/reference/src/image_deid_etl/image_deid_etl/orthanc.py:58-82`),
+delivered with "no guarantee ... in any particular order"
+(`__main__.py:124-125`). Here the change unit is a source-file event
+keyed on ``(repo, path)`` with a global commit sequence ``seq``.
+
+Feed layout on disk: a directory of numbered Parquet files
+(``feed-00000.parquet``, ``feed-00001.parquet``, ...). Each file is one
+*delivery chunk* — the unit of micro-batching, exactly like Spark's file
+streaming source. Sequences may be out of order within and across chunks;
+correctness comes from last-writer-wins on ``seq``, not arrival order.
+
+Generation is fully vectorized (numpy + pyarrow, no Python row loops) and
+seeded — the same arguments always produce byte-identical feeds, which is
+what lets the pandas oracle (``cdc/oracle.py``) be an exact referee.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Event-feed schema (input_hint shape + CDC envelope). ``license`` only
+# appears in schema-evolution fixtures (added mid-feed, must propagate
+# without replay).
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+_EXT_LANG = [
+    ("py", "python"),
+    ("js", "javascript"),
+    ("java", "java"),
+    ("go", "go"),
+    ("rs", "rust"),
+    ("md", "markdown"),
+    ("sql", "sql"),
+    ("c", "c"),
+]
+
+# Feed epoch: ts is derived deterministically from seq (no wall clock).
+_EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+
+
+@dataclass(frozen=True)
+class FeedSpec:
+    """Parameters of a deterministic synthetic feed."""
+
+    n_events: int
+    n_keys: int = 100
+    n_repos: int = 10
+    seed: int = 42
+    skew: float = 0.0  # fraction of keys concentrated in repo 0 (mega-repo)
+    p_update: float = 0.55
+    p_delete: float = 0.12
+    dup_frac: float = 0.0  # fraction of events re-delivered (same seq)
+    shuffle: bool = True  # deliver out of order
+    evolve_at: int | None = None  # seq >= this gains a `license` column
+    n_files: int = 8
+
+
+def _commit_ids(repo: pd.Series, path: pd.Series, seq: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic hex commit ids (sha1-lookalike, cheap).
+
+    Real SHA-1 per row would be a Python loop — at 10^7 bench events that
+    dominates generation time, and the commit id is opaque to the engine
+    (only equality matters). hash_pandas_object is stable across runs.
+    """
+    joined = repo.str.cat(path, sep=":").str.cat(pd.Series(seq).astype(str), sep=":")
+    h = pd.util.hash_pandas_object(joined, index=False).to_numpy()
+    return np.char.mod("%016x", h)
+
+
+def make_events(spec: FeedSpec) -> pd.DataFrame:
+    """Build the event frame in *delivery order* (see module docstring)."""
+    rng = np.random.default_rng(spec.seed)
+    n, k = spec.n_events, spec.n_keys
+
+    # --- key universe -----------------------------------------------------
+    key_ids = np.arange(k)
+    if spec.skew > 0:
+        # mega-repo fixture: `skew` fraction of all keys live in repo 0
+        # (reference analog: one huge study = one slow job, BASELINE.md).
+        n_mega = max(1, int(k * spec.skew))
+        repo_of_key = np.concatenate(
+            [np.zeros(n_mega, dtype=np.int64), rng.integers(1, spec.n_repos, k - n_mega)]
+        )
+    else:
+        repo_of_key = key_ids % spec.n_repos
+    ext_of_key = key_ids % len(_EXT_LANG)
+    repo_names = np.array([f"org{r % 7}/repo{r}" for r in range(spec.n_repos)], dtype=object)
+    exts = np.array([e for e, _ in _EXT_LANG], dtype=object)
+    langs = np.array([l for _, l in _EXT_LANG], dtype=object)
+    key_repo = repo_names[repo_of_key]
+    key_path = np.array(
+        [f"src/d{i % 23}/f{i}.{exts[ext_of_key[i]]}" for i in range(k)], dtype=object
+    )
+    key_lang = langs[ext_of_key]
+
+    # --- op sequence (vectorized; first touch of a key is always `add`) ---
+    key_seq = rng.integers(0, k, size=n)
+    u = rng.random(n)
+    op = np.where(u < spec.p_delete, "delete", np.where(u < spec.p_delete + spec.p_update, "update", "add"))
+    first_touch = np.zeros(n, dtype=bool)
+    seen = np.zeros(k, dtype=bool)
+    # np.unique gives the first index of each key in one pass
+    uniq, first_idx = np.unique(key_seq, return_index=True)
+    first_touch[first_idx] = True
+    seen[uniq] = True
+    op = np.where(first_touch, "add", op)
+
+    seq = np.arange(1, n + 1, dtype=np.int64)
+
+    # --- content: templated source text with PHI-style tokens -------------
+    # Injected at known positions so scrub output is predictable
+    # (FIXTURES.md §1). Vectorized string assembly via pandas.
+    ver = seq  # content varies per event so LWW is observable via sha256
+    kr = pd.Series(key_repo[key_seq], dtype=object)
+    kp = pd.Series(key_path[key_seq], dtype=object)
+    phi_user = pd.Series(key_seq % 97).astype(str)
+    content = (
+        "def handler_" + pd.Series(key_seq).astype(str) + "(x):\n"
+        + "    # contact: dev" + phi_user + "@example.com\n"
+        + "    API_KEY=sk-" + pd.Series(ver % 100000).astype(str).str.zfill(8) + "\n"
+        + "    ssn = '" + (pd.Series(ver % 900 + 100)).astype(str) + "-"
+        + (pd.Series(ver % 90 + 10)).astype(str) + "-"
+        + (pd.Series(ver % 9000 + 1000)).astype(str) + "'\n"
+        + "    dob = '" + (1950 + pd.Series(ver % 50)).astype(str) + "-0"
+        + (1 + pd.Series(ver % 9)).astype(str) + "-1"
+        + (pd.Series(ver % 9)).astype(str) + "'\n"
+        + "    return x * " + pd.Series(ver).astype(str) + "  # " + kr + "/" + kp + "\n"
+    ).to_numpy(dtype=object)
+
+    commit = _commit_ids(kr, kp, seq)
+
+    df = pd.DataFrame(
+        {
+            "seq": seq,
+            "op": op,
+            "repo": key_repo[key_seq],
+            "path": key_path[key_seq],
+            "commit": commit,
+            "lang": key_lang[key_seq],
+            "content": content,
+            # datetime64[us]: Spark's Parquet reader rejects TIMESTAMP(NANOS)
+            "ts": pd.to_datetime(_EPOCH_US + seq * 1_000_000, unit="us").astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    df.loc[df["op"] == "delete", "content"] = None
+    # some adds carry null lang (backfilled later via schema-evolution path)
+    null_lang = rng.random(n) < 0.05
+    df.loc[null_lang, "lang"] = None
+
+    # delete-of-absent-key fixture: retarget a few deletes at unseen paths
+    absent = rng.random(n) < 0.01
+    absent &= op == "delete"
+    df.loc[absent, "path"] = "src/absent/" + df.loc[absent, "seq"].astype(str) + ".py"
+
+    if spec.evolve_at is not None:
+        lic = np.where(seq >= spec.evolve_at, "mit", None)
+        df["license"] = lic
+
+    # duplicate deliveries (same seq re-appended — exactly-once fixture)
+    if spec.dup_frac > 0:
+        dup_idx = rng.choice(n, size=max(1, int(n * spec.dup_frac)), replace=False)
+        df = pd.concat([df, df.iloc[dup_idx]], ignore_index=True)
+
+    if spec.shuffle:
+        df = df.sample(frac=1.0, random_state=spec.seed).reset_index(drop=True)
+    return df
+
+
+def write_feed(out_dir: str, spec: FeedSpec) -> list[str]:
+    """Materialize the feed as numbered Parquet delivery chunks."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = make_events(spec)
+    # Schema-evolution fixture: chunks written before the evolution point
+    # genuinely lack the new column (distinct physical schemas on disk).
+    paths: list[str] = []
+    splits = np.array_split(np.arange(len(df)), spec.n_files)
+    for i, idx in enumerate(splits):
+        chunk = df.iloc[idx]
+        if "license" in chunk.columns and chunk["license"].isna().all():
+            chunk = chunk.drop(columns=["license"])
+        p = os.path.join(out_dir, f"feed-{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        paths.append(p)
+    return paths
+
+
+def list_feed_files(feed_dir: str) -> list[str]:
+    """Delivery chunks in arrival order (lexicographic = numbered)."""
+    return sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir)
+        if f.startswith("feed-") and f.endswith(".parquet")
+    )
+
+
+def read_feed_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Read specific delivery chunks, tolerating mid-feed schema evolution.
+
+    ``mergeSchema`` unions the per-file Parquet schemas so a column that
+    appears at seq >= K (FIXTURES.md fixture (h)) surfaces as nulls for
+    older chunks — no replay needed.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*files)

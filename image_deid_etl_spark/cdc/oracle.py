@@ -1,0 +1,54 @@
+"""Expected-state oracle: a plain-pandas fold of the change feed.
+
+Mirrors the reference's pandas semantics (the whole reference pipeline is
+single-process pandas) to produce the ground-truth final table for any
+feed. Tests assert exact ``(repo, path)`` row-set equality plus per-row
+``sha256(content)`` equality between the engine's lake table and this fold
+(``BASELINE.json`` ``input_hint``; FIXTURES.md §6).
+
+Semantics folded (identical to the engine's):
+* order by ``seq`` ascending — global commit order, not delivery order;
+* duplicate seqs (re-deliveries) collapse to one application (exactly-once);
+* ``add`` / ``update`` upsert the key; ``delete`` removes it (tombstone);
+* delete of an absent key is a no-op;
+* content is scrubbed with the *same* `scrub_series` the engine UDF uses;
+* late columns (schema evolution) surface as nulls for earlier rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from .scrub import scrub_series
+
+DATA_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def fold_feed(events: pd.DataFrame) -> pd.DataFrame:
+    """Fold a feed (any delivery order) into the expected final state."""
+    ev = events.copy()
+    # exactly-once: duplicate deliveries of the same seq apply once
+    ev = ev.drop_duplicates(subset=["seq"], keep="first")
+    # global commit order == LWW per key: keep each key's max-seq event
+    ev = ev.sort_values("seq", kind="stable")
+    # keep whole rows (groupby().last() would skip nulls per-column and
+    # resurrect pre-delete content — wrong semantics)
+    last = ev.drop_duplicates(subset=["repo", "path"], keep="last")
+    live = last[last["op"] != "delete"].copy()
+    live["content"] = scrub_series(live["content"].astype("string")).astype(object)
+    extra = [c for c in events.columns if c not in DATA_COLS + ["seq", "op", "ts"]]
+    cols = DATA_COLS + ["seq"] + extra
+    out = live[cols].rename(columns={"seq": "commit_seq"})
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def sha256_state(final: pd.DataFrame) -> pd.DataFrame:
+    """Per-row content sha256 — the end-state invariant frame."""
+    sha = final["content"].map(
+        lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest() if isinstance(c, str) else None
+    )
+    return pd.DataFrame(
+        {"repo": final["repo"], "path": final["path"], "sha256": sha}
+    ).sort_values(["repo", "path"]).reset_index(drop=True)

@@ -1,0 +1,99 @@
+"""Vectorized PHI-style content scrubbing — the anonymization core.
+
+Reference analog: the DICOM→NIfTI de-identification step. The reference
+deletes eight known-PHI sidecar keys per JSON file in a Python loop
+(`/root/reference/src/image_deid_etl/image_deid_etl/custom_etl.py:346-359`)
+and shells out to ``dcm2niix -ba y`` per acquisition (`custom_etl.py:361-409`).
+Here the transform is a **regex scrub over the ``content`` column**, executed
+as an Arrow-batched pandas UDF — no per-row Python, per ``BASELINE.json``
+``input_hint``.
+
+The scrub function itself (`scrub_series`) is plain pandas so the oracle
+fold (`cdc/oracle.py`) applies the *identical* transform: the end-to-end
+invariant is ``sha256(engine content) == sha256(oracle content)`` per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Ordered (pattern, replacement) pairs. Order matters: the email rule must
+# run before the generic name-like rules, etc. Mirrors the reference's
+# fixed PHI field list (custom_etl.py:348-349) as content-level patterns.
+PHI_PATTERNS: list[tuple[str, str]] = [
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # API keys / tokens / secrets (assignment-style)
+    (
+        r"(?i)\b(api_key|apikey|secret|token|password|passwd|aws_access_key_id|"
+        r"aws_secret_access_key)\b(\s*[=:]\s*)\S+",
+        r"\1\2<REDACTED>",
+    ),
+    # AWS-style access key ids appearing bare
+    (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    # sk-/ghp_-style bearer tokens
+    (r"\b(sk|ghp|gho|xox[bap])[-_][A-Za-z0-9_-]{6,}\b", "<TOKEN>"),
+    # SSN-like
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # DOB-like ISO dates
+    (r"\b(19|20)\d{2}-\d{2}-\d{2}\b", "<DATE>"),
+    # US phone numbers
+    (r"\b(\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # MRN-style ids (reference zero-pads MRNs to 8, custom_etl.py:28-39)
+    (r"\bMRN[:= ]?\d{6,10}\b", "MRN:<MRN>"),
+]
+
+_COMPILED = [(re.compile(p), r) for p, r in PHI_PATTERNS]
+
+
+def scrub_series(s: pd.Series) -> pd.Series:
+    """Scrub a pandas string Series. Nulls pass through (delete events)."""
+    out = s
+    for pat, repl in _COMPILED:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
+@pandas_udf(T.StringType())
+def scrub_udf(content: pd.Series) -> pd.Series:
+    """Arrow-batched scrub — executes `scrub_series` per ~10k-row batch."""
+    return scrub_series(content)
+
+
+def scrubbed(col: Column) -> Column:
+    """Column expression: scrubbed content."""
+    return scrub_udf(col)
+
+
+def duckdb_scrub_expr(col: str = "content") -> str:
+    """The same scrub as chained DuckDB ``regexp_replace`` (RE2, ``\\1``
+    group refs, ``'g'`` flag for replace-all). Used by the oracle SQL."""
+    expr = col
+    for pat, repl in PHI_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        sql_repl = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{sql_repl}', 'g')"
+    return expr
+
+
+def scrubbed_native(col: Column) -> Column:
+    """JVM-native scrub (no Python at all) — chained regexp_replace.
+
+    Semantically identical to `scrubbed`; kept as the whole-stage-codegen
+    fast path. The pandas-UDF variant exists because the north rule
+    mandates the vectorized Arrow UDF stage (the reference's dcm2niix
+    analog is genuinely not expressible as builtins). Java regex uses
+    ``$1`` for group refs where Python/RE2 use ``\\1``.
+    """
+    out = col
+    for pat, repl in PHI_PATTERNS:
+        java_repl = re.sub(r"\\(\d)", r"$\1", repl)
+        out = F.regexp_replace(out, pat, java_repl)
+    return out

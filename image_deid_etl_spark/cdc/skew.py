@@ -1,0 +1,44 @@
+"""Explicit skew handling: salted repartition for hot keys.
+
+Reference analog: the reference has *no* skew story — one huge study is one
+slow 1-vCPU Batch job (BASELINE.md "implied ceiling"). The north rule
+requires explicit handling: a mega-repo holding ~50% of events must not
+serialize onto one task.
+
+Two complementary mechanisms:
+
+1. **Salted repartition** (this module) for the *transform* stage: events
+   are distributed by ``hash(key_cols…, salt)`` where ``salt`` is derived
+   from a fine-grained column (``seq``), so a mega-repo's events spread
+   over ``n_partitions`` tasks while the scrub UDF runs.
+2. **Full-key bucketing** (lake/table.py `bucket_expr`) for the *apply*
+   stage: the lake partitions on ``hash(repo, path)``, not ``repo``, so a
+   mega-repo's files spread across all buckets and the merge shuffle has
+   no hot partition. AQE skew-join splitting is also enabled
+   (session.py) as the runtime backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_repartition(
+    df: DataFrame,
+    coarse_cols: list[str],
+    salt_col: str = "seq",
+    n_salts: int = 32,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition by ``(coarse_cols…, salt)`` instead of the skewed key.
+
+    ``salt = pmod(xxhash64(salt_col), n_salts)`` is deterministic (no
+    ``rand()`` — reruns must produce identical partitioning for the
+    exactly-once replay guarantee to be testable).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).alias("_salt")
+    parts = [F.col(c) for c in coarse_cols] + [salt]
+    if n_partitions:
+        return df.repartition(n_partitions, *parts)
+    return df.repartition(*parts)

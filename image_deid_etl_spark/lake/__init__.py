@@ -1,0 +1,3 @@
+"""Minimal Iceberg-style snapshot table format over Parquet."""
+
+from .table import SnapshotTable  # noqa: F401

@@ -1,0 +1,84 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Single place where every entry point (tests, bench, CLI, driver contract)
+builds its session, so the tuning story is consistent:
+
+* AQE on — runtime coalescing of shuffle partitions + skew-join splitting
+  (the reference has no skew story at all; a mega-study is one slow 1-vCPU
+  job, see BASELINE.md "implied ceiling").
+* Arrow on — every Python-side transform in this engine is a vectorized
+  pandas UDF / mapInPandas; nothing crosses the JVM boundary row-at-a-time.
+* shuffle.partitions sized for the local harness but overridable via env
+  for the two-parallelism scaling benchmark (local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "image-deid-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the core count — at 100 TB on a real
+    cluster you would size this to ~2-3x total cores / target ~128-256 MB
+    per shuffle partition; AQE coalesces the excess at runtime either way.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors — the ``spark-submit --py-files``
+    mechanism, done programmatically so pandas UDFs defined inside the
+    package unpickle on workers regardless of the driver's cwd."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "image_deid_etl_spark_pyfiles")
+    zip_path = zip_base + ".zip"
+    newest_src = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _dirs, fns in os.walk(pkg_dir)
+        for f in fns
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        staging = tempfile.mkdtemp()
+        shutil.copytree(pkg_dir, os.path.join(staging, os.path.basename(pkg_dir)))
+        shutil.make_archive(zip_base, "zip", staging)
+        shutil.rmtree(staging)
+    spark.sparkContext.addPyFile(zip_path)

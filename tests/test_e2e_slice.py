@@ -1,0 +1,71 @@
+"""SURVEY.md §7 step 1 — the minimum end-to-end slice.
+
+Synthetic feed → frontier → scrub → LWW → MERGE into snapshot table →
+final state equals the plain-pandas oracle fold on exact (repo, path)
+row-set AND per-row sha256(content) (the north-rule invariant).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import run_ingest, open_or_create_table
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+
+def engine_state(spark, table_root) -> pd.DataFrame:
+    table = open_or_create_table(table_root)
+    df = (
+        table.read(spark)
+        .select("repo", "path", F.sha2(F.col("content"), 256).alias("sha256"))
+        .orderBy("repo", "path")
+    )
+    return df.toPandas()
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        FeedSpec(n_events=2000, n_keys=150, shuffle=False),          # (a) ordered
+        FeedSpec(n_events=2000, n_keys=150, shuffle=True),           # (b) out-of-order
+        FeedSpec(n_events=2000, n_keys=150, dup_frac=0.1),           # (c) duplicate delivery
+        FeedSpec(n_events=2000, n_keys=30),                          # (d) many updates per key
+        FeedSpec(n_events=2000, n_keys=150, skew=0.5),               # (g) mega-repo skew
+    ],
+    ids=["ordered", "out_of_order", "dup_delivery", "hot_keys", "skew"],
+)
+def test_replay_matches_oracle(spark, tmp_path, spec):
+    feed_dir = str(tmp_path / "feed")
+    table_root = str(tmp_path / "table")
+    write_feed(feed_dir, spec)
+
+    stats = run_ingest(spark, table_root, feed_dir, max_files_per_batch=3)
+    assert stats.events == len(make_events(spec))
+    assert stats.batches >= 2  # multiple commits, not one mega-batch
+
+    expected = sha256_state(fold_feed(make_events(spec)))
+    got = engine_state(spark, table_root)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expected, check_dtype=False
+    )
+
+
+def test_scrub_removed_phi(spark, tmp_path):
+    """No PHI token survives in the final table content."""
+    feed_dir, table_root = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(feed_dir, FeedSpec(n_events=500, n_keys=50))
+    run_ingest(spark, table_root, feed_dir)
+    table = open_or_create_table(table_root)
+    leaked = (
+        table.read(spark)
+        .filter(
+            F.col("content").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+            | F.col("content").rlike(r"\b\d{3}-\d{2}-\d{4}\b")
+            | F.col("content").contains("API_KEY=sk-")
+        )
+        .count()
+    )
+    assert leaked == 0
