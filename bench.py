@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus the CDC replay throughput.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "cdc_events_per_sec": ..., "cpus": ...}
+
+Set BENCH_CDC_EVENTS to scale the replay (default 200k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from image_deid_etl_spark.plans import QUERIES  # noqa: E402
+from image_deid_etl_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "frontier_anti_join",
+    "lww_latest_per_key",
+    "running_total_per_user",
+    "scrub_content_native",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce_cosine",
+    "knn_lsh_bucketed",
+    "text_quality_scores",
+    "media_binary_meta",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without driver-side collect cost."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_cdc = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup (not timed)
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    # --- CDC replay throughput (the BASELINE.json primary metric) ---------
+    from image_deid_etl_spark.cdc.engine import run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        feed_dir = os.path.join(work, "feed")
+        write_feed(
+            feed_dir,
+            FeedSpec(
+                n_events=n_cdc, n_keys=max(1000, n_cdc // 20), n_repos=100,
+                skew=0.3, n_files=8,
+            ),
+        )
+        t0 = time.time()
+        stats = run_ingest(
+            spark, os.path.join(work, "table"), feed_dir,
+            max_files_per_batch=4, n_buckets=32,
+        )
+        cdc_sec = time.time() - t0
+        per_query["cdc_replay"] = round(cdc_sec, 3)
+        total += cdc_sec
+        eps = stats.events / cdc_sec if cdc_sec else 0.0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_cdc_replay",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cdc_events": n_cdc,
+                "cdc_events_per_sec": round(eps, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+"""Reusable operators: relational (SURVEY.md §2.3-2.7) + training-data
+(dedup / similarity / text / multimodal)."""

@@ -1,0 +1,170 @@
+"""Deduplication family over the `documents` table — exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Design constraints (so the DuckDB oracle can check each one):
+* all hashing is built from ``md5`` over strings — identical, portable
+  output in Spark and DuckDB (no engine-specific hash functions);
+* min-over-hex-strings is the MinHash order (lexicographic on lowercase
+  hex is consistent across engines);
+* everything is joins + explodes + aggregates — one shuffle per stage,
+  no Python in the hot path.
+
+Scale notes (100 TB): the shingle explode is the dominant shuffle; at
+scale you'd pre-tokenize once, bucket by band key, and broadcast nothing —
+the band-bucket join is an equi-join on a high-cardinality key, so AQE
+handles residual skew. The O(n²)-within-bucket candidate verification
+stays bounded by band selectivity, the standard MinHash-LSH argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs — the inverted-index base."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    with the representative (min id) and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (native array ops, no UDF)."""
+    words = F.split(F.col(text_col), TOKEN_SPLIT)
+    # guard: sequence(1, 0) would run DESCENDING in Spark — short docs get
+    # an explicit empty array instead
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(id_col, F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: per hash seed i, min(md5('{i}|' || shingle)).
+
+    One partial-aggregating groupBy produces all signature positions —
+    map-side combine keeps the shuffle small (num_hashes strings per doc).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any full band are
+    candidate near-duplicates. Returns distinct (id_a < id_b) pairs."""
+    rows_per_band = num_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = sig.select(
+            F.col(id_col),
+            F.concat_ws("|", F.lit(str(b)), *[F.col(c) for c in cols]).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(b_, on="band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join, end to end."""
+    return lsh_candidate_pairs(
+        minhash_signatures(shingles(df, id_col, text_col, n), id_col, num_hashes),
+        id_col,
+        num_hashes,
+        bands,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted index: self-join on shared
+    shingles (never a cross join), count intersections, filter by
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash-style fingerprint, engine-portable construction:
+
+    bit k of the fingerprint = majority vote over tokens of
+    ``ascii(md5(token)[k]) % 2`` (+1/−1), i.e. each hex char of the token's
+    md5 contributes one pseudo-random bit. Near-identical docs differ in
+    few bits. Emitted as a bit-string so no int-width issues cross-engine.
+    """
+    toks = tokens(df, id_col, text_col)
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.md5("tok"), k + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.concat(
+        *[F.when(F.col(f"v{k}") > 0, F.lit("1")).otherwise(F.lit("0")) for k in range(bits)]
+    )
+    return agg.select(id_col, fp.alias("simhash"))

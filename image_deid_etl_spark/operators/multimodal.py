@@ -1,0 +1,127 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed through Arrow-batched `mapInPandas`.
+
+The container has no image/audio codecs, so the *decode* innards are
+stubbed (deterministic fake features / NotImplementedError for real
+codecs, clearly marked) — but everything Spark-side is real and tested:
+schemas, batch iteration, partitioning, UDF signatures. Swapping in
+PIL/torchaudio later changes only `_decode_stub`.
+
+Reference analog: binary DICOM/NIfTI payload handling + dtype-invariant
+validation (`images.py:46-64`) and the per-acquisition conversion
+subprocess (`custom_etl.py:361-409`) — the per-file subprocess becomes a
+vectorized batch transform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata carried alongside every binary payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("feat_mean", T.DoubleType(), True),
+        T.StructField("feat_dim", T.IntegerType(), True),
+        T.StructField("valid", T.BooleanType(), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, kind: str) -> tuple[float, int, bool]:
+    """STUB — deterministic fake decode.
+
+    Real implementation would be, e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # image
+        wav = soundfile.read(io.BytesIO(payload))   # audio
+
+    Neither library ships in this container; the fake derives a stable
+    pseudo-feature from the payload bytes so tests are deterministic.
+    Raise for kinds we would never fake.
+    """
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"decode for kind={kind!r} not implemented")
+    if payload is None:
+        return float("nan"), 0, False
+    digest = hashlib.sha256(payload).digest()
+    feat_mean = int.from_bytes(digest[:4], "big") / 2**32
+    feat_dim = {"image": 2048, "audio": 512, "video": 4096}[kind]
+    # validity mirrors the reference's dtype-invariant check (images.py:50)
+    valid = len(payload) >= 8
+    return feat_mean, feat_dim, valid
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1000) -> DataFrame:
+    """Feature-extract binary payloads via `mapInPandas` (Arrow batches).
+
+    Cheap byte-level columns (length, sha256) are computed natively in the
+    JVM *before* the Python stage so the Arrow transfer carries work the
+    builtins genuinely can't do.
+    """
+    pre = media.withColumn("byte_len", F.octet_length("payload")).withColumn(
+        "sha256", F.sha2(F.col("payload"), 256)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_stub(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": pdf["byte_len"],
+                    "sha256": pdf["sha256"],
+                    "feat_mean": [f[0] for f in feats],
+                    "feat_dim": [f[1] for f in feats],
+                    "valid": [f[2] for f in feats],
+                }
+            )
+            yield out
+
+    return pre.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def route_quarantine(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F5/F6 analog — validation split: good rows vs dead-letter rows
+    (`images.py:46-64` quarantine, `custom_etl.py:13-26` mover)."""
+    good = features.filter(F.col("valid"))
+    quarantined = features.filter(~F.col("valid") | F.col("valid").isNull())
+    return good, quarantined
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic media fixture: text bytes as the opaque payload
+    (no external data, per BASELINE.json)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )

@@ -1,0 +1,121 @@
+"""Relational operators re-expressed Spark-first (SURVEY.md §2.3-2.7).
+
+Every operator here is a pure DataFrame→DataFrame function built from
+Catalyst builtins — broadcastable joins, window ranking, partial aggs —
+so pushdown/pruning/AQE apply for free. Reference citations point at the
+pandas idiom each one replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anti_join_frontier(changes: DataFrame, processed: DataFrame, on: list[str]) -> DataFrame:
+    """S2/J5/J6 — new = all − processed (`orthanc.py:58-64`,
+    `pandas_fns.py:2-9`): a left-anti join; Catalyst broadcasts the
+    processed side when small."""
+    return changes.join(processed, on=on, how="left_anti")
+
+
+def coalesce_key_enrich(
+    left: DataFrame,
+    dim: DataFrame,
+    primary: list[str],
+    fallback: list[str],
+    payload: list[str],
+) -> DataFrame:
+    """J2 — two-pass join: primary key first, fallback key for the misses,
+    union back (`custom_etl.py:296-301`). Both joins broadcast the dim."""
+    hit = left.join(F.broadcast(dim.select(*primary, *payload)), primary, "left")
+    matched = hit.filter(F.col(payload[0]).isNotNull())
+    missed = hit.filter(F.col(payload[0]).isNull()).drop(*payload)
+    rescued = missed.join(F.broadcast(dim.select(*fallback, *payload)), fallback, "left")
+    return matched.unionByName(rescued)
+
+
+def lww_latest(
+    df: DataFrame, keys: list[str], order: list[Column]
+) -> DataFrame:
+    """W3 — last-writer-wins: one row per key, highest order wins.
+    The MERGE core; reference analog `--skip-existing` + suffix-on-conflict
+    (`__main__.py:308`, `custom_etl.py:369`)."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def first_non_null_per_group(
+    df: DataFrame, keys: list[str], order: list[str], cols: list[str]
+) -> DataFrame:
+    """A3 — first-found-wins tag scan per group (`custom_etl.py:198-239`):
+    the early-exit pandas loop becomes a partial-aggregating min_by with a
+    deterministic order key (no scan-order nondeterminism)."""
+    ord_struct = F.struct(*[F.col(o) for o in order])
+    aggs = [
+        F.min_by(F.col(c), F.when(F.col(c).isNotNull(), ord_struct)).alias(c)
+        for c in cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def asof_nearest(
+    df: DataFrame, keys: list[str], distance: Column, tiebreak: list[str]
+) -> DataFrame:
+    """J7/W1/O3 — nearest-key (as-of) pick per group: the row minimizing
+    ``distance`` (`custom_etl.py:412-414`, `:446-452`), deterministic via
+    tiebreak columns."""
+    w = Window.partitionBy(*keys).orderBy(
+        distance.asc(), *[F.col(t).asc() for t in tiebreak]
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def copy_number_suffix(
+    df: DataFrame, keys: list[str], order: list[str], label_col: str
+) -> DataFrame:
+    """W2 — duplicate-name `(n)` suffixing (`custom_etl.py:563-572`):
+    rank within (keys, label) and append ``(rank-1)`` for rank > 1."""
+    w = Window.partitionBy(*(keys + [label_col])).orderBy(*[F.col(o) for o in order])
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        label_col,
+        F.when(rn == 1, F.col(label_col)).otherwise(
+            F.concat(F.col(label_col), F.lit(" ("), (rn - 1).cast("string"), F.lit(")"))
+        ),
+    )
+
+
+def mode_per_group(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """A6 — most frequent value per group (`custom_dicom.py:198-206`,
+    dead code in the reference): count + window max, deterministic tiebreak
+    on the value itself."""
+    counted = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy(*keys).orderBy(F.col("_cnt").desc(), F.col(value_col).asc())
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, F.col(value_col).alias("mode_value"), F.col("_cnt").alias("mode_count"))
+    )
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O2/O3 — deterministic top-k (`__main__.py:126-127`): global sort +
+    limit; Spark plans TakeOrderedAndProject (no full sort materialized)."""
+    return df.orderBy(*order).limit(k)
+
+
+def reconcile_sets(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """U3/S15 — two-way listing diff (`orthanc.py:116-153`): keys only in
+    ``a`` tagged 'left_only', only in ``b`` tagged 'right_only'."""
+    left = (
+        a.select(*on).distinct().join(b.select(*on), on, "left_anti")
+        .withColumn("side", F.lit("left_only"))
+    )
+    right = (
+        b.select(*on).distinct().join(a.select(*on), on, "left_anti")
+        .withColumn("side", F.lit("right_only"))
+    )
+    return left.unionByName(right)

@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two paths:
+* `cosine_knn` — brute-force top-k, the correctness baseline. Dot products
+  via native `zip_with`/`aggregate` (JVM, codegen) — no Python.
+* `lsh_bucketed_knn` — the scale path: sign-bit LSH buckets from fixed
+  deterministic hyperplanes; candidates only join within a bucket, so at
+  100 TB the quadratic blowup is bounded by bucket occupancy. Probes all
+  buckets within Hamming distance 0 (exact-bucket) by default; recall is
+  traded via `n_planes`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_knn(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    the scan side streams once — at scale this is one pass over the table
+    per query batch, the standard exact-kNN baseline.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    joined = items.alias("i").crossJoin(F.broadcast(q))
+    scored = joined.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Fixed pseudo-random hyperplane, reproducible anywhere:
+    coefficient i of plane j = ((i*37 + j*101) % 19 − 9) / 9."""
+    return [(((i * 37 + plane * 101) % 19) - 9) / 9.0 for i in range(dim)]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit bucket id as a bit-string column (portable, no int width)."""
+    bits = []
+    for p in range(n_planes):
+        coeffs = _hyperplane(p, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coeffs]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_knn(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate all-pairs kNN: bucket by LSH signature, rank within
+    bucket. Equi-join on bucket replaces the cross join — the shuffle key
+    is the bucket id, and AQE splits any hot bucket."""
+    from pyspark.sql import Window
+
+    b = items.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    scored = (
+        a.join(c, on="bucket")
+        .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,85 @@
+"""Text-analysis operators over the `documents` table: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All native column expressions (codegen'd) — these run per-row over 100 TB
+of text, so nothing here may leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small English stopword set for the n-gram/stopword-ratio heuristic
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "as", "at", "by", "with", "that", "this", "be", "are",
+]
+
+_WORD_RE = r"\s+"
+# BPE-ish token split: word pieces + digits + punctuation as own tokens
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), _WORD_RE))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + punct chars."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), _WORD_RE)
+    hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    return F.round(hits / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def mean_word_len(text: Column) -> Column:
+    words = F.split(F.trim(text), _WORD_RE)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.round(total / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + a composite quality flag
+    (the usual pre-training heuristics: C4/Gopher-style rules)."""
+    t = F.col(text_col)
+    out = df.withColumns(
+        {
+            "n_chars_m": F.length(t),
+            "n_tokens": token_count(t),
+            "mean_word_len": mean_word_len(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+        }
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 10)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 12)
+        & (F.col("punct_ratio") <= 0.3),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: stopword-ratio over a threshold → 'en',
+    ascii-heavy otherwise → 'unk' (deterministic, oracle-expressible).
+    A real fastText/CLD model would slot in as a pandas UDF."""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (rolling-hash analog, engine-portable)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,3 @@
+"""Query catalog exported through __spark_entry__.py."""
+
+from .queries import ORACLES, QUERIES  # noqa: F401

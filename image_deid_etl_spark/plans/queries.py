@@ -1,0 +1,872 @@
+"""The query catalog: every entry pairs a Spark DataFrame plan with the
+ANSI-SQL oracle DuckDB runs on the same Parquet tables.
+
+Cross-engine determinism rules (so value-hash comparison is exact):
+* money sums go through DECIMAL (exact, associative) and are cast to
+  DOUBLE only at the end — no float-summation-order divergence;
+* every integer output is cast to BIGINT on both sides;
+* floating outputs are either exact single divisions of exact values or
+  omitted in favor of ranks;
+* all hashing is md5/sha256 over strings (identical hex in both engines);
+* every ranking has a total order (explicit tiebreak columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cdc.scrub import duckdb_scrub_expr, scrubbed_native
+from ..operators import dedup, multimodal, similarity, text
+from ..operators.relational import (
+    anti_join_frontier,
+    asof_nearest,
+    copy_number_suffix,
+    first_non_null_per_group,
+    lww_latest,
+    mode_per_group,
+    reconcile_sets,
+    top_k,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=12, s=2):
+    return (F.col(col) if isinstance(col, str) else col).cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H-style relational core (S1/S6, F*, P*, J1/J3, A*, O*)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — partial-agg heavy scan; filter + projection push
+    into the Parquet scan (reference analog: A5/A-group metrics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc1 = _dec(F.lit(1) - F.col("l_discount"), 4, 2)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — selective dim broadcast into fact join, top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"), 4, 2))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10)
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — star join; dims broadcast, one fact shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"), 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# --------------------------------------------------------------------------- #
+# CDC-shaped relational operators (S2, J2/J5/J6/J7/J11, U1-U3, W1-W3, A3/A6/A7)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "frontier_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/J5/J6 — frontier = all − processed (`orthanc.py:64`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        anti_join_frontier(c, o, ["c_custkey"])
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "reconcile_two_way_diff",
+    """
+    SELECT key, 'left_only' AS side
+    FROM (SELECT DISTINCT c_custkey AS key FROM customer) a
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = a.key)
+    UNION ALL
+    SELECT key, 'right_only' AS side
+    FROM (SELECT DISTINCT o_custkey AS key FROM orders) b
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.key)
+    ORDER BY side, key
+    """,
+)
+def reconcile_two_way_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/S15 — two-way listing reconciliation (`orthanc.py:116-153`)."""
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return reconcile_sets(a, b, ["key"]).orderBy("side", "key")
+
+
+@register(
+    "left_join_coalesce_enrich",
+    """
+    SELECT c.c_custkey AS c_custkey,
+           COALESCE(s.n_orders, 0) AS n_orders,
+           COALESCE(s.total_spent, 0.0) AS total_spent
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) s ON c.c_custkey = s.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def left_join_coalesce_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — coalesce-fill enrichment (`custom_etl.py:306-326`)."""
+    c = _t(spark, sf_dir, "customer")
+    s = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+        )
+    )
+    return (
+        c.join(s, c.c_custkey == s.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "asof_nearest_value",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(value - 50.0) ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def asof_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/W1/A7/O3 — nearest-key pick (`custom_etl.py:412-414,446-452`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        asof_nearest(ev, ["user_id"], F.abs(F.col("value") - 50.0), ["event_id"])
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "lww_latest_per_key",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def lww_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — last-writer-wins, the MERGE core semantic."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        lww_latest(ev, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_type AS first_type, props AS first_props FROM (
+      SELECT user_id, event_type, props,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — first-found-wins per group (`custom_etl.py:198-239`)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_type"),
+            F.col("props").alias("first_props"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "copy_number_suffix",
+    """
+    SELECT event_id,
+           CASE WHEN rn = 1 THEN event_type
+                ELSE event_type || ' (' || CAST(rn - 1 AS VARCHAR) || ')' END AS label
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) ORDER BY event_id
+    """,
+)
+def copy_number_suffix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — duplicate-name `(n)` suffix (`custom_etl.py:563-572`)."""
+    ev = _t(spark, sf_dir, "events").withColumn("label", F.col("event_type"))
+    return (
+        copy_number_suffix(ev, ["user_id"], ["ts", "event_id"], "label")
+        .select("event_id", "label")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "mode_event_type",
+    """
+    SELECT user_id, event_type AS mode_value, cnt AS mode_count FROM (
+      SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — most-frequent value per group (`custom_dicom.py:198-206`)."""
+    return mode_per_group(_t(spark, sf_dir, "events"), ["user_id"], "event_type").orderBy(
+        "user_id"
+    )
+
+
+@register(
+    "topk_customers_by_revenue",
+    """
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 — deterministic top-k (TakeOrderedAndProject, no full sort)."""
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_custkey").asc()], 10)
+
+
+# --------------------------------------------------------------------------- #
+# projection / scalar-function surface (P1-P13, S7)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "string_projection_suite",
+    """
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           lower(trim(c_name)) AS name_norm,
+           regexp_replace(split_part(c_name, '#', 2), '^0+', '') AS id_stripped,
+           concat_ws('_', c_mktsegment,
+                     regexp_replace(split_part(c_name, '#', 2), '^0+', '')) AS label
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def string_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4/P10 — zero-pad, zero-strip, normalize, path-part, label build."""
+    from ..functions import norm_name, path_part, zero_pad, zero_strip
+
+    c = _t(spark, sf_dir, "customer")
+    stripped = zero_strip(path_part("c_name", 2, "#"))
+    return c.select(
+        "c_custkey",
+        zero_pad(F.col("c_custkey").cast("string"), 8).alias("key_padded"),
+        norm_name("c_name").alias("name_norm"),
+        stripped.alias("id_stripped"),
+        F.concat_ws("_", F.col("c_mktsegment"), stripped).alias("label"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "date_histogram",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY yr, mo
+    """,
+)
+def date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — date parsing/bucketing (`custom_etl.py:241-243`)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n
+    FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — semi-structured sidecar extraction (`custom_etl.py:355`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "part_type_classifier",
+    """
+    SELECT CASE WHEN lower(p_type) LIKE '%promo%' THEN 'promotional'
+                WHEN lower(p_type) LIKE '%economy%' THEN 'budget'
+                WHEN lower(p_type) LIKE '%standard%' THEN 'standard'
+                ELSE 'other' END AS category,
+           count(*) AS n,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM part WHERE p_size NOT IN (1, 2)
+    GROUP BY 1 ORDER BY category
+    """,
+)
+def part_type_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F7 — contains-rule classifier + isin-exclusion filter."""
+    from ..functions import classify_by_contains
+
+    p = _t(spark, sf_dir, "part").filter(~F.col("p_size").isin(1, 2))
+    cat = classify_by_contains(
+        F.col("p_type"),
+        [("promo", "promotional"), ("economy", "budget"), ("standard", "standard")],
+        "other",
+    )
+    return (
+        p.select(cat.alias("category"), "p_retailprice")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+        )
+        .orderBy("category")
+    )
+
+
+@register(
+    "scrub_content_native",
+    f"""
+    SELECT doc_id, sha256({duckdb_scrub_expr('text')}) AS scrubbed_sha
+    FROM documents ORDER BY doc_id
+    """,
+)
+def scrub_content_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — the PHI scrub as pure JVM regexp chain + sha256 invariant."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.sha2(scrubbed_native(F.col("text")), 256).alias("scrubbed_sha")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# training-data operators: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------- #
+
+_SHINGLE_SQL = """
+  WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - {nm1}, 0) + 1),
+                                 i -> {concat})) AS shingle
+    FROM w
+  ),
+  shn AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0)
+"""
+
+
+def _shingle_cte(n: int) -> str:
+    concat = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    return _SHINGLE_SQL.format(nm1=n - 1, concat=concat)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text").orderBy("content_hash")
+
+
+_MINHASH_SQL = (
+    _shingle_cte(3)
+    + """,
+  sig AS (
+    SELECT doc_id,
+           """
+    + ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+    )
+    + """
+    FROM shn GROUP BY doc_id
+  ),
+  bands AS (
+    SELECT doc_id, concat_ws('|', '0', h0, h1) AS band_key FROM sig
+    UNION ALL SELECT doc_id, concat_ws('|', '1', h2, h3) FROM sig
+    UNION ALL SELECT doc_id, concat_ws('|', '2', h4, h5) FROM sig
+    UNION ALL SELECT doc_id, concat_ws('|', '3', h6, h7) FROM sig
+  )
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ORDER BY id_a, id_b
+"""
+)
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle → minhash → band → bucket-join near-dup candidates."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_JACCARD_SQL = (
+    _shingle_cte(2)
+    + """,
+  sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT id_a, id_b,
+         round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+  ORDER BY id_a, id_b
+"""
+)
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram Jaccard over an inverted index (no cross join)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SIMHASH_SQL = (
+    """
+  WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents
+  ),
+  tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+  agg AS (
+    SELECT doc_id,
+           """
+    + ",\n           ".join(
+        f"sum(CASE WHEN ascii(substring(md5(tok), {k + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(16)
+    )
+    + """
+    FROM tk GROUP BY doc_id
+  )
+  SELECT doc_id, concat("""
+    + ", ".join(f"CASE WHEN v{k} > 0 THEN '1' ELSE '0' END" for k in range(16))
+    + """) AS simhash
+  FROM agg ORDER BY doc_id
+"""
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(d, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+_COS_SQL = """
+    list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+"""
+
+_KNN_SQL = f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  s AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e a JOIN e b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < 10
+  )
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("knn_bruteforce_cosine", _KNN_SQL)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact top-5 cosine neighbors for query vecs 0-9."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_knn(e, q, "vec_id", "embedding", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _lsh_knn_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    bit_cases = []
+    for p in range(n_planes):
+        coeffs = similarity._hyperplane(p, dim)
+        arr = "[" + ", ".join(repr(c) for c in coeffs) + "]"
+        bit_cases.append(
+            f"CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END"
+        )
+    bucket = "concat(" + ", ".join(bit_cases) + ")"
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+  s AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  )
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("knn_lsh_bucketed", _lsh_knn_sql())
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-bit LSH buckets; equi-join replaces cross join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_knn(e, "vec_id", "embedding", dim=64, n_planes=6, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "text_quality_scores",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+           round(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                               w -> length(w)), 'sum')
+                 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS mean_word_len,
+           round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                                            'on','for','as','at','by','with','that','this','be','are')))
+                 / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(d, "text")
+    return feats.select(
+        "doc_id",
+        F.col("n_chars_m").cast("long").alias("n_chars_m"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                     w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+                                                'on','for','as','at','by','with','that','this','be','are')))
+                     / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_pred,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "media_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable half: binary payload +
+    typed metadata through the real mapInPandas feature extractor."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d, "doc_id", "text")
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "byte_len", "sha256").orderBy("media_id")
+
+
+@register("media_features_full")  # no SQL oracle: stub decode isn't SQL-expressible
+def media_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal feature extraction incl. stub decode + quarantine
+    routing (rows-only check; the decode fake is Python-side)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d, "doc_id", "text")
+    feats = multimodal.extract_features(media)
+    good, _quarantine = multimodal.route_quarantine(feats)
+    return good.orderBy("media_id")
+
+
+# --------------------------------------------------------------------------- #
+# CDC semantics + streaming-shaped aggregations
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "cdc_lww_resolve",
+    """
+    SELECT user_id, event_id AS last_event_id, value AS last_value,
+           event_type AS last_type
+    FROM (
+      SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'purchase'
+    ORDER BY user_id
+    """,
+)
+def cdc_lww_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's LWW-resolve semantic as a pure query: events as a CDC
+    feed keyed on user_id, seq = event_id, 'purchase' = delete."""
+    ev = _t(spark, sf_dir, "events")
+    latest = lww_latest(ev, ["user_id"], [F.col("event_id")])
+    return (
+        latest.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "sessionize_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+)
+def sessionize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (batch shape of the streaming path)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "running_total_per_user",
+    """
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+    FROM events ORDER BY event_id
+    """,
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (rowsBetween) — running decimal-exact total."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.sum(_dec("value")).over(w).cast("double").alias("running_value")
+    ).orderBy("event_id")

@@ -1,0 +1,109 @@
+"""Exactly-once / crash-resume semantics (SURVEY.md §5 item 3).
+
+Reference analog: the processed-UUID PK guard + idempotent sink
+(`__main__.py:251-259`, `database.py:39-46`, `--skip-existing` at
+`__main__.py:308`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import (
+    bootstrap_offsets,
+    open_or_create_table,
+    plan_frontier,
+    run_ingest,
+)
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.merge import SimulatedCrash
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+
+def state(spark, root):
+    t = open_or_create_table(root)
+    return (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_crash_between_apply_and_commit_then_resume(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=1500, n_keys=120, dup_frac=0.05)
+    write_feed(feed, spec)
+
+    with pytest.raises(SimulatedCrash):
+        run_ingest(spark, root, feed, max_files_per_batch=2, fail_before_commit_on_batch=1)
+    t = open_or_create_table(root)
+    crashed_offsets = t.offsets()
+    assert crashed_offsets["committed_feed_files"] == 2  # batch 0 only
+
+    # resume: same entry point, no flags — replays the uncommitted batch
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(state(spark, root), expected, check_dtype=False)
+
+
+def test_rerun_on_exhausted_feed_is_noop(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=400, n_keys=40))
+    run_ingest(spark, root, feed)
+    t = open_or_create_table(root)
+    snap = t.snapshot_id
+    stats = run_ingest(spark, root, feed)
+    assert stats.batches == 0
+    assert open_or_create_table(root).snapshot_id == snap
+    assert plan_frontier(t, feed) == []
+
+
+def test_double_replay_same_state(spark, tmp_path):
+    """Replaying an already-applied batch (forced) converges to the same
+    state — idempotent MERGE (effectively-once under at-least-once)."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=600, n_keys=60)
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed)
+    before = state(spark, root)
+
+    # force re-delivery: rewind the committed offset and replay everything
+    bootstrap_offsets(root, committed_feed_files=0)
+    run_ingest(spark, root, feed)
+    pd.testing.assert_frame_equal(state(spark, root), before, check_dtype=False)
+
+
+def test_bootstrap_offsets_skips_history(spark, tmp_path):
+    """`importuuids` analog: mark chunks processed without replay."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=800, n_keys=80, n_files=8, shuffle=False)
+    write_feed(feed, spec)
+    bootstrap_offsets(root, committed_feed_files=4)
+    stats = run_ingest(spark, root, feed)
+    assert stats.batches >= 1
+    # only events from chunks 4..7 are in the table
+    ev = make_events(spec)
+    tail = ev.iloc[len(ev) // 2 :]
+    expected = sha256_state(fold_feed(tail))
+    pd.testing.assert_frame_equal(state(spark, root), expected, check_dtype=False)
+
+
+def test_lineage_and_time_travel(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=900, n_keys=90, n_files=6))
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+    t = open_or_create_table(root)
+    snaps = t.snapshots()
+    assert len(snaps) == 4  # 0 + 3 batches
+    lin = t.lineage()
+    assert [e["snapshot_id"] for e in lin] == snaps[1:]
+    for e in lin:
+        assert e["partitions"] and all(p["rows_written"] > 0 for p in e["partitions"])
+        assert all(p["seq_min"] is not None for p in e["partitions"])
+    # time travel: early snapshots are readable and no larger than current
+    early_rows = t.read(spark, snapshot_id=snaps[1]).count()
+    assert early_rows > 0

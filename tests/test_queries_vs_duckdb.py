@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(name: str, got: pd.DataFrame, exp: pd.DataFrame):
+    assert list(sorted(got.columns)) == list(sorted(exp.columns)), f"{name}: columns"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    g, e = canon(got), canon(exp)
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            for a, b in zip(gv, ev):
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    assert a == b, f"{name}.{c}: {a!r} != {b!r}"
+                else:
+                    assert str(a) == str(b), f"{name}.{c}: {a!r} != {b!r}"
+        else:
+            pd.testing.assert_series_equal(
+                gv, ev, check_dtype=False, check_names=False, obj=f"{name}.{c}"
+            )
+
+
+ALL = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    q = entry_mod.queries()[name]
+    got = q(spark, sf_dir).toPandas()
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        assert len(got) >= 0  # rows-only check (driver's weaker path)
+        assert len(got.columns) > 0
+        return
+    exp = duck.sql(sql).df()
+    assert_frames_match(name, got, exp)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns

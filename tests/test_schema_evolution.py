@@ -1,0 +1,68 @@
+"""Schema evolution: columns added mid-feed propagate without replay
+(SURVEY.md §5 item 5; reference analog: sidecar fields injected post-hoc,
+`custom_etl.py:402-406`, `custom_flywheel.py:61-79`)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.oracle import fold_feed
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+
+def test_mid_feed_column_add(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=1200, n_keys=200, evolve_at=600, n_files=6, shuffle=False)
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+
+    t = open_or_create_table(root)
+    assert "license" in [f.name for f in t.schema().fields]
+
+    got = t.read(spark).select("repo", "path", "license").toPandas()
+    exp = fold_feed(make_events(spec))[["repo", "path", "license"]]
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # both populated and null values exist (old rows weren't replayed)
+    assert got["license"].notna().any()
+
+
+def test_old_snapshots_still_readable_after_evolution(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=1000, n_keys=150, evolve_at=500, n_files=4, shuffle=False)
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=1)
+    t = open_or_create_table(root)
+    first_snap = t.snapshots()[1]
+    old = t.read(spark, snapshot_id=first_snap)
+    assert "license" not in old.columns  # pre-evolution schema pinned
+    assert old.count() > 0
+    # schema_version bumped exactly when the column appeared
+    assert t.manifest()["schema_version"] >= 1
+
+
+def test_schema_conflict_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        root,
+        T.StructType([T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()), T.StructField("content", T.StringType())]),
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.evolved_schema(T.StructType([T.StructField("content", T.LongType())]))
+
+
+def test_explicit_null_type_ignored(spark, tmp_path):
+    """A feed column that is all-null (NullType) must not poison the schema."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        root,
+        T.StructType([T.StructField("repo", T.StringType()), T.StructField("path", T.StringType())]),
+    )
+    s = t.evolved_schema(T.StructType([T.StructField("newcol", T.NullType())]))
+    assert "newcol" not in [f.name for f in s.fields]
