@@ -82,8 +82,10 @@ def run_ingest(
         chunk = todo[:max_files_per_batch]
         off = table.offsets()
         batch = read_feed_files(spark, chunk)
-        n = batch.count()
-        mx = batch.agg(F.max("seq")).collect()[0][0] or 0
+        stats_row = batch.agg(
+            F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx")
+        ).collect()[0]
+        n, mx = stats_row["n"], stats_row["mx"] or 0
         new_offsets = {
             "committed_feed_files": off["committed_feed_files"] + len(chunk),
             "max_seq_seen": max(off["max_seq_seen"], mx),

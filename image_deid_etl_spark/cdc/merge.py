@@ -9,16 +9,29 @@ the sandbox). Semantics match the reference's idempotent sink:
 * modality deletes (`custom_etl.py:41-45`) → ``WHEN MATCHED DELETE``
   (tombstones);
 * out-of-order delivery (`__main__.py:124-125`) → last-writer-wins on
-  ``commit_seq``, both within a batch (window) and against the stored
-  state (union + window), so replays and late events are no-ops.
+  ``commit_seq``, against both the batch and the stored state, so replays
+  and late events are no-ops.
 
-Plan shape (all builtin Spark, one shuffle on the bucketed key):
+Plan shape — tuned to exactly TWO wide shuffles per micro-batch:
 
-    batch ──salted repartition──► scrub (Arrow pandas UDF)
-          ──window LWW (per key, seq desc)──► resolved
-    resolved ∪ existing(touched buckets only)   ← manifest-pruned scan
-          ──window LWW──► new bucket contents ──► parquet per bucket
+    batch ──(1 small job: count, max seq, touched buckets)──┐
+    existing(touched buckets only, manifest-pruned scan) ───┤
+          ∪ ──shuffle #1: window LWW on (repo,path)──► winners
+          ──vectorized scrub (Arrow pandas UDF, idempotent)──►
+          ──shuffle #2: repartition by bucket──► parquet per bucket
           ──► atomic manifest swap (data + offsets together)
+
+Scrubbing runs *after* LWW resolution so only surviving rows cross the
+Python boundary (losers of the window never pay the Arrow transfer).
+Re-scrubbing already-stored rows is a no-op by construction: every
+replacement token (``<EMAIL>``, ``<REDACTED>``, …) matches none of the
+scrub patterns, so the transform is idempotent — asserted by tests.
+
+Skew: the LWW/bucket shuffles key on the *full* ``(repo, path)`` key, so
+a mega-repo spreads across partitions by design; `salt_partitions`
+additionally forces a salted pre-spread of the raw batch (for feeds whose
+delivery chunks are themselves pathological), and AQE skew-join splitting
+is on as the runtime backstop.
 """
 
 from __future__ import annotations
@@ -76,30 +89,29 @@ def merge_into(
     new_schema = table.evolved_schema(data_schema)
     evolved = len(new_schema.fields) != len(old_schema.fields)
 
-    # -- transform stage: salted spread + vectorized scrub -----------------
-    ev = salted_repartition(batch, key_cols[:1], n_partitions=salt_partitions)
-    if scrub:
-        ev = ev.withColumn("content", scrubbed(F.col("content")))
+    if salt_partitions:
+        # optional explicit pre-spread for pathological delivery chunks
+        batch = salted_repartition(batch, key_cols[:1], n_partitions=salt_partitions)
 
-    # -- within-batch LWW ---------------------------------------------------
-    resolved = resolve_lww(ev, key_cols)
-
-    # -- shape to the table's read schema -----------------------------------
+    # -- shape to the table's read schema ----------------------------------
     cols = []
     for f in new_schema.fields:
-        if f.name in resolved.columns:
+        if f.name in batch.columns:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    incoming = resolved.select(
+    incoming = batch.select(
         *cols,
         F.col("seq").cast("long").alias("commit_seq"),
         (F.col("op") == F.lit("delete")).alias("_deleted"),
         bucket_expr(n_buckets, key_cols).alias("_bucket"),
-    )
-    incoming = incoming.persist()
+    ).persist()
     try:
-        touched = {r[0] for r in incoming.select("_bucket").distinct().collect()}
+        # one small job: touched buckets (≤ n_buckets values via partial agg)
+        touched = {
+            r[0]
+            for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
+        }
 
         # -- existing state, manifest-pruned to touched buckets only -------
         existing = table.read_raw(spark, buckets=sorted(touched))
@@ -110,10 +122,14 @@ def merge_into(
         existing = existing.select(*order)
         incoming_o = incoming.select(*order)
 
-        # -- cross-batch LWW: stored row vs incoming event ------------------
+        # -- single LWW window: within-batch AND vs stored state (shuffle 1)
         merged = resolve_lww(existing.unionByName(incoming_o), key_cols, "commit_seq")
 
-        # -- copy-on-write rewrite of touched buckets ------------------------
+        # -- vectorized scrub on winners only (idempotent on stored rows) --
+        if scrub and "content" in merged.columns:
+            merged = merged.withColumn("content", scrubbed(F.col("content")))
+
+        # -- copy-on-write rewrite of touched buckets (shuffle 2) -----------
         snap_id = table.snapshot_id + 1
         entries = table.write_snapshot_files(merged, snap_id)
 

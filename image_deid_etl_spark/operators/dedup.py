@@ -117,12 +117,34 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted index: self-join on shared
-    shingles (never a cross join), count intersections, filter by
-    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold."""
+    """N-gram Jaccard via inverted index: self-join on shared shingles
+    (never a cross join), count intersections, filter by
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    ``max_df`` prunes shingles appearing in more than that many documents
+    before the self-join — the standard stop-shingle optimization. A
+    shingle shared by k docs contributes k² join rows, so without pruning
+    a common phrase turns the inverted index back into a cross join at
+    scale; with it, the join cost is bounded by max_df² per shingle.
+    Jaccard is then over *rare* shingles only (both sizes and
+    intersections use the pruned set — internally consistent semantics).
+    """
     sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

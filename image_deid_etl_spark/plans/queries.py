@@ -585,10 +585,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_SQL = (
     _shingle_cte(2)
     + """,
-  sizes AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+  rare AS (SELECT shingle FROM shn GROUP BY shingle HAVING count(*) <= 10),
+  shf AS (SELECT s.doc_id, s.shingle FROM shn s JOIN rare r ON s.shingle = r.shingle),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
   inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-    FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
   )
   SELECT id_a, id_b,
@@ -602,11 +604,12 @@ _JACCARD_SQL = (
 
 @register("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram Jaccard over an inverted index (no cross join)."""
+    """Bigram Jaccard over a stop-shingle-pruned inverted index (max_df=10
+    bounds the self-join fanout; see operators/dedup.py)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.2, max_df=10
+    ).orderBy("id_a", "id_b")
 
 
 _SIMHASH_SQL = (
