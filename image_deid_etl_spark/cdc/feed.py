@@ -76,6 +76,7 @@ class FeedSpec:
     shuffle: bool = True  # deliver out of order
     evolve_at: int | None = None  # seq >= this gains a `license` column
     n_files: int = 8
+    content_repeat: int = 1  # ~multiply content size (realistic file bodies)
 
 
 def _commit_ids(repo: pd.Series, path: pd.Series, seq: np.ndarray) -> np.ndarray:
@@ -148,7 +149,12 @@ def make_events(spec: FeedSpec) -> pd.DataFrame:
         + (1 + pd.Series(ver % 9)).astype(str) + "-1"
         + (pd.Series(ver % 9)).astype(str) + "'\n"
         + "    return x * " + pd.Series(ver).astype(str) + "  # " + kr + "/" + kp + "\n"
-    ).to_numpy(dtype=object)
+    )
+    if spec.content_repeat > 1:
+        # realistic source-file bodies (~KBs): repeat the templated block,
+        # PHI tokens included, so scrub/shuffle work scales with size
+        content = content.str.repeat(spec.content_repeat)
+    content = content.to_numpy(dtype=object)
 
     commit = _commit_ids(kr, kp, seq)
 

@@ -105,44 +105,43 @@ def merge_into(
         F.col("seq").cast("long").alias("commit_seq"),
         (F.col("op") == F.lit("delete")).alias("_deleted"),
         bucket_expr(n_buckets, key_cols).alias("_bucket"),
-    ).persist()
-    try:
-        # one small job: touched buckets (≤ n_buckets values via partial agg)
-        touched = {
-            r[0]
-            for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
-        }
+    )
+    # one small job: touched buckets. Deliberately NOT persisted — column
+    # pruning reduces this scan to the key columns only, while persisting
+    # the full batch (content included) would pin GBs in the executor heap
+    # and thrash GC at high parallelism.
+    touched = {
+        r[0]
+        for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
+    }
+    # -- existing state, manifest-pruned to touched buckets only ----------
+    existing = table.read_raw(spark, buckets=sorted(touched))
+    for f in new_schema.fields:  # align evolved columns
+        if f.name not in existing.columns:
+            existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
+    order = [f.name for f in new_schema.fields] + ["commit_seq", "_deleted", "_bucket"]
+    existing = existing.select(*order)
+    incoming_o = incoming.select(*order)
 
-        # -- existing state, manifest-pruned to touched buckets only -------
-        existing = table.read_raw(spark, buckets=sorted(touched))
-        for f in new_schema.fields:  # align evolved columns
-            if f.name not in existing.columns:
-                existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
-        order = [f.name for f in new_schema.fields] + ["commit_seq", "_deleted", "_bucket"]
-        existing = existing.select(*order)
-        incoming_o = incoming.select(*order)
+    # -- single LWW window: within-batch AND vs stored state (shuffle 1) --
+    merged = resolve_lww(existing.unionByName(incoming_o), key_cols, "commit_seq")
 
-        # -- single LWW window: within-batch AND vs stored state (shuffle 1)
-        merged = resolve_lww(existing.unionByName(incoming_o), key_cols, "commit_seq")
+    # -- vectorized scrub on winners only (idempotent on stored rows) -----
+    if scrub and "content" in merged.columns:
+        merged = merged.withColumn("content", scrubbed(F.col("content")))
 
-        # -- vectorized scrub on winners only (idempotent on stored rows) --
-        if scrub and "content" in merged.columns:
-            merged = merged.withColumn("content", scrubbed(F.col("content")))
+    # -- copy-on-write rewrite of touched buckets (shuffle 2) -------------
+    snap_id = table.snapshot_id + 1
+    entries = table.write_snapshot_files(merged, snap_id)
 
-        # -- copy-on-write rewrite of touched buckets (shuffle 2) -----------
-        snap_id = table.snapshot_id + 1
-        entries = table.write_snapshot_files(merged, snap_id)
+    if fail_before_commit:
+        raise SimulatedCrash("crash injected between apply and commit")
 
-        if fail_before_commit:
-            raise SimulatedCrash("crash injected between apply and commit")
-
-        # -- atomic commit: files + offsets + (maybe) evolved schema --------
-        return table.commit_snapshot(
-            new_files=entries,
-            touched_buckets=touched,
-            offsets=offsets,
-            schema=new_schema if evolved else None,
-            started_at=started,
-        )
-    finally:
-        incoming.unpersist()
+    # -- atomic commit: files + offsets + (maybe) evolved schema ----------
+    return table.commit_snapshot(
+        new_files=entries,
+        touched_buckets=touched,
+        offsets=offsets,
+        schema=new_schema if evolved else None,
+        started_at=started,
+    )

@@ -1,0 +1,205 @@
+"""spark-submit entry point mirroring the reference CLI (EP1-EP3).
+
+Reference analog: the argparse subcommands in `__main__.py:332-427`
+(`check` / `run` / `validate` / `importuuids`). Run as::
+
+    spark-submit --py-files image_deid_etl_spark.zip -m ... cli.py <cmd>
+    # or locally:
+    python -m image_deid_etl_spark.cli <cmd> ...
+
+Subcommands
+-----------
+check      frontier discovery: delivery chunks beyond the checkpoint (EP1)
+ingest     apply the frontier via exactly-once MERGE (EP2); batch or
+           --streaming (Structured Streaming foreachBatch)
+validate   dry-run audit: table stats, lineage, offsets — no writes (EP3)
+bootstrap  mark N feed chunks processed without replay (importuuids analog)
+genfeed    write a deterministic synthetic feed (fixtures; no external data)
+package    build the --py-files zip for cluster submission
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from .session import build_session
+
+    master = f"local[{cpus}]" if cpus else None
+    return build_session(app_name="image-deid-etl-spark-cli", master=master)
+
+
+def cmd_check(args) -> None:
+    from .cdc.engine import open_or_create_table, plan_frontier
+
+    table = open_or_create_table(args.table)
+    todo = plan_frontier(table, args.feed)
+    if args.limit:
+        todo = todo[: args.limit]
+    for f in todo:
+        print(f)
+    print(json.dumps({"pending_chunks": len(todo), "offsets": table.offsets()}), file=sys.stderr)
+
+
+def cmd_ingest(args) -> None:
+    spark = _spark(args.cpus)
+    if args.streaming:
+        from .streaming.ingest import stream_ingest
+
+        stream_ingest(
+            spark, args.table, args.feed,
+            checkpoint_dir=args.checkpoint or (args.table + "_stream_ckpt"),
+            n_buckets=args.buckets,
+        )
+        from .cdc.engine import open_or_create_table
+
+        print(json.dumps({"offsets": open_or_create_table(args.table).offsets()}))
+        return
+    from .cdc.engine import run_ingest
+
+    stats = run_ingest(
+        spark, args.table, args.feed,
+        max_files_per_batch=args.batch_files,
+        n_buckets=args.buckets,
+        max_batches=args.max_batches,
+    )
+    print(
+        json.dumps(
+            {
+                "batches": stats.batches,
+                "events": stats.events,
+                "snapshot_id": stats.snapshot_id,
+                "events_per_sec": round(stats.events_per_sec, 1),
+            }
+        )
+    )
+
+
+def cmd_validate(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .cdc.engine import open_or_create_table
+
+    spark = _spark(args.cpus)
+    table = open_or_create_table(args.table)
+    df = table.read(spark)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("live_rows"),
+        F.countDistinct("repo").alias("repos"),
+        F.sum(F.length("content")).alias("content_bytes"),
+        F.count(F.when(F.col("content").isNull(), 1)).alias("null_content"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "snapshot_id": table.snapshot_id,
+                "schema": [f.name for f in table.schema().fields],
+                "offsets": table.offsets(),
+                "live_rows": stats["live_rows"],
+                "repos": stats["repos"],
+                "content_bytes": stats["content_bytes"],
+                "null_content_rows": stats["null_content"],
+                "snapshots": table.snapshots(),
+                "lineage_commits": len(table.lineage()),
+            }
+        )
+    )
+
+
+def cmd_bootstrap(args) -> None:
+    from .cdc.engine import bootstrap_offsets
+
+    bootstrap_offsets(args.table, args.chunks)
+    print(json.dumps({"bootstrapped_chunks": args.chunks}))
+
+
+def cmd_genfeed(args) -> None:
+    from .cdc.feed import FeedSpec, write_feed
+
+    paths = write_feed(
+        args.out,
+        FeedSpec(
+            n_events=args.events,
+            n_keys=args.keys,
+            n_repos=args.repos,
+            seed=args.seed,
+            skew=args.skew,
+            dup_frac=args.dups,
+            evolve_at=args.evolve_at,
+            n_files=args.files,
+        ),
+    )
+    print(json.dumps({"chunks": len(paths), "dir": args.out}))
+
+
+def cmd_package(args) -> None:
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp()
+    shutil.copytree(pkg_dir, os.path.join(staging, os.path.basename(pkg_dir)))
+    out = shutil.make_archive(args.out.removesuffix(".zip"), "zip", staging)
+    shutil.rmtree(staging)
+    print(json.dumps({"zip": out}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="image-deid-etl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--table", required=True)
+        sp.add_argument("--cpus", type=int, default=None)
+
+    c = sub.add_parser("check", help="list pending feed chunks (frontier)")
+    c.add_argument("--table", required=True)
+    c.add_argument("--feed", required=True)
+    c.add_argument("--limit", type=int, default=None)
+    c.set_defaults(fn=cmd_check)
+
+    i = sub.add_parser("ingest", help="apply the frontier (exactly-once MERGE)")
+    common(i)
+    i.add_argument("--feed", required=True)
+    i.add_argument("--batch-files", type=int, default=4)
+    i.add_argument("--buckets", type=int, default=16)
+    i.add_argument("--max-batches", type=int, default=None)
+    i.add_argument("--streaming", action="store_true")
+    i.add_argument("--checkpoint", default=None)
+    i.set_defaults(fn=cmd_ingest)
+
+    v = sub.add_parser("validate", help="dry-run audit of table state")
+    common(v)
+    v.set_defaults(fn=cmd_validate)
+
+    b = sub.add_parser("bootstrap", help="mark feed chunks processed without replay")
+    b.add_argument("--table", required=True)
+    b.add_argument("--chunks", type=int, required=True)
+    b.set_defaults(fn=cmd_bootstrap)
+
+    g = sub.add_parser("genfeed", help="generate a deterministic synthetic feed")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--keys", type=int, default=5_000)
+    g.add_argument("--repos", type=int, default=100)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--skew", type=float, default=0.0)
+    g.add_argument("--dups", type=float, default=0.0)
+    g.add_argument("--evolve-at", type=int, default=None)
+    g.add_argument("--files", type=int, default=8)
+    g.set_defaults(fn=cmd_genfeed)
+
+    z = sub.add_parser("package", help="build the --py-files zip")
+    z.add_argument("--out", default="image_deid_etl_spark.zip")
+    z.set_defaults(fn=cmd_package)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""Structured Streaming ingest: readStream → foreachBatch MERGE."""

@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""spark-submit entry shim.
+
+`cli.py` lives inside the package (relative imports), which spark-submit
+can't execute directly. Submit this file instead::
+
+    python -m image_deid_etl_spark.cli package --out pkg.zip
+    spark-submit --master <cluster> --py-files pkg.zip submit.py \
+        ingest --table s3://lake/repos --feed s3://wal/chunks
+
+The --py-files zip puts the package on every executor's PYTHONPATH; this
+shim only needs the driver to find it (zip or repo checkout).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from image_deid_etl_spark.cli import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Property-based randomized feeds (SURVEY.md §5 item 4): random op
+sequences — out-of-order, duplicates, deletes of absent keys,
+delete-then-re-add — must fold to the oracle's state through the engine.
+
+Spark jobs are too slow for per-example hypothesis runs, so hypothesis
+drives the *feed generator parameters* and a seeded op-sequence sampler;
+each drawn feed replays once. A pure-pandas mirror of the engine's
+resolve (dedup → LWW → tombstone filter) is additionally property-tested
+at high example counts for the op-algebra itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+
+# ---------------------------------------------------------------------------
+# fast pure-pandas property: the LWW fold algebra
+# ---------------------------------------------------------------------------
+@settings(max_examples=300, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.sampled_from(["add", "update", "delete"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    order_seed=st.integers(0, 2**16),
+)
+def test_fold_is_delivery_order_invariant(ops, order_seed):
+    n = len(ops)
+    df = pd.DataFrame(
+        {
+            "seq": np.arange(1, n + 1),
+            "op": [o for _, o in ops],
+            "repo": "r",
+            "path": [f"p{k}" for k, _ in ops],
+            "commit": "c",
+            "lang": "python",
+            "content": [None if o == "delete" else f"v{i}" for i, (_, o) in enumerate(ops)],
+        }
+    )
+    shuffled = df.sample(frac=1.0, random_state=order_seed).reset_index(drop=True)
+    a = fold_feed(df)
+    b = fold_feed(shuffled)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["add", "update", "delete"])),
+        min_size=1,
+        max_size=30,
+    ),
+    dup_seed=st.integers(0, 2**16),
+)
+def test_fold_ignores_duplicate_deliveries(ops, dup_seed):
+    n = len(ops)
+    df = pd.DataFrame(
+        {
+            "seq": np.arange(1, n + 1),
+            "op": [o for _, o in ops],
+            "repo": "r",
+            "path": [f"p{k}" for k, _ in ops],
+            "commit": "c",
+            "lang": None,
+            "content": [None if o == "delete" else f"v{i}" for i, (_, o) in enumerate(ops)],
+        }
+    )
+    rng = np.random.default_rng(dup_seed)
+    dup = df.iloc[rng.integers(0, n, size=max(1, n // 3))]
+    with_dups = pd.concat([df, dup], ignore_index=True)
+    pd.testing.assert_frame_equal(fold_feed(df), fold_feed(with_dups))
+
+
+# ---------------------------------------------------------------------------
+# engine replay over hypothesis-drawn generator parameters (few, heavier)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [7, 99, 123])
+def test_randomized_feed_engine_matches_oracle(spark, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    spec = FeedSpec(
+        n_events=int(rng.integers(300, 1500)),
+        n_keys=int(rng.integers(10, 200)),
+        n_repos=int(rng.integers(2, 12)),
+        seed=seed,
+        skew=float(rng.choice([0.0, 0.5])),
+        p_update=float(rng.uniform(0.2, 0.6)),
+        p_delete=float(rng.uniform(0.05, 0.3)),
+        dup_frac=float(rng.choice([0.0, 0.15])),
+        n_files=int(rng.integers(2, 7)),
+    )
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+
+    t = open_or_create_table(root)
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)

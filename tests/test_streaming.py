@@ -1,0 +1,68 @@
+"""Structured Streaming ingest: same final state as the batch engine and
+as the pandas oracle; watermarked windowed aggregation runs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+from image_deid_etl_spark.streaming.ingest import hourly_counts_stream, stream_ingest
+
+
+def test_stream_ingest_matches_oracle(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = FeedSpec(n_events=1200, n_keys=100, dup_frac=0.05, n_files=6)
+    write_feed(feed, spec)
+
+    stream_ingest(spark, root, feed, ckpt, max_files_per_trigger=2)
+
+    t = open_or_create_table(root)
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # multiple epochs committed, offsets advanced through foreachBatch
+    assert t.offsets()["last_epoch"] >= 1
+    assert t.snapshot_id >= 2
+
+
+def test_stream_restart_is_noop(spark, tmp_path):
+    """Re-running the stream over the same checkpoint re-processes nothing."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_feed(feed, FeedSpec(n_events=400, n_keys=40, n_files=4))
+    stream_ingest(spark, root, feed, ckpt)
+    snap = open_or_create_table(root).snapshot_id
+
+    stream_ingest(spark, root, feed, ckpt)  # no new files
+    assert open_or_create_table(root).snapshot_id == snap
+
+
+def test_watermarked_hourly_counts(spark, tmp_path):
+    feed = str(tmp_path / "f")
+    spec = FeedSpec(n_events=500, n_keys=50, n_files=2)
+    write_feed(feed, spec)
+
+    q = (
+        hourly_counts_stream(spark, feed)
+        .writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from hourly").toPandas()
+    # append mode + availableNow emits only windows closed by the watermark;
+    # with ts spanning ~500s all events share one open window → weaker check:
+    # the stream ran and produced a well-formed result
+    assert list(got.columns) == ["window_start", "op", "n_events"]

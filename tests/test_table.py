@@ -1,0 +1,141 @@
+"""Unit tests for the snapshot table format (lake/table.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.lake.table import SnapshotTable, bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def make_rows(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return df.select(
+        "*",
+        F.lit(1).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(4, ["repo", "path"]).alias("_bucket"),
+    )
+
+
+def test_create_and_empty_read(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    assert t.snapshot_id == 0
+    assert t.read(spark).count() == 0
+    assert t.key_cols() == ["repo", "path"]
+    assert t.n_buckets() == 4
+
+
+def test_commit_and_bucket_pruned_read(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    df = make_rows(spark, [("r1", f"p{i}", f"c{i}") for i in range(50)])
+    entries = t.write_snapshot_files(df, 1)
+    t.commit_snapshot(entries, set(range(4)), {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0})
+    assert t.snapshot_id == 1
+    assert t.read(spark).count() == 50
+    # manifest-level pruning: each bucket reads only its own files
+    per_bucket = [t.read_raw(spark, buckets=[b]).count() for b in range(4)]
+    assert sum(per_bucket) == 50
+    assert all(n > 0 for n in per_bucket)  # keys spread across buckets
+    # pruned scan lists strictly fewer files than the full scan
+    m = t.manifest()
+    b0_files = [f for f in m["files"] if f["bucket"] == 0]
+    assert 0 < len(b0_files) < len(m["files"])
+
+
+def test_atomic_pointer_crash_safety(spark, tmp_path):
+    """A manifest written without the pointer swap is invisible."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(root, SCHEMA, ["repo", "path"], 4)
+    df = make_rows(spark, [("r1", "p1", "x")])
+    entries = t.write_snapshot_files(df, 1)
+    t.commit_snapshot(entries, {0, 1, 2, 3}, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0})
+    # simulate a crash: manifest-2 written, pointer NOT swapped
+    m = t.manifest()
+    m["snapshot_id"] = 2
+    with open(os.path.join(root, "_manifests", "manifest-0000000002.json"), "w") as f:
+        json.dump(m, f)
+    assert t.snapshot_id == 1  # still the committed snapshot
+    assert t.read(spark).count() == 1
+
+
+def test_tombstones_hidden_from_read(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    df = make_rows(spark, [("r1", "p1", "x"), ("r1", "p2", "y")]).withColumn(
+        "_deleted", F.col("path") == "p2"
+    )
+    entries = t.write_snapshot_files(df, 1)
+    t.commit_snapshot(entries, {0, 1, 2, 3}, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0})
+    assert t.read(spark).count() == 1
+    assert t.read_raw(spark).count() == 2  # tombstone retained physically
+
+
+def test_seq_stats_in_manifest(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    df = make_rows(spark, [("r1", f"p{i}", "x") for i in range(10)]).withColumn(
+        "commit_seq", (F.rand(7) * 100).cast("long") + 1
+    )
+    entries = t.write_snapshot_files(df, 1)
+    assert all(e["seq_min"] is not None and e["seq_max"] >= e["seq_min"] for e in entries)
+    assert all(e["rows"] > 0 and e["bytes"] > 0 for e in entries)
+
+
+def test_bucket_expr_deterministic(spark):
+    df = spark.createDataFrame([("a", "b")], ["repo", "path"])
+    v1 = df.select(bucket_expr(16, ["repo", "path"])).collect()[0][0]
+    v2 = df.select(bucket_expr(16, ["repo", "path"])).collect()[0][0]
+    assert v1 == v2 and 0 <= v1 < 16
+
+
+def test_time_travel_pins_schema_and_files(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    df1 = make_rows(spark, [("r1", "p1", "v1")])
+    t.commit_snapshot(t.write_snapshot_files(df1, 1), {0, 1, 2, 3},
+                      {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0})
+    evolved = t.evolved_schema(T.StructType([T.StructField("lang", T.StringType())]))
+    df2 = make_rows(spark, [("r1", "p1", "v2")]).withColumn("lang", F.lit("py"))
+    df2 = df2.select("repo", "path", "content", "lang", "commit_seq", "_deleted", "_bucket")
+    t.commit_snapshot(t.write_snapshot_files(df2, 2), {0, 1, 2, 3},
+                      {"committed_feed_files": 2, "max_seq_seen": 2, "batch_id": 1},
+                      schema=evolved)
+    cur = t.read(spark)
+    old = t.read(spark, snapshot_id=1)
+    assert "lang" in cur.columns and "lang" not in old.columns
+    assert old.collect()[0]["content"] == "v1"
+    assert cur.collect()[0]["content"] == "v2"
+
+
+def test_evolved_schema_appends_nullable(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    s = t.evolved_schema(T.StructType([T.StructField("stars", T.LongType(), False)]))
+    f = s["stars"]
+    assert f.dataType == T.LongType() and f.nullable  # adds are always nullable
+
+
+def test_write_rejected_outside_known_buckets(spark, tmp_path):
+    """Carried-over untouched files must survive a partial commit."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    df = make_rows(spark, [("r1", f"p{i}", "x") for i in range(40)])
+    t.commit_snapshot(t.write_snapshot_files(df, 1), set(range(4)),
+                      {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0})
+    files_before = {f["path"] for f in t.manifest()["files"]}
+    # touch only bucket 0 in the next commit
+    one = make_rows(spark, [("r1", "p-new", "y")])
+    b = one.collect()[0]["_bucket"]
+    entries = t.write_snapshot_files(one, 2)
+    t.commit_snapshot(entries, {b}, {"committed_feed_files": 2, "max_seq_seen": 2, "batch_id": 1})
+    files_after = {f["path"] for f in t.manifest()["files"]}
+    untouched_before = {p for p in files_before if f"_pb={b}" not in p}
+    assert untouched_before <= files_after  # carried forward intact
