@@ -313,6 +313,43 @@ class SnapshotTable:
         self._write_manifest(manifest)
         return snap
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Maintenance GC: drop old snapshot manifests and delete data files
+        no retained snapshot references (Iceberg `expireSnapshots` analog).
+
+        The current snapshot is always retained. Safe against crashes: files
+        are deleted only after their manifests are gone, and the `_current`
+        pointer never moves — a reader pinned to a retained snapshot is
+        unaffected, and readers of expired snapshots were already stale.
+        """
+        snaps = self.snapshots()
+        current = self.snapshot_id
+        retained = set(snaps[-keep_last:]) | {current}
+        expired = [s for s in snaps if s not in retained]
+        live_files: set[str] = set()
+        for s in retained:
+            live_files |= {f["path"] for f in self.manifest(s)["files"]}
+        dead_files: set[str] = set()
+        for s in expired:
+            dead_files |= {f["path"] for f in self.manifest(s)["files"]}
+        dead_files -= live_files
+        for s in expired:
+            os.remove(self._manifest_path(s))
+            lpath = os.path.join(self.root, LINEAGE, f"lineage-{s:010d}.json")
+            if os.path.exists(lpath):
+                os.remove(lpath)
+        removed_bytes = 0
+        for rel in dead_files:
+            full = os.path.join(self.root, rel)
+            if os.path.exists(full):
+                removed_bytes += os.path.getsize(full)
+                os.remove(full)
+        return {
+            "expired_snapshots": expired,
+            "removed_files": len(dead_files),
+            "removed_bytes": removed_bytes,
+        }
+
     def lineage(self, snapshot_id: int | None = None) -> list[dict]:
         """Lineage entries for committed snapshots (optionally one)."""
         committed = set(self.snapshots())

@@ -830,6 +830,119 @@ def cdc_lww_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_levenshtein_match",
+    """
+    SELECT n_name, r_name, dist FROM (
+      SELECT n.n_name AS n_name, r.r_name AS r_name,
+             levenshtein(lower(n.n_name), lower(r.r_name)) AS dist,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY levenshtein(lower(n.n_name), lower(r.r_name)) ASC,
+                                         r.r_name ASC) AS rn
+      FROM nation n CROSS JOIN region r
+    ) WHERE rn = 1 ORDER BY n_name
+    """,
+)
+def fuzzy_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — similarity theta-join: best fuzzy label match per key
+    (`custom_flywheel.py:68` fuzzywuzzy → native levenshtein + window).
+    Cross join is safe only because the label side is a broadcast dim."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    scored = n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        F.levenshtein(F.lower("n_name"), F.lower("r_name")).alias("dist"),
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("dist").asc(), F.col("r_name").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "r_name", "dist")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "quarantine_routing",
+    """
+    SELECT dest, count(*) AS n FROM (
+      SELECT CASE
+        WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) < 30
+          THEN 'quarantine_short'
+        WHEN round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                   / greatest(length(text), 1), 6) > 0.05
+          THEN 'quarantine_punct'
+        ELSE 'ok' END AS dest
+      FROM documents
+    ) GROUP BY dest ORDER BY dest
+    """,
+)
+def quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 — conditional dead-letter routing (`custom_etl.py:528-543`,
+    `images.py:46-64`): when/otherwise dest column, counted per route."""
+    d = _t(spark, sf_dir, "documents")
+    dest = (
+        F.when(text.token_count(F.col("text")) < 30, "quarantine_short")
+        .when(text.punct_ratio(F.col("text")) > 0.05, "quarantine_punct")
+        .otherwise("ok")
+    )
+    return (
+        d.select(dest.alias("dest"))
+        .groupBy("dest")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dest")
+    )
+
+
+@register(
+    "distinct_mapping_pairs",
+    """
+    SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+    """,
+)
+def distinct_mapping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — multi-column dropDuplicates (`custom_etl.py:284`)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .dropDuplicates(["lang", "source"])
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "session_label_build",
+    """
+    SELECT o_orderkey,
+           concat_ws('_', CAST(abs(datediff('day', DATE '1995-01-01', o_orderdate)) AS VARCHAR),
+                     o_orderpriority)
+           || (CASE WHEN length(lpad(CAST(o_orderkey % 2400 AS VARCHAR), 4, '0')) < 4 THEN ''
+                    ELSE '_' || substring(lpad(CAST(o_orderkey % 2400 AS VARCHAR), 4, '0'), 1, 2)
+                         || 'h' || substring(lpad(CAST(o_orderkey % 2400 AS VARCHAR), 4, '0'), 3, 2)
+                         || 'm' END) AS label
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def session_label_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P8 — session-label builder (`custom_etl.py:128-175`): datediff
+    days + label + `_HHhMMm` time suffix, all native expressions."""
+    from ..functions import session_label
+
+    o = _t(spark, sf_dir, "orders")
+    hhmm = F.lpad((F.col("o_orderkey") % 2400).cast("string"), 4, "0")
+    return o.select(
+        "o_orderkey",
+        session_label(
+            F.lit("1995-01-01").cast("date"),
+            F.col("o_orderdate"),
+            F.col("o_orderpriority"),
+            hhmm,
+        ).alias("label"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "sessionize_hourly",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -1,0 +1,105 @@
+"""Unit tests for the relational operator library over synthetic frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.operators.relational import (
+    asof_nearest,
+    coalesce_key_enrich,
+    copy_number_suffix,
+    first_non_null_per_group,
+    lww_latest,
+    mode_per_group,
+    reconcile_sets,
+)
+
+
+def test_coalesce_key_enrich_two_pass(spark):
+    """J2: primary-key hit, fallback-key rescue, and total miss."""
+    left = spark.createDataFrame(
+        [("m1", "a", "x"), ("m9", "b", "y"), ("m8", "zz", "qq")],
+        ["mrn", "last", "first"],
+    )
+    dim = spark.createDataFrame(
+        [("m1", "a", "x", "S1"), ("m2", "b", "y", "S2")],
+        ["mrn", "last", "first", "subject"],
+    )
+    out = coalesce_key_enrich(left, dim, ["mrn"], ["last", "first"], ["subject"])
+    got = {r["mrn"]: r["subject"] for r in out.collect()}
+    assert got == {"m1": "S1", "m9": "S2", "m8": None}
+
+
+def test_first_non_null_per_group_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [("s1", 1, None, "keep"), ("s1", 2, "late", "x"), ("s2", 1, "v", None)],
+        ["session", "ord", "tag_a", "tag_b"],
+    )
+    out = first_non_null_per_group(df, ["session"], ["ord"], ["tag_a", "tag_b"])
+    got = {r["session"]: (r["tag_a"], r["tag_b"]) for r in out.collect()}
+    assert got == {"s1": ("late", "keep"), "s2": ("v", None)}
+
+
+def test_asof_nearest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, 10.0), ("c1", 2, 10.0), ("c1", 3, 99.0)], ["cid", "eid", "age"]
+    )
+    out = asof_nearest(df, ["cid"], F.abs(F.col("age") - 10.0), ["eid"])
+    assert out.collect()[0]["eid"] == 1  # tie on distance → lowest eid
+
+
+def test_copy_number_suffix_numbers_duplicates(spark):
+    df = spark.createDataFrame(
+        [("s", 1, "scan"), ("s", 2, "scan"), ("s", 3, "scan"), ("s", 4, "other")],
+        ["ses", "ord", "label"],
+    )
+    out = copy_number_suffix(df, ["ses"], ["ord"], "label")
+    labels = sorted(r["label"] for r in out.collect())
+    assert labels == ["other", "scan", "scan (1)", "scan (2)"]
+
+
+def test_mode_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("u", "a"), ("u", "b"), ("u", "b"), ("u", "a"), ("v", "z")], ["uid", "val"]
+    )
+    out = {r["uid"]: (r["mode_value"], r["mode_count"]) for r in
+           mode_per_group(df, ["uid"], "val").collect()}
+    assert out == {"u": ("a", 2), "v": ("z", 1)}  # tie → lexicographic min
+
+
+def test_lww_latest_keeps_whole_row(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "old", "x"), ("k", 2, None, "y")], ["key", "seq", "payload", "other"]
+    )
+    row = lww_latest(df, ["key"], [F.col("seq")]).collect()[0]
+    # whole latest row, including its null payload (no per-column coalesce)
+    assert row["seq"] == 2 and row["payload"] is None and row["other"] == "y"
+
+
+def test_reconcile_sets_both_sides(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,)], ["k"])
+    got = {(r["k"], r["side"]) for r in reconcile_sets(a, b, ["k"]).collect()}
+    assert got == {(1, "left_only"), (3, "right_only")}
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    import os
+
+    from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=600, n_keys=60, n_files=6))
+    run_ingest(spark, root, feed, max_files_per_batch=2)  # 3 snapshots
+    t = open_or_create_table(root)
+    rows_before = t.read(spark).count()
+    assert len(t.snapshots()) == 4
+
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] and res["removed_files"] > 0
+    assert t.snapshots() == [t.snapshot_id]
+    assert t.read(spark).count() == rows_before  # current state untouched
+    # no dangling references: every manifest file exists on disk
+    for f in t.manifest()["files"]:
+        assert os.path.exists(os.path.join(root, f["path"]))

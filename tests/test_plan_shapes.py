@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the optimizations the 100 TB story depends on
+must be visible in `explain`, not assumed (predicate pushdown into the
+Parquet scan, broadcast joins for dims, no Python in JVM-only queries)."""
+
+from __future__ import annotations
+
+from image_deid_etl_spark.plans import QUERIES
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:200]
+
+
+def test_q1_column_pruned(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "l_quantity" in read_schema
+    # untouched columns must NOT be read
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_q3_broadcasts_dim(spark, sf_dir):
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k without a full global sort
+
+
+def test_q5_star_join_broadcasts(spark, sf_dir):
+    p = plan(spark, sf_dir, "q5_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_frontier_is_broadcast_anti_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "frontier_anti_join")
+    assert "LeftAnti" in p
+
+
+def test_native_queries_have_no_python(spark, sf_dir):
+    """JVM-only catalog queries must not contain a Python eval node."""
+    for name in [
+        "q1_pricing_summary", "scrub_content_native", "dedup_exact",
+        "dedup_minhash_lsh", "text_quality_scores", "knn_bruteforce_cosine",
+    ]:
+        p = plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    p = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in p
