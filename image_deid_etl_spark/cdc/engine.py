@@ -82,10 +82,19 @@ def run_ingest(
         chunk = todo[:max_files_per_batch]
         off = table.offsets()
         batch = read_feed_files(spark, chunk)
+        # ONE small job per batch: event count, frontier seq, and touched
+        # buckets together (column-pruned scan of key columns only)
+        from ..lake.table import bucket_expr
+
         stats_row = batch.agg(
-            F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx")
+            F.count(F.lit(1)).alias("n"),
+            F.max("seq").alias("mx"),
+            F.collect_set(
+                bucket_expr(table.n_buckets(), table.key_cols())
+            ).alias("buckets"),
         ).collect()[0]
         n, mx = stats_row["n"], stats_row["mx"] or 0
+        touched = set(stats_row["buckets"])
         new_offsets = {
             "committed_feed_files": off["committed_feed_files"] + len(chunk),
             "max_seq_seen": max(off["max_seq_seen"], mx),
@@ -99,6 +108,7 @@ def run_ingest(
             scrub=scrub,
             salt_partitions=salt_partitions,
             fail_before_commit=(fail_before_commit_on_batch == stats.batches),
+            touched=touched,
         )
         stats.batches += 1
         stats.events += n

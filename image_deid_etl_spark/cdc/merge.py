@@ -54,13 +54,35 @@ class SimulatedCrash(RuntimeError):
 
 
 def resolve_lww(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:
-    """One event per key: highest ``seq`` wins; duplicate deliveries of the
-    same seq are identical rows, so the pick is deterministic either way."""
+    """One event per key: highest ``seq`` wins; duplicate deliveries of
+    the same seq are identical rows, so the pick is deterministic.
+
+    Window `row_number` (sort-based) is the default: benchmarked against
+    a `max_by(struct(...), seq)` hash aggregation (kept below), the sort
+    streams KB-sized content rows through the shuffle, while the hash agg
+    pins one full-content struct per key in every map/reduce task's hash
+    map — at ~1 KB content and 10^5+ keys per partition that spills and
+    loses badly (measured 2x slower at 8 cores). For narrow rows the
+    aggregate variant wins via map-side combine; pick per workload.
+    """
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def resolve_lww_aggregate(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:
+    """max_by hash-agg LWW variant — preferable for NARROW rows where
+    map-side combine collapses repeated keys before the shuffle."""
+    payload = [c for c in batch.columns if c not in key_cols and c != seq_col]
+    agg = batch.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq_col)).alias("_w"),
+        F.max(F.col(seq_col)).alias(seq_col),
+    )
+    return agg.select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload], seq_col
     )
 
 
@@ -72,6 +94,7 @@ def merge_into(
     scrub: bool = True,
     salt_partitions: int | None = None,
     fail_before_commit: bool = False,
+    touched: set[int] | None = None,
 ) -> int:
     """Apply one change-event micro-batch; return the new snapshot id.
 
@@ -106,14 +129,15 @@ def merge_into(
         (F.col("op") == F.lit("delete")).alias("_deleted"),
         bucket_expr(n_buckets, key_cols).alias("_bucket"),
     )
-    # one small job: touched buckets. Deliberately NOT persisted — column
-    # pruning reduces this scan to the key columns only, while persisting
-    # the full batch (content included) would pin GBs in the executor heap
-    # and thrash GC at high parallelism.
-    touched = {
-        r[0]
-        for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
-    }
+    if touched is None:
+        # one small job: touched buckets (callers that already computed the
+        # batch stats pass them in to avoid this extra scan). Deliberately
+        # not persisted — column pruning reduces it to the key columns,
+        # while persisting the full batch would pin GBs in the heap.
+        touched = {
+            r[0]
+            for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
+        }
     # -- existing state, manifest-pruned to touched buckets only ----------
     existing = table.read_raw(spark, buckets=sorted(touched))
     for f in new_schema.fields:  # align evolved columns

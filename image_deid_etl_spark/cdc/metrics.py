@@ -1,0 +1,79 @@
+"""Ingest metrics & lineage as queryable DataFrames.
+
+Reference analog: Rollbar payloads (`__main__.py:187-195`), CSV
+side-reports (`main_pipeline.py:44-58`), CloudWatch alarms
+(`deployment/terraform/alarms.tf`). Here every commit already wrote a
+lineage JSON (lake/table.py); this module turns the log into DataFrames
+so health checks are plain queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import SnapshotTable
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("partition", T.StringType()),
+        T.StructField("seq_min", T.LongType()),
+        T.StructField("seq_max", T.LongType()),
+        T.StructField("rows_written", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def lineage_df(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    """Flatten the per-commit lineage log: one row per (commit, partition)."""
+    rows = []
+    for entry in table.lineage():
+        for p in entry.get("partitions", []):
+            rows.append(
+                (
+                    entry["snapshot_id"],
+                    entry.get("batch_id"),
+                    p["partition"],
+                    p.get("seq_min"),
+                    p.get("seq_max"),
+                    p.get("rows_written"),
+                    p.get("bytes"),
+                    entry.get("duration_ms"),
+                )
+            )
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+
+def ingest_health(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    """Per-commit rollup: rows, bytes, partitions touched, seq range,
+    duration — the dashboard query behind alerting."""
+    df = lineage_df(spark, table)
+    return (
+        df.groupBy("snapshot_id", "batch_id", "duration_ms")
+        .agg(
+            F.count(F.lit(1)).alias("partitions_touched"),
+            F.sum("rows_written").alias("rows_written"),
+            F.sum("bytes").alias("bytes_written"),
+            F.min("seq_min").alias("seq_min"),
+            F.max("seq_max").alias("seq_max"),
+        )
+        .orderBy("snapshot_id")
+    )
+
+
+def partition_skew_report(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    """Bytes/rows per bucket in the CURRENT snapshot — the skew audit
+    (a hot bucket here means the key distribution defeats the hash)."""
+    files = table.manifest()["files"]
+    rows = [(f["bucket"], f["rows"], f["bytes"]) for f in files]
+    df = spark.createDataFrame(rows, ["bucket", "rows", "bytes"])
+    return (
+        df.groupBy("bucket")
+        .agg(F.sum("rows").alias("rows"), F.sum("bytes").alias("bytes"))
+        .orderBy(F.col("bytes").desc())
+    )

@@ -109,6 +109,14 @@ def cmd_validate(args) -> None:
     )
 
 
+def cmd_expire(args) -> None:
+    from .cdc.engine import open_or_create_table
+
+    table = open_or_create_table(args.table)
+    res = table.expire_snapshots(keep_last=args.keep_last)
+    print(json.dumps(res))
+
+
 def cmd_bootstrap(args) -> None:
     from .cdc.engine import bootstrap_offsets
 
@@ -175,6 +183,11 @@ def main(argv: list[str] | None = None) -> None:
     v = sub.add_parser("validate", help="dry-run audit of table state")
     common(v)
     v.set_defaults(fn=cmd_validate)
+
+    x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
+    x.add_argument("--table", required=True)
+    x.add_argument("--keep-last", type=int, default=2)
+    x.set_defaults(fn=cmd_expire)
 
     b = sub.add_parser("bootstrap", help="mark feed chunks processed without replay")
     b.add_argument("--table", required=True)

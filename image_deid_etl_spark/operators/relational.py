@@ -107,6 +107,31 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def positional_zip_join(
+    a: DataFrame, b: DataFrame, a_order: list[str], b_order: list[str]
+) -> DataFrame:
+    """J9/U4 — column-wise concat by row position (`custom_etl.py:304`,
+    pandas ``concat(axis=1)``). The reference "assumes only 1 row" — a
+    documented fragility; here both sides get an explicit row_number over
+    a total order and join on it, so the operation is deterministic and
+    distributed (never zipWithIndex / driver-side)."""
+    wa = Window.orderBy(*[F.col(c) for c in a_order])
+    wb = Window.orderBy(*[F.col(c) for c in b_order])
+    an = a.withColumn("_rn", F.row_number().over(wa))
+    bn = b.withColumn("_rn", F.row_number().over(wb))
+    return an.join(bn, "_rn", "inner").drop("_rn")
+
+
+def map_literal_lookup(df: DataFrame, col: str, mapping: dict[str, str], out_col: str):
+    """J10 — broadcast dict lookup (`diagnosis_mapping.json` via
+    `custom_etl.py:422`): a `create_map` literal, evaluated JVM-side —
+    no join, no UDF. Missing keys → null (coalesce at the call site)."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return df.withColumn(out_col, F.create_map(*pairs)[F.col(col)])
+
+
 def reconcile_sets(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     """U3/S15 — two-way listing diff (`orthanc.py:116-153`): keys only in
     ``a`` tagged 'left_only', only in ``b`` tagged 'right_only'."""

@@ -708,6 +708,49 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_dup_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.25) -> str:
+    bit_cases = []
+    for p in range(n_planes):
+        coeffs = similarity._hyperplane(p, dim)
+        arr = "[" + ", ".join(repr(c) for c in coeffs) + "]"
+        bit_cases.append(
+            f"CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END"
+        )
+    bucket = "concat(" + ", ".join(bit_cases) + ")"
+    return f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL} >= {threshold}
+  ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_cosine", _embed_dup_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH sign-bit buckets bound the
+    candidate set; exact cosine filters within buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket(F.col("embedding"), 64, 6).alias("bucket"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, on="bucket")
+        .filter(F.col("a.vec_id") < F.col("c.vec_id"))
+        .filter(
+            similarity.cosine_similarity(F.col("a.embedding"), F.col("c.embedding"))
+            >= 0.25
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("c.vec_id").alias("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "text_quality_scores",
     """

@@ -1,0 +1,7 @@
+"""Batch source readers (SURVEY.md §2.1 S1-S8)."""
+
+from .readers import (  # noqa: F401
+    read_broadcast_dim_csv,
+    read_json_sidecars,
+    read_parquet_table,
+)

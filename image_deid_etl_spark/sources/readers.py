@@ -1,0 +1,60 @@
+"""Pushdown-friendly batch readers.
+
+Reference analogs:
+* S6 CSV source — the CBTN subject-mapping CSV read per run
+  (`main_pipeline.py:31`, `external_data_handling.py:9`); small, joined to
+  every event → read once, dedup, broadcast.
+* S7 JSON source — sidecar key-value metadata (`custom_etl.py:355`,
+  `custom_flywheel.py:62`); dynamic schema → `MapType` via `from_json`.
+* S1 parquet scan — the feed/table scans; explicit schema keeps missing
+  columns null-filled (schema evolution) and avoids inference jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet_table(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan with optional explicit schema (no inference job;
+    columns absent from older files surface as nulls)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_broadcast_dim_csv(
+    spark: SparkSession,
+    path: str,
+    dedup_cols: list[str] | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Small dimension CSV: header read, optional dedup (the reference
+    dedups its mapping frame before joining, `custom_etl.py:284` — it
+    shrinks the broadcast build side), broadcast-hinted."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if dedup_cols:
+        df = df.dropDuplicates(dedup_cols)
+    return F.broadcast(df)
+
+
+def read_json_sidecars(
+    spark: SparkSession, df: DataFrame, json_col: str, out_col: str = "meta"
+) -> DataFrame:
+    """Schema-less sidecar JSON → ``MapType(String, String)`` column —
+    fields may appear/disappear per row (the reference injects sidecar
+    keys post-hoc, `custom_etl.py:402-406`)."""
+    return df.withColumn(
+        out_col,
+        F.from_json(F.col(json_col), T.MapType(T.StringType(), T.StringType())),
+    )

@@ -43,9 +43,13 @@ from image_deid_etl_spark.session import build_session
 from image_deid_etl_spark.cdc.engine import run_ingest
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+# Faithful N-vs-4N model: memory scales with parallelism (a real cluster's
+# total memory grows with executor count); shuffle partitioning is
+# IDENTICAL at both levels (64, sized for the data; AQE coalesces).
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{3 * cpus}}g"
 spark = build_session(
     app_name=f"scale-{{cpus}}",
-    shuffle_partitions=cpus,
+    shuffle_partitions=64,
     extra_conf={{"spark.local.dir": sys.argv[3]}},
 )
 spark.sparkContext.setLogLevel("ERROR")

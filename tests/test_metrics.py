@@ -1,0 +1,33 @@
+"""Lineage/metrics DataFrames (cdc/metrics.py)."""
+
+from __future__ import annotations
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+from image_deid_etl_spark.cdc.metrics import (
+    ingest_health,
+    lineage_df,
+    partition_skew_report,
+)
+
+
+def test_metrics_dataframes(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=800, n_keys=80, n_files=4, skew=0.5))
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+    t = open_or_create_table(root)
+
+    lin = lineage_df(spark, t)
+    assert lin.count() > 0
+    assert lin.filter("rows_written <= 0").count() == 0
+
+    health = ingest_health(spark, t).collect()
+    assert [r["snapshot_id"] for r in health] == [1, 2]
+    assert all(r["seq_min"] is not None and r["seq_max"] >= r["seq_min"] for r in health)
+    assert sum(r["partitions_touched"] for r in health) == lin.count()
+
+    skew = partition_skew_report(spark, t).collect()
+    # full-key bucketing: even with a 50% mega-repo, no bucket holds
+    # the majority of bytes
+    total = sum(r["bytes"] for r in skew)
+    assert skew[0]["bytes"] < 0.5 * total

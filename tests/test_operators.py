@@ -103,3 +103,33 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # no dangling references: every manifest file exists on disk
     for f in t.manifest()["files"]:
         assert os.path.exists(os.path.join(root, f["path"]))
+
+
+def test_positional_zip_join(spark):
+    a = spark.createDataFrame([(2, "b"), (1, "a")], ["o", "left_v"])
+    b = spark.createDataFrame([(10, "x"), (20, "y")], ["o2", "right_v"])
+    out = {
+        (r["left_v"], r["right_v"])
+        for r in __import__(
+            "image_deid_etl_spark.operators.relational", fromlist=["positional_zip_join"]
+        ).positional_zip_join(a, b, ["o"], ["o2"]).collect()
+    }
+    assert out == {("a", "x"), ("b", "y")}
+
+
+def test_map_literal_lookup(spark):
+    from image_deid_etl_spark.operators.relational import map_literal_lookup
+
+    df = spark.createDataFrame([("Medulloblastoma",), ("Unknown",)], ["dx"])
+    out = map_literal_lookup(df, "dx", {"Medulloblastoma": "cbtn_mb"}, "proj")
+    got = {r["dx"]: r["proj"] for r in out.collect()}
+    assert got == {"Medulloblastoma": "cbtn_mb", "Unknown": None}
+
+
+def test_is_date_try_parse(spark):
+    from image_deid_etl_spark.functions import is_date
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("2021-04-01",), ("not a date",), (None,)], ["s"])
+    got = [r[0] for r in df.select(is_date(F.col("s"))).collect()]
+    assert got == [True, False, False]

@@ -1,0 +1,58 @@
+"""Source readers: CSV dim broadcast, JSON sidecar maps, schema'd parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.sources import (
+    read_broadcast_dim_csv,
+    read_json_sidecars,
+    read_parquet_table,
+)
+
+
+def test_csv_dim_broadcast_join_plan(spark, tmp_path, sf_dir):
+    csv = tmp_path / "dim.csv"
+    csv.write_text("c_custkey,tier\n1,gold\n2,silver\n1,gold\n")
+    dim = read_broadcast_dim_csv(spark, str(csv), dedup_cols=["c_custkey"])
+    assert dim.count() == 2  # deduped
+    cust = read_parquet_table(spark, f"{sf_dir}/customer.parquet")
+    joined = cust.join(dim, "c_custkey", "left")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert joined.filter(F.col("tier").isNotNull()).count() == 2
+
+
+def test_json_sidecar_map(spark):
+    df = spark.createDataFrame(
+        [('{"SeriesDescription": "T1", "dim1": "256"}',), ('{"Modality": "MR"}',), (None,)],
+        ["sidecar"],
+    )
+    out = read_json_sidecars(spark, df, "sidecar")
+    rows = out.select(F.col("meta")).collect()
+    assert rows[0]["meta"]["SeriesDescription"] == "T1"
+    assert rows[1]["meta"].get("SeriesDescription") is None
+    assert rows[2]["meta"] is None
+    # PHI-key scrub on the map (P13 map_filter form)
+    scrubbed = out.withColumn(
+        "meta",
+        F.map_filter("meta", lambda k, _v: ~k.isin("SeriesDescription")),
+    )
+    r0 = scrubbed.collect()[0]["meta"]
+    assert "SeriesDescription" not in r0 and r0["dim1"] == "256"
+
+
+def test_parquet_explicit_schema_null_fills(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+            T.StructField("added_later", T.StringType()),  # not in the file
+        ]
+    )
+    df = read_parquet_table(spark, f"{sf_dir}/region.parquet", schema)
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["added_later"] is None for r in rows)
