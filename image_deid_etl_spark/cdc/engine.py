@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.table import SnapshotTable
-from .feed import FEED_SCHEMA, list_feed_files, read_feed_files
+from .feed import list_feed_files, read_feed_files
 from .merge import merge_into
 
 #: the lake table's user-facing schema (input_hint shape)

@@ -24,7 +24,6 @@ from ..operators.relational import (
     anti_join_frontier,
     asof_nearest,
     copy_number_suffix,
-    first_non_null_per_group,
     lww_latest,
     mode_per_group,
     reconcile_sets,

@@ -93,7 +93,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=4_000_000)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--levels", type=int, nargs=2, default=[2, 8])
+    ap.add_argument("--content-repeat", type=int, default=4)
     args = ap.parse_args()
 
     from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
@@ -108,7 +109,7 @@ def main() -> None:
                 n_repos=100,
                 skew=0.3,
                 n_files=64,
-                content_repeat=4,
+                content_repeat=args.content_repeat,
             ),
         )
         results: dict[int, list[dict]] = {c: [] for c in args.levels}
