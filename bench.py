@@ -50,10 +50,15 @@ def _materialize(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_cdc = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+    n_cdc = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = build_session(app_name="bench")
+    # shuffle scratch on tmpfs when available: this sandbox has one slow
+    # shared virtual disk; a cluster's shuffle dirs are per-executor
+    extra = {}
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        extra["spark.local.dir"] = "/dev/shm/bench_spark_local"
+    spark = build_session(app_name="bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup (not timed)
@@ -73,20 +78,21 @@ def main() -> None:
     from image_deid_etl_spark.cdc.engine import run_ingest
     from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
 
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_cdc_", dir=bench_tmp)
     try:
         feed_dir = os.path.join(work, "feed")
         write_feed(
             feed_dir,
             FeedSpec(
                 n_events=n_cdc, n_keys=max(1000, n_cdc // 20), n_repos=100,
-                skew=0.3, n_files=8,
+                skew=0.3, n_files=32,
             ),
         )
         t0 = time.time()
         stats = run_ingest(
             spark, os.path.join(work, "table"), feed_dir,
-            max_files_per_batch=4, n_buckets=32,
+            max_files_per_batch=16, n_buckets=32,
         )
         cdc_sec = time.time() - t0
         per_query["cdc_replay"] = round(cdc_sec, 3)

@@ -1007,6 +1007,54 @@ def sessionize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_event_metrics",
+    """
+    SELECT event_type, CAST(year(ts) AS BIGINT) AS yr,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, year(ts))
+    ORDER BY event_type NULLS FIRST, yr NULLS FIRST
+    """,
+)
+def cube_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension (absent in the reference, SURVEY §2.4):
+    CUBE over (event_type, year) — subtotal rows carry null keys."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.year("ts").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("yr").asc_nulls_first())
+    )
+
+
+@register(
+    "count_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (the approx_count_distinct slot —
+    exact here so the oracle can verify it bit-for-bit)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "running_total_per_user",
     """
     SELECT event_id,
