@@ -1007,6 +1007,83 @@ def sessionize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exists_late_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > TIMESTAMP '2001-06-01'
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) — Catalyst decorrelates
+    to a left-semi join; written in SQL to exercise the parser path too."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderpriority FROM orders_v o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > TIMESTAMP '2001-06-01'
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "not_exists_quiet_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def not_exists_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS correlated subquery → left-anti join after decorrelation."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment FROM customer_v c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user value totals spread across event-type columns
+    (Spark `groupBy().pivot()`; oracle uses the CASE-sum equivalent)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(_dec("value")).cast("double"))
+        .orderBy("user_id")
+    )
+
+
+@register(
     "cube_event_metrics",
     """
     SELECT event_type, CAST(year(ts) AS BIGINT) AS yr,

@@ -69,3 +69,15 @@ def test_scrub_removed_phi(spark, tmp_path):
         .count()
     )
     assert leaked == 0
+
+
+def test_salted_transform_path_same_state(spark, tmp_path):
+    """Explicit salted repartition (north rule) must not change results."""
+    spec = FeedSpec(n_events=1500, n_keys=100, skew=0.6)
+    feed_a, root_a = str(tmp_path / "fa"), str(tmp_path / "ta")
+    write_feed(feed_a, spec)
+    run_ingest(spark, root_a, feed_a, salt_partitions=16)
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(
+        engine_state(spark, root_a), expected, check_dtype=False
+    )
