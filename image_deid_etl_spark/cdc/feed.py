@@ -203,14 +203,29 @@ def write_feed(out_dir: str, spec: FeedSpec) -> list[str]:
     df = make_events(spec)
     # Schema-evolution fixture: chunks written before the evolution point
     # genuinely lack the new column (distinct physical schemas on disk).
+    # explicit Arrow schema: a chunk whose string column is all-null (e.g.
+    # all deletes) must still write STRING, not Parquet NULL type — a
+    # NULL-typed column cannot mergeSchema with STRING on the read side
+    base_fields = [
+        ("seq", pa.int64()), ("op", pa.string()), ("repo", pa.string()),
+        ("path", pa.string()), ("commit", pa.string()), ("lang", pa.string()),
+        ("content", pa.string()), ("ts", pa.timestamp("us")),
+    ]
     paths: list[str] = []
     splits = np.array_split(np.arange(len(df)), spec.n_files)
     for i, idx in enumerate(splits):
         chunk = df.iloc[idx]
-        if "license" in chunk.columns and chunk["license"].isna().all():
-            chunk = chunk.drop(columns=["license"])
+        fields = list(base_fields)
+        if "license" in chunk.columns:
+            if chunk["license"].isna().all():
+                chunk = chunk.drop(columns=["license"])
+            else:
+                fields.append(("license", pa.string()))
         p = os.path.join(out_dir, f"feed-{i:05d}.parquet")
-        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=pa.schema(fields), preserve_index=False),
+            p,
+        )
         paths.append(p)
     return paths
 

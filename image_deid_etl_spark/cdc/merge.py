@@ -103,6 +103,7 @@ def merge_into(
     started = time.time()
     key_cols = table.key_cols()
     n_buckets = table.n_buckets()
+    parent_snapshot = table.snapshot_id  # optimistic-concurrency anchor
 
     # -- schema evolution: new feed columns extend the table schema -------
     data_schema = T.StructType(
@@ -168,4 +169,5 @@ def merge_into(
         offsets=offsets,
         schema=new_schema if evolved else None,
         started_at=started,
+        expected_parent=parent_snapshot,
     )

@@ -33,8 +33,12 @@ def _spark(cpus: int | None = None):
 
 
 def cmd_check(args) -> None:
+    import os
+
     from .cdc.engine import open_or_create_table, plan_frontier
 
+    if not os.path.isdir(args.feed):
+        sys.exit(f"error: feed directory not found: {args.feed}")
     table = open_or_create_table(args.table)
     todo = plan_frontier(table, args.feed)
     if args.limit:

@@ -65,6 +65,10 @@ ENGINE_COLS = [
 ]
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table between apply and commit."""
+
+
 def bucket_expr(n_buckets: int, cols: list[str]):
     """Deterministic hash bucket of the merge key.
 
@@ -271,12 +275,24 @@ class SnapshotTable:
         schema: T.StructType | None = None,
         lineage_extra: dict | None = None,
         started_at: float | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         """Build + atomically publish the next manifest.
 
         Carries forward files of untouched buckets; replaces touched ones.
+
+        The table is SINGLE-WRITER by design (like the reference's one
+        cron-driven pipeline); ``expected_parent`` adds an optimistic
+        check so a second writer fails loudly instead of silently
+        clobbering the pointer (Iceberg-style compare-and-swap — here
+        best-effort, since POSIX rename can't truly CAS).
         """
         cur = self.manifest()
+        if expected_parent is not None and cur["snapshot_id"] != expected_parent:
+            raise ConcurrentCommitError(
+                f"table advanced to snapshot {cur['snapshot_id']} "
+                f"(expected {expected_parent}); another writer is active"
+            )
         snap = cur["snapshot_id"] + 1
         carried = [f for f in cur["files"] if f["bucket"] not in touched_buckets]
         manifest = {

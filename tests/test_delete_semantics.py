@@ -1,0 +1,121 @@
+"""Deterministic delete-edge fixtures (FIXTURES.md variants d/e/f):
+delete-then-re-add, delete of an absent key, delete as the final op —
+hand-crafted feeds so each case is individually pinned (the randomized
+feeds cover them statistically; these cover them by name)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.oracle import fold_feed
+
+
+def write_manual_feed(feed_dir: str, rows: list[tuple], n_files: int = 2) -> pd.DataFrame:
+    df = pd.DataFrame(
+        rows, columns=["seq", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    df["ts"] = pd.to_datetime(df["seq"] * 10**6, unit="us").astype("datetime64[us]")
+    os.makedirs(feed_dir, exist_ok=True)
+    # explicit schema: an all-null chunk must still type content as string
+    schema = pa.schema(
+        [
+            ("seq", pa.int64()), ("op", pa.string()), ("repo", pa.string()),
+            ("path", pa.string()), ("commit", pa.string()), ("lang", pa.string()),
+            ("content", pa.string()), ("ts", pa.timestamp("us")),
+        ]
+    )
+    half = len(df) // 2
+    for i, chunk in enumerate([df.iloc[:half], df.iloc[half:]]):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
+            os.path.join(feed_dir, f"feed-{i:05d}.parquet"),
+        )
+    return df
+
+
+def final_state(spark, root) -> dict:
+    t = open_or_create_table(root)
+    return {
+        (r["repo"], r["path"]): r["content"]
+        for r in t.read(spark).collect()
+    }
+
+
+def test_delete_then_readd(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    rows = [
+        (1, "add", "r", "a.py", "c1", "python", "v1"),
+        (2, "delete", "r", "a.py", "c2", "python", None),
+        (3, "add", "r", "a.py", "c3", "python", "v3"),
+    ]
+    write_manual_feed(feed, rows)
+    run_ingest(spark, root, feed, scrub=False)
+    assert final_state(spark, root) == {("r", "a.py"): "v3"}
+
+
+def test_final_delete_removes_key(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    rows = [
+        (1, "add", "r", "a.py", "c1", "python", "v1"),
+        (2, "add", "r", "b.py", "c2", "python", "v2"),
+        (3, "delete", "r", "a.py", "c3", "python", None),
+    ]
+    write_manual_feed(feed, rows)
+    run_ingest(spark, root, feed, scrub=False)
+    assert final_state(spark, root) == {("r", "b.py"): "v2"}
+
+
+def test_delete_absent_key_is_noop(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    rows = [
+        (1, "add", "r", "a.py", "c1", "python", "v1"),
+        (2, "delete", "r", "ghost.py", "c2", "python", None),
+    ]
+    write_manual_feed(feed, rows)
+    run_ingest(spark, root, feed, scrub=False)
+    assert final_state(spark, root) == {("r", "a.py"): "v1"}
+
+
+def test_out_of_order_old_update_cannot_resurrect_deleted(spark, tmp_path):
+    """The tombstone-with-seq design: an older update delivered AFTER the
+    delete (cross-batch) must lose to the tombstone."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    # chunk 0: add(1), delete(5); chunk 1: late update with seq 3
+    rows = [
+        (1, "add", "r", "a.py", "c1", "python", "v1"),
+        (5, "delete", "r", "a.py", "c5", "python", None),
+        (3, "update", "r", "a.py", "c3", "python", "v3-late"),
+        (2, "update", "r", "b.py", "c2", "python", "vb"),
+    ]
+    write_manual_feed(feed, rows)  # splits after the delete
+    run_ingest(spark, root, feed, scrub=False, max_files_per_batch=1)
+    assert final_state(spark, root) == {("r", "b.py"): "vb"}
+    # the oracle agrees
+    df = pd.DataFrame(
+        rows, columns=["seq", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    exp = fold_feed(df)
+    assert set(zip(exp["repo"], exp["path"])) == {("r", "b.py")}
+
+
+def test_concurrent_commit_guard(spark, tmp_path):
+    """Second writer racing the commit fails loudly (single-writer table)."""
+    import pytest
+
+    from image_deid_etl_spark.lake.table import ConcurrentCommitError
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    rows = [(1, "add", "r", "a.py", "c1", "python", "v1")]
+    write_manual_feed(feed, rows)
+    run_ingest(spark, root, feed, scrub=False)
+    t = open_or_create_table(root)
+    with pytest.raises(ConcurrentCommitError):
+        t.commit_snapshot(
+            [], set(), t.offsets(), expected_parent=t.snapshot_id - 1
+        )
