@@ -66,3 +66,30 @@ def test_watermarked_hourly_counts(spark, tmp_path):
     # with ts spanning ~500s all events share one open window → weaker check:
     # the stream ran and produced a well-formed result
     assert list(got.columns) == ["window_start", "op", "n_events"]
+
+
+def test_stream_picks_up_new_chunks_after_restart(spark, tmp_path):
+    """availableNow restart ingests only chunks that arrived since."""
+    feed, root, ckpt = str(tmp_path / "f"), str(tmp_path / "t"), str(tmp_path / "c")
+    spec_a = FeedSpec(n_events=300, n_keys=30, n_files=3, seed=1)
+    write_feed(feed, spec_a)
+    stream_ingest(spark, root, feed, ckpt)
+    t = open_or_create_table(root)
+    rows_a, snap_a = t.read(spark).count(), t.snapshot_id
+
+    # three more chunks arrive (later seqs, same keys universe)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = make_events(FeedSpec(n_events=300, n_keys=30, n_files=3, seed=2))
+    ev["seq"] = ev["seq"] + 1000
+    for i, chunk in enumerate([ev.iloc[:100], ev.iloc[100:200], ev.iloc[200:]]):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            f"{feed}/feed-{i + 3:05d}.parquet",
+        )
+    stream_ingest(spark, root, feed, ckpt)
+    t = open_or_create_table(root)
+    assert t.snapshot_id > snap_a  # new epochs committed
+    assert t.offsets()["max_seq_seen"] >= 1300 - 1
