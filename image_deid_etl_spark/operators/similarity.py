@@ -67,6 +67,123 @@ def cosine_knn(
     )
 
 
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin over centroids as a JVM-only expression: `least` over
+    (distance, index) structs — struct ordering compares distance first."""
+    candidates = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        candidates.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.least(*candidates)["i"]
+
+
+def kmeans_centroids(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means, expressed as DataFrame ops.
+
+    Init = the k lowest-id vectors (seeded, reproducible). Each iteration
+    is one assignment pass (JVM argmin expression) + one per-dimension
+    mean (posexplode → groupBy — a partial-aggregating shuffle of k×dim
+    cells, tiny). Only k×dim floats ever reach the driver.
+    """
+    init = (
+        items.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(n_iters):
+        assigned = items.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
+        )
+        cells = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep old center
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cluster.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            new[ci] = [dims.get(p, centroids[ci][p]) for p in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_knn(
+    items: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means quantizer; queries probe their
+    `n_probe` nearest cells; exact cosine ranks within probed cells.
+
+    The scale story: the items scan is partitioned by cell (an equi-join
+    key), so each query touches `n_probe / n_centroids` of the table —
+    the standard IVF recall/cost dial. Training cost is two tiny shuffles.
+    """
+    from pyspark.sql import Window
+
+    centroids = kmeans_centroids(items, id_col, vec_col, n_centroids, n_iters, dim)
+    cells = items.select(
+        F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cell")
+    )
+
+    # per-query probed cells: rank centroids by distance, keep n_probe
+    probe_structs = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probe_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    probed = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.transform(probed, lambda s: s["i"])).alias("cell"),
+    )
+
+    scored = (
+        cells.join(q, on="cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Fixed pseudo-random hyperplane, reproducible anywhere:
     coefficient i of plane j = ((i*37 + j*101) % 19 − 9) / 9."""

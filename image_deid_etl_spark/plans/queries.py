@@ -750,6 +750,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf")  # rows-only: iterative k-means isn't robustly SQL-expressible
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, n_probe cells per query) —
+    the third ANN path alongside brute force and LSH. Rows-only check:
+    float mean accumulation order makes a bit-exact SQL oracle fragile;
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_knn(
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=3
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "text_quality_scores",
     """

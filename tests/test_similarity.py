@@ -1,0 +1,52 @@
+"""ANN paths: IVF structure + recall vs the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.operators.similarity import (
+    cosine_knn,
+    ivf_knn,
+    kmeans_centroids,
+)
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = kmeans_centroids(e, k=4, n_iters=2)
+    c2 = kmeans_centroids(e, k=4, n_iters=2)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+
+
+def test_ivf_structure_and_recall(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_knn(e, q, k=5).toPandas()
+    approx = ivf_knn(e, q, k=5, n_centroids=8, n_probe=3).toPandas()
+
+    # structure: <=5 ranked neighbors per query, no self-matches
+    per_q = approx.groupby("query_id").size()
+    assert (per_q <= 5).all() and len(per_q) == 10
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+
+    # recall@5 vs exact — random 64-dim vectors have weak cluster
+    # structure, so the bound is deliberately loose; the dial is n_probe
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(
+        len(exact_sets[qid] & approx_sets.get(qid, set())) for qid in exact_sets.index
+    )
+    recall = hits / (5 * len(exact_sets))
+    assert recall >= 0.2, f"recall@5 = {recall}"
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """Probing ALL cells must reproduce the exact top-k (sanity anchor)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_knn(e, q, k=3).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    full = ivf_knn(e, q, k=3, n_centroids=4, n_probe=4).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert exact.equals(full)
