@@ -96,6 +96,15 @@ def cmd_validate(args) -> None:
         F.sum(F.length("content")).alias("content_bytes"),
         F.count(F.when(F.col("content").isNull(), 1)).alias("null_content"),
     ).collect()[0]
+    if args.report:
+        # missing-value side-outputs, reference analog: the unmapped-row CSV
+        # reports of `validate` (`main_pipeline.py:44-58`, F8 split)
+        anomalies = df.filter(F.col("lang").isNull() | F.col("content").isNull())
+        anomalies.write.mode("overwrite").parquet(f"{args.report}/missing_metadata")
+        leaked = df.filter(
+            F.col("content").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        )
+        leaked.write.mode("overwrite").parquet(f"{args.report}/scrub_leaks")
     print(
         json.dumps(
             {
@@ -186,6 +195,7 @@ def main(argv: list[str] | None = None) -> None:
 
     v = sub.add_parser("validate", help="dry-run audit of table state")
     common(v)
+    v.add_argument("--report", default=None, help="write anomaly side-outputs here")
     v.set_defaults(fn=cmd_validate)
 
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
