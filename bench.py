@@ -7,7 +7,7 @@ Prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": ...,
      "cdc_events_per_sec": ..., "cpus": ...}
 
-Set BENCH_CDC_EVENTS to scale the replay (default 200k).
+Set BENCH_CDC_EVENTS to scale the replay (default 1,000,000).
 """
 
 from __future__ import annotations
@@ -40,11 +40,6 @@ HEADLINE = [
     "text_quality_scores",
     "media_binary_meta",
 ]
-
-
-def _materialize(df) -> int:
-    """Force full execution without driver-side collect cost."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
 
 
 def main() -> None:

@@ -46,9 +46,19 @@ class IngestStats:
 
 def open_or_create_table(root: str, n_buckets: int = 16) -> SnapshotTable:
     import os
+    import sys
 
     if os.path.exists(os.path.join(root, "_current")):
-        return SnapshotTable(root)
+        table = SnapshotTable(root)
+        if table.n_buckets() != n_buckets and n_buckets != 16:
+            # the partition spec is fixed at creation; a differing request
+            # on an existing table would otherwise be silently ignored
+            print(
+                f"warning: table {root} has n_buckets={table.n_buckets()}; "
+                f"requested {n_buckets} is ignored (spec is fixed at create)",
+                file=sys.stderr,
+            )
+        return table
     return SnapshotTable.create(root, TABLE_SCHEMA, ["repo", "path"], n_buckets)
 
 
@@ -73,6 +83,19 @@ def run_ingest(
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash."""
     table = open_or_create_table(table_root, n_buckets)
+    off0 = table.offsets()
+    if off0.get("last_epoch") is not None and off0.get("committed_feed_files", 0) == 0:
+        # the table was fed by the STREAMING path, whose file tracking
+        # lives in Spark's checkpoint, not in committed_feed_files — a
+        # batch run here would re-apply the whole feed (harmless via LWW
+        # idempotence, but O(feed) wasted work). Flag it loudly.
+        import sys
+
+        print(
+            "warning: table was last written by stream_ingest; batch "
+            "run_ingest will replay chunks its checkpoint does not track",
+            file=sys.stderr,
+        )
     stats = IngestStats()
     t0 = time.time()
     while True:
@@ -95,7 +118,11 @@ def run_ingest(
         ).collect()[0]
         n, mx = stats_row["n"], stats_row["mx"] or 0
         touched = set(stats_row["buckets"])
+        # spread the existing dict: fields owned by other ingest modes
+        # (e.g. the streaming epoch guard's last_epoch) must survive a
+        # batch commit, or a later stream restart re-applies its epoch
         new_offsets = {
+            **off,
             "committed_feed_files": off["committed_feed_files"] + len(chunk),
             "max_seq_seen": max(off["max_seq_seen"], mx),
             "batch_id": off["batch_id"] + 1,

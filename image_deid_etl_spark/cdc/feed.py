@@ -231,12 +231,23 @@ def write_feed(out_dir: str, spec: FeedSpec) -> list[str]:
 
 
 def list_feed_files(feed_dir: str) -> list[str]:
-    """Delivery chunks in arrival order (lexicographic = numbered)."""
-    return sorted(
-        os.path.join(feed_dir, f)
+    """Delivery chunks in arrival order.
+
+    Sorted NUMERICALLY on the chunk index: lexicographic order breaks the
+    moment indices outgrow their zero-padding ('feed-100000' sorts before
+    'feed-99999'), which at 10^10-event scale would silently shuffle the
+    frontier — replaying committed chunks and skipping fresh ones.
+    """
+
+    def idx(name: str) -> int:
+        return int(name[len("feed-"):].split(".")[0])
+
+    names = [
+        f
         for f in os.listdir(feed_dir)
         if f.startswith("feed-") and f.endswith(".parquet")
-    )
+    ]
+    return [os.path.join(feed_dir, f) for f in sorted(names, key=idx)]
 
 
 def read_feed_files(spark: SparkSession, files: list[str]) -> DataFrame:

@@ -113,9 +113,20 @@ def merge_into(
     new_schema = table.evolved_schema(data_schema)
     evolved = len(new_schema.fields) != len(old_schema.fields)
 
+    scrub_before_resolve = False
     if salt_partitions:
-        # optional explicit pre-spread for pathological delivery chunks
+        # Explicit skew control for pathological delivery chunks: spread
+        # the batch by (repo, salt) and run the scrub UDF HERE, before the
+        # LWW shuffle — otherwise the salted exchange would be immediately
+        # re-partitioned by the window and buy nothing. Trade-off vs the
+        # default (scrub-after-resolve): every event pays the Python
+        # boundary, not just winners — worth it only when one repo
+        # dominates a chunk so badly that post-shuffle parallelism is the
+        # bottleneck. Default path relies on full-key hashing + AQE.
         batch = salted_repartition(batch, key_cols[:1], n_partitions=salt_partitions)
+        if scrub and "content" in batch.columns:
+            batch = batch.withColumn("content", scrubbed(F.col("content")))
+            scrub_before_resolve = True
 
     # -- shape to the table's read schema ----------------------------------
     cols = []
@@ -152,7 +163,7 @@ def merge_into(
     merged = resolve_lww(existing.unionByName(incoming_o), key_cols, "commit_seq")
 
     # -- vectorized scrub on winners only (idempotent on stored rows) -----
-    if scrub and "content" in merged.columns:
+    if scrub and not scrub_before_resolve and "content" in merged.columns:
         merged = merged.withColumn("content", scrubbed(F.col("content")))
 
     # -- copy-on-write rewrite of touched buckets (shuffle 2) -------------

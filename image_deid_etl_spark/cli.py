@@ -33,19 +33,30 @@ def _spark(cpus: int | None = None):
 
 
 def cmd_check(args) -> None:
+    """Frontier listing is a READ — it must not create the table (that
+    would pin the partition spec to defaults before the user's first
+    `ingest --buckets N` ever runs)."""
     import os
 
-    from .cdc.engine import open_or_create_table, plan_frontier
+    from .cdc.engine import plan_frontier
+    from .lake.table import SnapshotTable
 
     if not os.path.isdir(args.feed):
         sys.exit(f"error: feed directory not found: {args.feed}")
-    table = open_or_create_table(args.table)
-    todo = plan_frontier(table, args.feed)
+    if os.path.exists(os.path.join(args.table, "_current")):
+        table = SnapshotTable(args.table)
+        todo = plan_frontier(table, args.feed)
+        offsets = table.offsets()
+    else:
+        from .cdc.feed import list_feed_files
+
+        todo = list_feed_files(args.feed)
+        offsets = None  # table not created yet
     if args.limit:
         todo = todo[: args.limit]
     for f in todo:
         print(f)
-    print(json.dumps({"pending_chunks": len(todo), "offsets": table.offsets()}), file=sys.stderr)
+    print(json.dumps({"pending_chunks": len(todo), "offsets": offsets}), file=sys.stderr)
 
 
 def cmd_ingest(args) -> None:

@@ -138,11 +138,16 @@ class SnapshotTable:
         os.replace(ptr_tmp, os.path.join(self.root, CURRENT))  # ← atomic commit
 
     def manifest(self, snapshot_id: int | None = None) -> dict:
+        with open(os.path.join(self.root, CURRENT)) as f:
+            name = f.read().strip()
         if snapshot_id is None:
-            with open(os.path.join(self.root, CURRENT)) as f:
-                name = f.read().strip()
             path = os.path.join(self.root, MANIFESTS, name)
         else:
+            current = int(name.split("-")[1].split(".")[0])
+            if snapshot_id > current:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not committed (current={current})"
+                )
             path = self._manifest_path(snapshot_id)
         with open(path) as f:
             return json.load(f)
@@ -164,8 +169,17 @@ class SnapshotTable:
         return self.manifest()["partition_spec"]["n_buckets"]
 
     def snapshots(self) -> list[int]:
+        """COMMITTED snapshot ids only. A manifest file written just before
+        a crash (pointer never swapped) has id > current and is excluded —
+        it is an orphan, not a snapshot."""
+        current = self.snapshot_id
         names = os.listdir(os.path.join(self.root, MANIFESTS))
-        return sorted(int(n.split("-")[1].split(".")[0]) for n in names if n.startswith("manifest-"))
+        ids = (
+            int(n.split("-")[1].split(".")[0])
+            for n in names
+            if n.startswith("manifest-")
+        )
+        return sorted(i for i in ids if i <= current)
 
     # ------------------------------------------------------------------ #
     # schema evolution
@@ -235,8 +249,16 @@ class SnapshotTable:
         ``_bucket`` populated. One Parquet file per bucket per commit — at
         100 TB you would raise n_buckets so the copy-on-write rewrite unit
         stays ~file-sized; AQE coalescing keeps small buckets cheap here.
+
+        The directory carries a per-ATTEMPT uuid, not just the snapshot id:
+        two racing writers would otherwise both target ``snap-N`` and the
+        ``overwrite`` would destroy the eventual winner's files before the
+        optimistic-concurrency check in `commit_snapshot` could fire. The
+        loser's uuid directory is merely orphaned (referenced by no
+        manifest; an orphan-sweep comparing data/ against retained
+        manifests can reclaim it offline).
         """
-        rel = os.path.join(DATA, f"snap-{snapshot_id:010d}")
+        rel = os.path.join(DATA, f"snap-{snapshot_id:010d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel)
         (
             df.withColumn("_pb", F.col("_bucket"))
@@ -340,7 +362,8 @@ class SnapshotTable:
         """
         snaps = self.snapshots()
         current = self.snapshot_id
-        retained = set(snaps[-keep_last:]) | {current}
+        tail = snaps[-keep_last:] if keep_last > 0 else []  # [-0:] = whole list!
+        retained = set(tail) | {current}
         expired = [s for s in snaps if s not in retained]
         live_files: set[str] = set()
         for s in retained:

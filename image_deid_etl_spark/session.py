@@ -66,19 +66,38 @@ def build_session(
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors — the ``spark-submit --py-files``
     mechanism, done programmatically so pandas UDFs defined inside the
-    package unpickle on workers regardless of the driver's cwd."""
+    package unpickle on workers regardless of the driver's cwd.
+
+    The cache path is keyed by (checkout path, uid, newest source mtime)
+    so two checkouts — or two users — never share a zip, and a stale zip
+    is never shipped for edited code. The archive is staged and published
+    with an atomic rename so a concurrent session cannot read a
+    half-written file.
+    """
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "image_deid_etl_spark_pyfiles")
-    zip_path = zip_base + ".zip"
     newest_src = max(
         os.path.getmtime(os.path.join(dp, f))
         for dp, _dirs, fns in os.walk(pkg_dir)
         for f in fns
         if f.endswith(".py")
     )
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+    key = hashlib.sha256(
+        f"{pkg_dir}:{os.getuid()}:{newest_src}".encode()
+    ).hexdigest()[:16]
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"image_deid_etl_spark_pyfiles_{key}.zip"
+    )
+    if not os.path.exists(zip_path):
         staging = tempfile.mkdtemp()
-        shutil.copytree(pkg_dir, os.path.join(staging, os.path.basename(pkg_dir)))
-        shutil.make_archive(zip_base, "zip", staging)
-        shutil.rmtree(staging)
+        try:
+            shutil.copytree(pkg_dir, os.path.join(staging, os.path.basename(pkg_dir)))
+            tmp_zip = shutil.make_archive(
+                os.path.join(staging, "pkg"), "zip", staging,
+                os.path.basename(pkg_dir),
+            )
+            os.replace(tmp_zip, zip_path)  # atomic publish
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     spark.sparkContext.addPyFile(zip_path)

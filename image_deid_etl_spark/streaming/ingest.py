@@ -62,7 +62,7 @@ def stream_ingest(
             return
         mx = bdf.agg(F.max("seq")).collect()[0][0] or 0
         new_off = {
-            "committed_feed_files": off.get("committed_feed_files", 0),
+            **off,  # preserve batch-mode fields (committed_feed_files, ...)
             "max_seq_seen": max(off.get("max_seq_seen", 0), mx),
             "batch_id": off.get("batch_id", -1) + 1,
             "last_epoch": epoch_id,
