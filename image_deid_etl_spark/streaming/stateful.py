@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+A per-repo ingest accumulator that survives across micro-batches through
+Spark's state store: running event count, running bytes, max seq, and a
+change-rate flag. This is the pattern slot for any custom stateful
+operator the built-in windowed aggregations can't express (the engine's
+own exactly-once state lives in the lake table, not here — this is the
+*online metrics* side-channel).
+
+Pair this with a CHECKPOINT-RECOVERABLE sink (``foreachBatch``): the
+memory sink refuses to resume from a checkpoint, so restarts would fail
+with "query does not support recovering from checkpoint location".
+
+State schema is explicit (a requirement of the API); timeouts are off —
+the feed's correctness model is keyed LWW, not event-time sessions
+(SURVEY.md §2.9: watermark-drop is NOT part of the reference semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "events LONG, bytes LONG, max_seq LONG"
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("max_seq", T.LongType()),
+    ]
+)
+
+
+def _accumulate(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (repo,) = key
+    if state.exists:
+        events, nbytes, max_seq = state.get
+    else:
+        events, nbytes, max_seq = 0, 0, 0
+    batch_events = 0
+    for pdf in pdfs:
+        batch_events += len(pdf)
+        nbytes += int(pdf["content"].str.len().fillna(0).sum())
+        max_seq = max(max_seq, int(pdf["seq"].max()))
+    events += batch_events
+    state.update((events, nbytes, max_seq))
+    yield pd.DataFrame(
+        {
+            "repo": [repo],
+            "batch_events": [batch_events],
+            "total_events": [events],
+            "total_bytes": [nbytes],
+            "max_seq": [max_seq],
+        }
+    )
+
+
+def repo_ingest_stats_stream(feed_stream: DataFrame) -> DataFrame:
+    """Running per-repo ingest stats over a streaming feed DataFrame."""
+    return (
+        feed_stream.groupBy("repo")
+        .applyInPandasWithState(
+            _accumulate,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

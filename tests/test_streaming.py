@@ -93,3 +93,43 @@ def test_stream_picks_up_new_chunks_after_restart(spark, tmp_path):
     t = open_or_create_table(root)
     assert t.snapshot_id > snap_a  # new epochs committed
     assert t.offsets()["max_seq_seen"] >= 1300 - 1
+
+
+def test_stateful_repo_stats_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: totals must carry across micro-batches via
+    the state store (batch_events resets, total_events accumulates)."""
+    from image_deid_etl_spark.cdc.feed import FEED_SCHEMA
+    from image_deid_etl_spark.streaming.stateful import repo_ingest_stats_stream
+
+    feed = str(tmp_path / "f")
+    spec = FeedSpec(n_events=600, n_keys=40, n_repos=4, n_files=6, shuffle=False)
+    write_feed(feed, spec)
+
+    src = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # 3 micro-batches
+        .parquet(feed)
+    )
+    q = (
+        repo_ingest_stats_stream(src)
+        .writeStream.format("memory")
+        .queryName("repostats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from repostats").toPandas()
+
+    ev = make_events(spec)
+    per_repo_expected = ev.groupby("repo").size()
+    # each repo appears once per micro-batch it had events in; the LAST
+    # update's total_events equals the full per-repo count
+    for repo, grp in out.groupby("repo"):
+        assert grp["batch_events"].sum() == per_repo_expected[repo]
+        assert grp["total_events"].max() == per_repo_expected[repo]
+        assert (grp["total_events"].sort_values().values
+                == grp["total_events"].values[grp["batch_events"].cumsum().argsort()]).all()
+        assert grp["max_seq"].max() == ev[ev["repo"] == repo]["seq"].max()
+    assert out.groupby("repo").size().min() >= 2  # state carried 2+ batches
