@@ -43,14 +43,25 @@ from image_deid_etl_spark.session import build_session
 from image_deid_etl_spark.cdc.engine import run_ingest
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+exec_mode = os.environ.get("SPARK_GRAFT_EXEC_MODE", "local")
 # Faithful N-vs-4N model: memory scales with parallelism (a real cluster's
 # total memory grows with executor count); shuffle partitioning is
 # IDENTICAL at both levels (64, sized for the data; AQE coalesces).
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{3 * cpus}}g"
+extra = {{"spark.local.dir": sys.argv[3]}}
+if exec_mode == "local-cluster":
+    # real separate executor JVMs: N executors x 8 cores each — the
+    # literal "N vs 4N executors" shape of the north rule
+    workers = max(1, cpus // 8)
+    master = f"local-cluster[{{workers}},8,6144]"
+    extra["spark.executor.memory"] = "6g"
+else:
+    master = None
 spark = build_session(
     app_name=f"scale-{{cpus}}",
+    master=master,
     shuffle_partitions=64,
-    extra_conf={{"spark.local.dir": sys.argv[3]}},
+    extra_conf=extra,
 )
 spark.sparkContext.setLogLevel("ERROR")
 table_root = sys.argv[1]
@@ -95,7 +106,17 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--levels", type=int, nargs=2, default=[2, 8])
     ap.add_argument("--content-repeat", type=int, default=4)
+    ap.add_argument(
+        "--exec-mode", choices=["local", "local-cluster"], default="local",
+        help="local-cluster spawns real separate executor JVMs (N x 8 cores)",
+    )
+    ap.add_argument(
+        "--write-md", action="store_true",
+        help="overwrite BENCH/BASELINE.md with this run (it is hand-curated;"
+        " default is JSON-only output)",
+    )
     args = ap.parse_args()
+    os.environ["SPARK_GRAFT_EXEC_MODE"] = args.exec_mode
 
     from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
 
@@ -138,7 +159,8 @@ def main() -> None:
             "criterion": ">=0.8",
         }
         print(json.dumps(summary))
-        _write_md(summary, args)
+        if args.write_md:
+            _write_md(summary, args)
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
 
