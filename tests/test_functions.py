@@ -1,0 +1,74 @@
+"""Scalar function surface (functions/__init__.py) — P-series parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.functions import (
+    classify_by_contains,
+    empty_sentinel_fix,
+    norm_name,
+    path_part,
+    scrub_quotes,
+    session_label,
+    strip_tz_suffix,
+    time_suffix,
+    zero_pad,
+    zero_strip,
+)
+
+
+def one(spark, col, value, extra=None):
+    df = spark.createDataFrame([(value,) if extra is None else (value, extra)],
+                               ["v"] if extra is None else ["v", "w"])
+    return df.select(col.alias("out")).collect()[0]["out"]
+
+
+def test_zero_pad_strip_roundtrip(spark):
+    assert one(spark, zero_pad(F.col("v"), 8), "42") == "00000042"
+    assert one(spark, zero_strip(F.col("v")), "00000042") == "42"
+    assert one(spark, zero_strip(F.col("v")), "0") == ""  # all zeros → empty
+
+
+def test_norm_and_path_part(spark):
+    assert one(spark, norm_name("v"), "  John DOE ") == "john doe"
+    assert one(spark, path_part("v", 3), "a/b/c/d") == "c"
+
+
+def test_time_suffix_guard(spark):
+    assert one(spark, time_suffix(F.col("v")), "0930") == "_09h30m"
+    assert one(spark, time_suffix(F.col("v")), "93") == ""  # len<4 guard
+
+
+def test_empty_sentinel_and_quotes(spark):
+    assert one(spark, empty_sentinel_fix(F.col("v")), "[]") == " "
+    assert one(spark, empty_sentinel_fix(F.col("v")), "x") == "x"
+    assert one(spark, scrub_quotes(F.col("v")), "o'brien's") == "o_brien_s"
+
+
+def test_strip_tz_suffix(spark):
+    assert one(spark, strip_tz_suffix(F.col("v")), "scan 2021:EDT") == "scan 2021"
+    assert one(spark, strip_tz_suffix(F.col("v")), "scan 2021") == "scan 2021"
+
+
+def test_classifier_first_match_wins(spark):
+    col = classify_by_contains(
+        F.col("v"), [("brain", "BR"), ("rain", "RA")], "other"
+    )
+    assert one(spark, col, "Brain MRI rain") == "BR"
+    assert one(spark, col, "rainfall") == "RA"
+    assert one(spark, col, "knee") == "other"
+
+
+def test_session_label_shape(spark):
+    df = spark.createDataFrame(
+        [("2001-01-01", "2001-01-11", "BRAIN", "0930")],
+        ["dob", "img", "part", "t"],
+    )
+    out = df.select(
+        session_label(
+            F.col("dob").cast("date"), F.col("img").cast("date"),
+            F.col("part"), F.col("t"),
+        ).alias("label")
+    ).collect()[0]["label"]
+    assert out == "10_BRAIN_09h30m"
