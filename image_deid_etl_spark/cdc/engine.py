@@ -44,22 +44,36 @@ class IngestStats:
     batch_events: list[int] = field(default_factory=list)
 
 
-def open_or_create_table(root: str, n_buckets: int = 16) -> SnapshotTable:
+def open_or_create_table(root: str, n_buckets: int | None = None) -> SnapshotTable:
+    """Open ``root``, creating it (n_buckets or 16) when absent.
+
+    ``n_buckets=None`` means "unspecified" — only an EXPLICIT value that
+    differs from an existing table's spec triggers the ignored-request
+    warning (the spec is fixed at creation).
+    """
     import os
     import sys
 
     if os.path.exists(os.path.join(root, "_current")):
         table = SnapshotTable(root)
-        if table.n_buckets() != n_buckets and n_buckets != 16:
-            # the partition spec is fixed at creation; a differing request
-            # on an existing table would otherwise be silently ignored
+        if n_buckets is not None and table.n_buckets() != n_buckets:
             print(
                 f"warning: table {root} has n_buckets={table.n_buckets()}; "
                 f"requested {n_buckets} is ignored (spec is fixed at create)",
                 file=sys.stderr,
             )
         return table
-    return SnapshotTable.create(root, TABLE_SCHEMA, ["repo", "path"], n_buckets)
+    return SnapshotTable.create(root, TABLE_SCHEMA, ["repo", "path"], n_buckets or 16)
+
+
+def open_table(root: str) -> SnapshotTable:
+    """Open an EXISTING table; raise instead of creating (for read-only
+    commands — a dry-run audit must never pin a default partition spec)."""
+    import os
+
+    if not os.path.exists(os.path.join(root, "_current")):
+        raise FileNotFoundError(f"no table at {root} (missing _current)")
+    return SnapshotTable(root)
 
 
 def plan_frontier(table: SnapshotTable, feed_dir: str) -> list[str]:
@@ -74,7 +88,7 @@ def run_ingest(
     table_root: str,
     feed_dir: str,
     max_files_per_batch: int = 4,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     scrub: bool = True,
     salt_partitions: int | None = None,
     max_batches: int | None = None,
@@ -146,7 +160,7 @@ def run_ingest(
     return stats
 
 
-def bootstrap_offsets(table_root: str, committed_feed_files: int, n_buckets: int = 16) -> None:
+def bootstrap_offsets(table_root: str, committed_feed_files: int, n_buckets: int | None = None) -> None:
     """`importuuids` analog (`__main__.py:106-118`): mark prior feed chunks
     as already processed without replaying them (checkpoint bootstrap)."""
     table = open_or_create_table(table_root, n_buckets)

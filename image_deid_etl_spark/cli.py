@@ -52,11 +52,15 @@ def cmd_check(args) -> None:
 
         todo = list_feed_files(args.feed)
         offsets = None  # table not created yet
-    if args.limit:
+    pending = len(todo)  # report the TRUE frontier size, not the truncation
+    if args.limit is not None:
         todo = todo[: args.limit]
     for f in todo:
         print(f)
-    print(json.dumps({"pending_chunks": len(todo), "offsets": offsets}), file=sys.stderr)
+    print(
+        json.dumps({"pending_chunks": pending, "listed": len(todo), "offsets": offsets}),
+        file=sys.stderr,
+    )
 
 
 def cmd_ingest(args) -> None:
@@ -68,7 +72,10 @@ def cmd_ingest(args) -> None:
             spark, args.table, args.feed,
             checkpoint_dir=args.checkpoint or (args.table + "_stream_ckpt"),
             n_buckets=args.buckets,
+            max_files_per_trigger=args.batch_files,
         )
+        if args.max_batches is not None:
+            print("warning: --max-batches has no effect with --streaming", file=sys.stderr)
         from .cdc.engine import open_or_create_table
 
         print(json.dumps({"offsets": open_or_create_table(args.table).offsets()}))
@@ -96,10 +103,13 @@ def cmd_ingest(args) -> None:
 def cmd_validate(args) -> None:
     from pyspark.sql import functions as F
 
-    from .cdc.engine import open_or_create_table
+    from .cdc.engine import open_table
 
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
     spark = _spark(args.cpus)
-    table = open_or_create_table(args.table)
     df = table.read(spark)
     stats = df.agg(
         F.count(F.lit(1)).alias("live_rows"),
@@ -134,9 +144,12 @@ def cmd_validate(args) -> None:
 
 
 def cmd_expire(args) -> None:
-    from .cdc.engine import open_or_create_table
+    from .cdc.engine import open_table
 
-    table = open_or_create_table(args.table)
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
     res = table.expire_snapshots(keep_last=args.keep_last)
     print(json.dumps(res))
 

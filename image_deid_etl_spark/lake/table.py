@@ -136,6 +136,15 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(self.root, CURRENT))  # ← atomic commit
+        # fsync the directories: without this the renames are atomic but
+        # not crash-DURABLE (journal reordering could persist the pointer
+        # without the manifest, or neither)
+        for d in (os.path.join(self.root, MANIFESTS), self.root):
+            fd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
 
     def manifest(self, snapshot_id: int | None = None) -> dict:
         with open(os.path.join(self.root, CURRENT)) as f:
@@ -263,7 +272,7 @@ class SnapshotTable:
         (
             df.withColumn("_pb", F.col("_bucket"))
             .repartition(self.n_buckets(), F.col("_bucket"))
-            .sortWithinPartitions("repo", "path")
+            .sortWithinPartitions(*self.key_cols())
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(out)

@@ -33,6 +33,35 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k from (query_id, neighbor_id, _cos)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _centroid_dist_structs(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """(squared-distance, index) structs for every centroid — struct
+    ordering compares distance first, so least()/array_sort() give argmin."""
+    out = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return out
+
+
 def cosine_knn(
     items: DataFrame,
     queries: DataFrame,
@@ -46,8 +75,6 @@ def cosine_knn(
     the scan side streams once — at scale this is one pass over the table
     per query batch, the standard exact-kNN baseline.
     """
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
@@ -57,29 +84,12 @@ def cosine_knn(
         F.col(id_col).alias("neighbor_id"),
         cosine_similarity(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmin over centroids as a JVM-only expression: `least` over
-    (distance, index) structs — struct ordering compares distance first."""
-    candidates = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(x) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        candidates.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return F.least(*candidates)["i"]
+    """Argmin over centroids as a JVM-only expression."""
+    return F.least(*_centroid_dist_structs(vec, centroids))["i"]
 
 
 def kmeans_centroids(
@@ -88,7 +98,6 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 8,
     n_iters: int = 2,
-    dim: int = 64,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means, expressed as DataFrame ops.
 
@@ -97,15 +106,17 @@ def kmeans_centroids(
     mean (posexplode → groupBy — a partial-aggregating shuffle of k×dim
     cells, tiny). Only k×dim floats ever reach the driver.
     """
+    proj = items.select(id_col, vec_col).persist()
     init = (
-        items.orderBy(F.col(id_col).asc())
+        proj.orderBy(F.col(id_col).asc())
         .limit(k)
         .select(vec_col)
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    dim = len(centroids[0])  # derived from the data, never trusted blindly
     for _ in range(n_iters):
-        assigned = items.select(
+        assigned = proj.select(
             F.col(vec_col).alias("v"),
             _nearest_centroid(F.col(vec_col), centroids).alias("c"),
         )
@@ -122,6 +133,7 @@ def kmeans_centroids(
         for ci, dims in by_cluster.items():
             new[ci] = [dims.get(p, centroids[ci][p]) for p in range(dim)]
         centroids = new
+    proj.unpersist()
     return centroids
 
 
@@ -134,7 +146,6 @@ def ivf_knn(
     n_centroids: int = 8,
     n_probe: int = 3,
     n_iters: int = 2,
-    dim: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer; queries probe their
     `n_probe` nearest cells; exact cosine ranks within probed cells.
@@ -143,24 +154,17 @@ def ivf_knn(
     key), so each query touches `n_probe / n_centroids` of the table —
     the standard IVF recall/cost dial. Training cost is two tiny shuffles.
     """
-    from pyspark.sql import Window
-
-    centroids = kmeans_centroids(items, id_col, vec_col, n_centroids, n_iters, dim)
+    centroids = kmeans_centroids(items, id_col, vec_col, n_centroids, n_iters)
     cells = items.select(
         F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cell")
     )
 
     # per-query probed cells: rank centroids by distance, keep n_probe
-    probe_structs = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(x) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        probe_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    probed = F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)
+    probed = F.slice(
+        F.array_sort(F.array(*_centroid_dist_structs(F.col(vec_col), centroids))),
+        1,
+        n_probe,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -176,12 +180,7 @@ def ivf_knn(
             cosine_similarity(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -235,9 +234,4 @@ def lsh_bucketed_knn(
             cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("_cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)

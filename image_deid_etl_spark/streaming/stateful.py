@@ -50,7 +50,7 @@ def _accumulate(
     batch_events = 0
     for pdf in pdfs:
         batch_events += len(pdf)
-        nbytes += int(pdf["content"].str.len().fillna(0).sum())
+        nbytes += int(pdf["content"].str.encode("utf-8").str.len().fillna(0).sum())
         max_seq = max(max_seq, int(pdf["seq"].max()))
     events += batch_events
     state.update((events, nbytes, max_seq))
