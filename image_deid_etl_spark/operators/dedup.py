@@ -170,6 +170,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken) rolling-hash fingerprints.
+
+    Character k-gram hashes; within every window of `window` consecutive
+    k-grams keep the minimum hash — the classic plagiarism/near-dup
+    fingerprint with guaranteed match coverage for overlaps longer than
+    k + window - 1. All columnar: posexplode for k-gram positions, a
+    rows-frame window `min` for the winnow, distinct for the set.
+
+    At scale the explode is ~len(text) rows per doc; the winnow is a
+    partition-local frame (no extra shuffle beyond the per-doc hash
+    partitioning), and the distinct collapses to ~2·len/window prints.
+    """
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0))
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(positions).alias("_i", "pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.expr(f"substring({text_col}, pos, {k})")).alias("ghash"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("fp", F.min("ghash").over(w))
+        .filter(F.col("pos") >= window)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash-style fingerprint, engine-portable construction:
 

@@ -642,6 +642,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(d, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
+_WINNOW_SQL = """
+  WITH g AS (
+    SELECT doc_id, pos, md5(substring(text, pos, 8)) AS ghash
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS pos
+          FROM documents)
+  ),
+  wn AS (
+    SELECT doc_id, pos,
+           min(ghash) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+    FROM g
+  )
+  SELECT DISTINCT doc_id, fp FROM wn WHERE pos >= 4 ORDER BY doc_id, fp
+"""
+
+
+@register("dedup_winnowing", _WINNOW_SQL)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char-grams, window=4):
+    the guaranteed-coverage near-dup fingerprint set per document."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnowing_fingerprints(d, "doc_id", "text", k=8, window=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
 _COS_SQL = """
     list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))

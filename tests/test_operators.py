@@ -133,3 +133,24 @@ def test_is_date_try_parse(spark):
     df = spark.createDataFrame([("2021-04-01",), ("not a date",), (None,)], ["s"])
     got = [r[0] for r in df.select(is_date(F.col("s"))).collect()]
     assert got == [True, False, False]
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of length
+    >= k + window - 1 are guaranteed to share at least one fingerprint;
+    disjoint documents (over distinct alphabets) share none."""
+    from image_deid_etl_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "0123456789012345678901234567890123456789012345"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4).toPandas()
+    sets = fps.groupby("doc_id")["fp"].apply(set)
+    assert len(sets[1] & sets[2]) > 0      # overlap detected
+    assert len(sets[1] & sets[3]) == 0     # disjoint content, no collision
