@@ -42,6 +42,7 @@ class IngestStats:
     duration_sec: float = 0.0
     events_per_sec: float = 0.0
     batch_events: list[int] = field(default_factory=list)
+    batch_secs: list[float] = field(default_factory=list)
 
 
 def open_or_create_table(root: str, n_buckets: int | None = None) -> SnapshotTable:
@@ -117,21 +118,31 @@ def run_ingest(
         if not todo or (max_batches is not None and stats.batches >= max_batches):
             break
         chunk = todo[:max_files_per_batch]
+        tb0 = time.time()
         off = table.offsets()
         batch = read_feed_files(spark, chunk)
-        # ONE small job per batch: event count, frontier seq, and touched
-        # buckets together (column-pruned scan of key columns only)
-        from ..lake.table import bucket_expr
+        # ONE small job per batch: per-bucket event count, frontier seq and
+        # key range together (column-pruned scan of key columns only; the
+        # result is ≤ n_buckets rows). The key ranges drive the MERGE's
+        # file-granular copy-on-write pruning.
+        from ..lake.table import bucket_expr, key_expr
 
-        stats_row = batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("seq").alias("mx"),
-            F.collect_set(
-                bucket_expr(table.n_buckets(), table.key_cols())
-            ).alias("buckets"),
-        ).collect()[0]
-        n, mx = stats_row["n"], stats_row["mx"] or 0
-        touched = set(stats_row["buckets"])
+        stats_rows = (
+            batch.groupBy(
+                bucket_expr(table.n_buckets(), table.key_cols()).alias("_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("seq").alias("mx"),
+                F.min(key_expr(table.key_cols())).alias("lo"),
+                F.max(key_expr(table.key_cols())).alias("hi"),
+            )
+            .collect()
+        )
+        n = sum(r["n"] for r in stats_rows)
+        mx = max((r["mx"] for r in stats_rows), default=0) or 0
+        touched = {r["_b"] for r in stats_rows}
+        key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
         # spread the existing dict: fields owned by other ingest modes
         # (e.g. the streaming epoch guard's last_epoch) must survive a
         # batch commit, or a later stream restart re-applies its epoch
@@ -150,10 +161,12 @@ def run_ingest(
             salt_partitions=salt_partitions,
             fail_before_commit=(fail_before_commit_on_batch == stats.batches),
             touched=touched,
+            key_ranges=key_ranges,
         )
         stats.batches += 1
         stats.events += n
         stats.batch_events.append(n)
+        stats.batch_secs.append(round(time.time() - tb0, 3))
         stats.snapshot_id = snap
     stats.duration_sec = time.time() - t0
     stats.events_per_sec = stats.events / stats.duration_sec if stats.duration_sec else 0.0

@@ -12,14 +12,28 @@ the sandbox). Semantics match the reference's idempotent sink:
   ``commit_seq``, against both the batch and the stored state, so replays
   and late events are no-ops.
 
-Plan shape — tuned to exactly TWO wide shuffles per micro-batch:
+Plan shape — tuned to exactly TWO wide shuffles per micro-batch, with
+FILE-granular copy-on-write (commit cost ∝ keys updated, not table size):
 
-    batch ──(1 small job: count, max seq, touched buckets)──┐
-    existing(touched buckets only, manifest-pruned scan) ───┤
+    batch ──(1 small job: count, max seq, per-bucket key ranges)──┐
+    manifest prune: candidate files = touched buckets ∩ key-range │
+    exact prune (1 narrow job): scan candidates' _key column,     │
+      left-semi vs batch keys → the files that REALLY hold a      │
+      batch key (matched); all other files carry forward by path ─┤
+    existing(matched files only) ─────────────────────────────────┤
           ∪ ──shuffle #1: window LWW on (repo,path)──► winners
           ──vectorized scrub (Arrow pandas UDF, idempotent)──►
           ──shuffle #2: repartition by bucket──► parquet per bucket
           ──► atomic manifest swap (data + offsets together)
+
+At 100 TB the two prune stages are what keep MERGE viable: the manifest
+range prune is metadata-only (clustered keys — e.g. a feed that delivers
+per-repo — eliminate most files before any IO), and the exact prune reads
+ONE dictionary-encoded string column of the survivors, so an insert-mostly
+batch rewrites nothing and commits append-only. The next refinement at
+that scale is a per-file key bloom in the manifest (Iceberg puffin analog)
+to skip the exact-prune scan for wide-range files; range stats + exact
+scan keep this version both correct and simple.
 
 Scrubbing runs *after* LWW resolution so only surviving rows cross the
 Python boundary (losers of the window never pay the Arrow transfer).
@@ -42,11 +56,78 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake.table import SnapshotTable, bucket_expr
+import os
+
+from ..lake.table import SnapshotTable, bucket_expr, key_expr
 from .scrub import scrubbed
 from .skew import salted_repartition
 
 ENVELOPE_COLS = {"seq", "op", "ts"}
+
+
+def _ranges_overlap(f: dict, lo: str, hi: str) -> bool:
+    """Conservative file-vs-batch key-range intersection test: missing
+    stats → candidate."""
+    fmin, fmax = f.get("key_min"), f.get("key_max")
+    if fmin is None or fmax is None:
+        return True
+    return not (fmax < lo or fmin > hi)
+
+
+def _match_files(
+    spark: SparkSession,
+    table: SnapshotTable,
+    incoming: DataFrame,
+    touched: set[int],
+    key_ranges: dict[int, tuple[str, str]] | None,
+) -> tuple[list[str], set[str]]:
+    """The two copy-on-write prune stages. Returns (matched absolute
+    paths, matched manifest-relative paths) — the files a batch key
+    actually lives in. Everything else carries forward untouched.
+    """
+    files = [f for f in table.manifest()["files"] if f["bucket"] in touched]
+    if not files:
+        return [], set()
+    if key_ranges is None:
+        key_ranges = {
+            r["_bucket"]: (r["lo"], r["hi"])
+            for r in incoming.groupBy("_bucket")
+            .agg(F.min("_key").alias("lo"), F.max("_key").alias("hi"))
+            .collect()
+        }
+    candidates = [
+        f
+        for f in files
+        if f["bucket"] in key_ranges
+        and _ranges_overlap(f, *key_ranges[f["bucket"]])
+    ]
+    if not candidates:
+        return [], set()
+    # exact prune: one narrow scan of the candidates' _key column,
+    # semi-joined against the batch keys. Collect is bounded by the
+    # number of candidate FILES, never rows.
+    abs_by_real: dict[str, str] = {}
+    rel_by_real: dict[str, str] = {}
+    for f in candidates:
+        full = os.path.join(table.root, f["path"])
+        real = os.path.realpath(full)
+        abs_by_real[real] = full
+        rel_by_real[real] = f["path"]
+    schema = table._read_schema()
+    cand = spark.read.schema(schema).parquet(*abs_by_real.values())
+    hit_rows = (
+        cand.select("_key", F.input_file_name().alias("_file"))
+        .join(incoming.select("_key"), "_key", "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    matched_abs, matched_rel = [], set()
+    for r in hit_rows:
+        real = os.path.realpath(r["_file"].removeprefix("file:"))
+        matched_abs.append(abs_by_real[real])
+        matched_rel.add(rel_by_real[real])
+    return matched_abs, matched_rel
 
 
 class SimulatedCrash(RuntimeError):
@@ -95,10 +176,14 @@ def merge_into(
     salt_partitions: int | None = None,
     fail_before_commit: bool = False,
     touched: set[int] | None = None,
+    key_ranges: dict[int, tuple[str, str]] | None = None,
 ) -> int:
     """Apply one change-event micro-batch; return the new snapshot id.
 
     ``offsets`` is committed atomically with the data (exactly-once).
+    ``key_ranges`` (bucket → (key_min, key_max) of the batch, as computed
+    by the engine's per-batch stats job) lets the caller spare the extra
+    range-aggregation scan here.
     """
     started = time.time()
     key_cols = table.key_cols()
@@ -140,6 +225,7 @@ def merge_into(
         F.col("seq").cast("long").alias("commit_seq"),
         (F.col("op") == F.lit("delete")).alias("_deleted"),
         bucket_expr(n_buckets, key_cols).alias("_bucket"),
+        key_expr(key_cols).alias("_key"),
     )
     if touched is None:
         # one small job: touched buckets (callers that already computed the
@@ -150,12 +236,16 @@ def merge_into(
             r[0]
             for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
         }
-    # -- existing state, manifest-pruned to touched buckets only ----------
-    existing = table.read_raw(spark, buckets=sorted(touched))
+    # -- file-granular copy-on-write: only files holding a batch key ------
+    matched_abs, matched_rel = _match_files(spark, table, incoming, touched, key_ranges)
+    if matched_abs:
+        existing = spark.read.schema(table._read_schema()).parquet(*matched_abs)
+    else:
+        existing = spark.createDataFrame([], table._read_schema())
     for f in new_schema.fields:  # align evolved columns
         if f.name not in existing.columns:
             existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
-    order = [f.name for f in new_schema.fields] + ["commit_seq", "_deleted", "_bucket"]
+    order = [f.name for f in new_schema.fields] + ["commit_seq", "_deleted", "_bucket", "_key"]
     existing = existing.select(*order)
     incoming_o = incoming.select(*order)
 
@@ -176,7 +266,7 @@ def merge_into(
     # -- atomic commit: files + offsets + (maybe) evolved schema ----------
     return table.commit_snapshot(
         new_files=entries,
-        touched_buckets=touched,
+        replaced_paths=matched_rel,
         offsets=offsets,
         schema=new_schema if evolved else None,
         started_at=started,

@@ -154,6 +154,19 @@ def cmd_expire(args) -> None:
     print(json.dumps(res))
 
 
+def cmd_compact(args) -> None:
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="compact")
+    res = table.compact(spark, min_files_per_bucket=args.min_files)
+    print(json.dumps(res))
+
+
 def cmd_bootstrap(args) -> None:
     from .cdc.engine import bootstrap_offsets
 
@@ -226,6 +239,11 @@ def main(argv: list[str] | None = None) -> None:
     x.add_argument("--table", required=True)
     x.add_argument("--keep-last", type=int, default=2)
     x.set_defaults(fn=cmd_expire)
+
+    k = sub.add_parser("compact", help="fold small data files per bucket (rewrite_data_files)")
+    k.add_argument("--table", required=True)
+    k.add_argument("--min-files", type=int, default=2, help="compact buckets with at least this many files")
+    k.set_defaults(fn=cmd_compact)
 
     b = sub.add_parser("bootstrap", help="mark feed chunks processed without replay")
     b.add_argument("--table", required=True)

@@ -33,10 +33,18 @@ Layout::
       _lineage/lineage-<snap>.json
       data/snap-<snap>/_pb=<bucket>/part-*.parquet
 
-Data files carry two engine columns in addition to the table schema:
-``commit_seq`` (long — LWW ordering, exposed to readers) and ``_deleted``
+Data files carry engine columns in addition to the table schema:
+``commit_seq`` (long — LWW ordering, exposed to readers), ``_deleted``
 (boolean tombstone — retained so a late-arriving *older* event for a
-deleted key cannot resurrect it; filtered out by `read`).
+deleted key cannot resurrect it; filtered out by `read`), and ``_key``
+(the canonical merge-key string — see `key_expr`). Each manifest file
+entry records the ``_key`` min/max from Parquet column statistics, which
+is what makes **file-granular copy-on-write** possible: a MERGE rewrites
+only the files whose key range (and then actual key set) intersects the
+batch, and carries every other file forward by path. New keys append new
+files; a commit's write amplification is proportional to the keys it
+*updates*, not to the live table size. `compact` is the maintenance op
+that folds the resulting small files back together per bucket.
 """
 
 from __future__ import annotations
@@ -62,7 +70,14 @@ ENGINE_COLS = [
     T.StructField("commit_seq", T.LongType(), True),
     T.StructField("_deleted", T.BooleanType(), True),
     T.StructField("_bucket", T.IntegerType(), True),
+    T.StructField("_key", T.StringType(), True),
 ]
+
+#: separator for the canonical key encoding — \x1f sorts below every
+#: printable character, so string order on the concatenation equals tuple
+#: order on the key columns (both pruning sides use the SAME encoding, so
+#: the comparison is internally consistent regardless)
+KEY_SEP = "\x1f"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -76,6 +91,11 @@ def bucket_expr(n_buckets: int, cols: list[str]):
     non-negative. Same expression everywhere (write + merge + prune).
     """
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
+
+
+def key_expr(cols: list[str]):
+    """Canonical sortable merge-key string (the ``_key`` engine column)."""
+    return F.concat_ws(KEY_SEP, *[F.col(c) for c in cols])
 
 
 class SnapshotTable:
@@ -180,14 +200,19 @@ class SnapshotTable:
     def snapshots(self) -> list[int]:
         """COMMITTED snapshot ids only. A manifest file written just before
         a crash (pointer never swapped) has id > current and is excluded —
-        it is an orphan, not a snapshot."""
+        it is an orphan, not a snapshot. The name match is strict
+        (``manifest-<id>.json`` exactly) so a leftover ``.tmp-<uuid>`` from
+        a crash inside `_write_manifest` can neither duplicate an id nor
+        break GC; ids are deduped via the set."""
+        import re
+
         current = self.snapshot_id
         names = os.listdir(os.path.join(self.root, MANIFESTS))
-        ids = (
-            int(n.split("-")[1].split(".")[0])
+        ids = {
+            int(m.group(1))
             for n in names
-            if n.startswith("manifest-")
-        )
+            if (m := re.fullmatch(r"manifest-(\d+)\.json", n))
+        }
         return sorted(i for i in ids if i <= current)
 
     # ------------------------------------------------------------------ #
@@ -269,6 +294,8 @@ class SnapshotTable:
         """
         rel = os.path.join(DATA, f"snap-{snapshot_id:010d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel)
+        if "_key" not in df.columns:
+            df = df.withColumn("_key", key_expr(self.key_cols()))
         (
             df.withColumn("_pb", F.col("_bucket"))
             .repartition(self.n_buckets(), F.col("_bucket"))
@@ -285,7 +312,8 @@ class SnapshotTable:
                 full = os.path.join(dirpath, fn)
                 bucket = int(os.path.basename(dirpath).split("=")[1])
                 meta = pq.ParquetFile(full).metadata
-                seq_min, seq_max = _seq_range(meta)
+                seq_min, seq_max = _col_range(meta, "commit_seq")
+                key_min, key_max = _col_range(meta, "_key")
                 entries.append(
                     {
                         "path": os.path.relpath(full, self.root),
@@ -294,6 +322,8 @@ class SnapshotTable:
                         "bytes": os.path.getsize(full),
                         "seq_min": seq_min,
                         "seq_max": seq_max,
+                        "key_min": key_min,
+                        "key_max": key_max,
                     }
                 )
         return entries
@@ -301,16 +331,23 @@ class SnapshotTable:
     def commit_snapshot(
         self,
         new_files: list[dict],
-        touched_buckets: set[int],
-        offsets: dict,
+        touched_buckets: set[int] | None = None,
+        offsets: dict | None = None,
         schema: T.StructType | None = None,
         lineage_extra: dict | None = None,
         started_at: float | None = None,
         expected_parent: int | None = None,
+        replaced_paths: set[str] | None = None,
     ) -> int:
         """Build + atomically publish the next manifest.
 
-        Carries forward files of untouched buckets; replaces touched ones.
+        Carry-forward granularity is the FILE: ``replaced_paths`` names the
+        exact data files (manifest-relative paths) this commit supersedes;
+        every other live file is carried forward by path, untouched on
+        disk. ``touched_buckets`` is the coarse legacy form — it expands to
+        "all files of those buckets" (used by full-bucket rewrites such as
+        the initial load path in tests). Passing neither replaces nothing
+        (pure append / offsets-only commit).
 
         The table is SINGLE-WRITER by design (like the reference's one
         cron-driven pipeline); ``expected_parent`` adds an optimistic
@@ -325,7 +362,13 @@ class SnapshotTable:
                 f"(expected {expected_parent}); another writer is active"
             )
         snap = cur["snapshot_id"] + 1
-        carried = [f for f in cur["files"] if f["bucket"] not in touched_buckets]
+        dropped = set(replaced_paths or ())
+        buckets = touched_buckets if touched_buckets is not None else set()
+        carried = [
+            f
+            for f in cur["files"]
+            if f["path"] not in dropped and f["bucket"] not in buckets
+        ]
         manifest = {
             "snapshot_id": snap,
             "parent_id": cur["snapshot_id"],
@@ -359,6 +402,50 @@ class SnapshotTable:
             json.dump(lineage, f)
         self._write_manifest(manifest)
         return snap
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files_per_bucket: int = 2,
+        buckets: list[int] | None = None,
+    ) -> dict:
+        """Maintenance: fold a bucket's accumulated small files into one
+        (Iceberg ``rewrite_data_files`` analog). File-granular MERGE makes
+        commits append-mostly, so buckets accrue one small file per commit;
+        compaction restores read efficiency without changing any row.
+
+        Tombstones are preserved verbatim — they still guard against
+        late-arriving older events resurrecting deleted keys. Offsets are
+        carried unchanged; the commit is data-movement only.
+        """
+        m = self.manifest()
+        per_bucket: dict[int, list[dict]] = {}
+        for f in m["files"]:
+            per_bucket.setdefault(f["bucket"], []).append(f)
+        todo = {
+            b: fs
+            for b, fs in per_bucket.items()
+            if len(fs) >= min_files_per_bucket and (buckets is None or b in buckets)
+        }
+        if not todo:
+            return {"compacted_buckets": [], "files_before": 0, "files_after": 0}
+        replaced = {f["path"] for fs in todo.values() for f in fs}
+        df = self.read_raw(spark, buckets=sorted(todo))
+        started = time.time()
+        entries = self.write_snapshot_files(df, self.snapshot_id + 1)
+        self.commit_snapshot(
+            new_files=entries,
+            offsets=self.offsets(),
+            replaced_paths=replaced,
+            lineage_extra={"compaction": True},
+            started_at=started,
+            expected_parent=m["snapshot_id"],
+        )
+        return {
+            "compacted_buckets": sorted(todo),
+            "files_before": len(replaced),
+            "files_after": len(entries),
+        }
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Maintenance GC: drop old snapshot manifests and delete data files
@@ -414,20 +501,24 @@ class SnapshotTable:
         return out
 
 
-def _seq_range(meta) -> tuple[int | None, int | None]:
-    """min/max commit_seq from Parquet row-group stats (no data read)."""
+def _col_range(meta, col: str):
+    """min/max of a column from Parquet row-group stats (no data read).
+    Missing column / missing stats → (None, None), which pruners must
+    treat as "unknown — always a candidate" (conservative)."""
     lo, hi = None, None
     try:
         names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-        ci = names.get("commit_seq")
+        ci = names.get(col)
         if ci is None:
             return None, None
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 continue
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+            mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+            mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
     except Exception:
         return None, None
     return lo, hi

@@ -175,41 +175,63 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken) rolling-hash fingerprints.
 
-    Character k-gram hashes; within every window of `window` consecutive
-    k-grams keep the minimum hash — the classic plagiarism/near-dup
+    Character k-gram md5 hashes; within every window of `window`
+    consecutive k-grams keep the minimum — the classic plagiarism/near-dup
     fingerprint with guaranteed match coverage for overlaps longer than
-    k + window - 1. All columnar: posexplode for k-gram positions, a
-    rows-frame window `min` for the winnow, distinct for the set.
+    k + window - 1.
 
-    At scale the explode is ~len(text) rows per doc; the winnow is a
-    partition-local frame (no extra shuffle beyond the per-doc hash
-    partitioning), and the distinct collapses to ~2·len/window prints.
+    Computed per document inside an Arrow `mapInPandas` batch: one pass
+    over the text, numpy sliding-min, a per-doc distinct — NO k-gram
+    explode, NO shuffle (the round-1 columnar version shuffled one row per
+    character position into a per-doc window; at 100 TB of text that
+    shuffle IS the job). The result set (~2·len/window prints per doc) is
+    the only thing that leaves the stage. Output is identical to the SQL
+    formulation the DuckDB oracle runs: min is taken over the full 128-bit
+    digest (lowercase-hex order == byte order), texts shorter than
+    k + window - 1 emit nothing (no phantom positions).
     """
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0))
-    )
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(positions).alias("_i", "pos"),
-        F.col(text_col),
-    ).select(
-        id_col,
-        "pos",
-        F.md5(F.expr(f"substring({text_col}, pos, {k})")).alias("ghash"),
-    )
-    from pyspark.sql import Window
+    import hashlib
 
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), Window.currentRow)
-    )
-    return (
-        grams.withColumn("fp", F.min("ghash").over(w))
-        .filter(F.col("pos") >= window)  # full windows only
-        .select(id_col, "fp")
-        .distinct()
-    )
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, fp string"
+
+    def winnow(batches):
+        memo: dict[str, bytes] = {}
+        for pdf in batches:
+            ids: list = []
+            fps: list[str] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text) - (k - 1)
+                if n < window:  # not one full window of k-grams
+                    continue
+                digs = bytearray()
+                for i in range(n):
+                    g = text[i : i + k]
+                    d = memo.get(g)
+                    if d is None:
+                        d = hashlib.md5(g.encode("utf-8")).digest()
+                        if len(memo) < 1_000_000:
+                            memo[g] = d
+                    digs += d
+                u = np.frombuffer(bytes(digs), dtype=">u8").reshape(n, 2)
+                hi, lo = u[:, 0], u[:, 1]
+                m_hi, m_lo = hi[window - 1 :].copy(), lo[window - 1 :].copy()
+                for s in range(1, window):
+                    c_hi, c_lo = hi[window - 1 - s : n - s], lo[window - 1 - s : n - s]
+                    take = (c_hi < m_hi) | ((c_hi == m_hi) & (c_lo < m_lo))
+                    np.copyto(m_hi, c_hi, where=take)
+                    np.copyto(m_lo, c_lo, where=take)
+                uniq = np.unique(np.stack([m_hi, m_lo], axis=1), axis=0)
+                fps.extend(f"{h:016x}{l:016x}" for h, l in uniq)
+                ids.extend([doc_id] * len(uniq))
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(winnow, out_schema)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -232,3 +254,57 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
         *[F.when(F.col(f"v{k}") > 0, F.lit("1")).otherwise(F.lit("0")) for k in range(bits)]
     )
     return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup PAIR extraction — the stage round 1 lacked.
+
+    Hamming-band bucketing (same family as the MinHash band join above):
+    slice the `bits`-bit fingerprint into `bands` contiguous slices; docs
+    sharing ANY slice are candidates (pigeonhole: a pair within Hamming
+    distance < `bands` must agree on at least one slice, so recall is
+    exact for ``max_hamming <= bands - 1``). The candidate join is an
+    equi-join on the slice value — bucketed, never all-pairs — then the
+    exact Hamming distance over the two fingerprints verifies each
+    candidate, all in codegen expressions (no Python).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("exact recall needs max_hamming <= bands - 1")
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    width = bits // bands
+    banded = None
+    for b in range(bands):
+        part = fp.select(
+            F.col(id_col),
+            F.concat(
+                F.lit(f"{b}|"), F.substring("simhash", b * width + 1, width)
+            ).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(c, on="band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    hamming = sum(
+        (F.substring("_sa", i + 1, 1) != F.substring("_sb", i + 1, 1)).cast("int")
+        for i in range(bits)
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -27,11 +27,25 @@ def coalesce_key_enrich(
     payload: list[str],
 ) -> DataFrame:
     """J2 — two-pass join: primary key first, fallback key for the misses,
-    union back (`custom_etl.py:296-301`). Both joins broadcast the dim."""
-    hit = left.join(F.broadcast(dim.select(*primary, *payload)), primary, "left")
-    matched = hit.filter(F.col(payload[0]).isNotNull())
-    missed = hit.filter(F.col(payload[0]).isNull()).drop(*payload)
-    rescued = missed.join(F.broadcast(dim.select(*fallback, *payload)), fallback, "left")
+    union back (`custom_etl.py:296-301`). Both joins broadcast the dim.
+
+    Match/miss is decided by an explicit dim-side marker column, NOT by
+    payload nullness — a primary-key match whose payload is genuinely NULL
+    must stay a match, never be re-joined on the fallback key (which could
+    attach a different row's payload). The fallback dim is deduped on the
+    fallback key (deterministic min over the payload struct) so a
+    duplicate fallback key cannot fan out rows.
+    """
+    pdim = dim.select(*primary, *payload).withColumn("_hit", F.lit(True))
+    hit = left.join(F.broadcast(pdim), primary, "left")
+    matched = hit.filter(F.col("_hit").isNotNull()).drop("_hit")
+    missed = hit.filter(F.col("_hit").isNull()).drop("_hit", *payload)
+    fdim = (
+        dim.groupBy(*fallback)
+        .agg(F.min(F.struct(*[F.col(c) for c in payload])).alias("_p"))
+        .select(*fallback, *[F.col(f"_p.{c}").alias(c) for c in payload])
+    )
+    rescued = missed.join(F.broadcast(fdim), fallback, "left")
     return matched.unionByName(rescued)
 
 
@@ -107,18 +121,50 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def _global_positions(df: DataFrame, order: list[str], col: str) -> DataFrame:
+    """Distributed global row-position over a TOTAL order (the ties-free
+    precondition is the caller's contract). The zipWithIndex idiom in pure
+    DataFrame ops: range-repartition on the order key (partition p holds
+    strictly smaller keys than p+1), rank locally per partition, then add
+    per-partition cumulative offsets (one bounded collect of partition
+    counts — never the rows). No single-partition exchange anywhere.
+
+    The ranged frame is persisted so the counts job and the ranked output
+    see the identical partition assignment."""
+    n = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    off, acc = {}, 0
+    for pid in sorted(counts):
+        off[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for kv in sorted(off.items()) for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order])
+    out = ranged.withColumn(
+        col, (omap[F.col("_pid")] + F.row_number().over(w)).cast("long")
+    ).drop("_pid")
+    return out
+
+
 def positional_zip_join(
     a: DataFrame, b: DataFrame, a_order: list[str], b_order: list[str]
 ) -> DataFrame:
     """J9/U4 — column-wise concat by row position (`custom_etl.py:304`,
     pandas ``concat(axis=1)``). The reference "assumes only 1 row" — a
-    documented fragility; here both sides get an explicit row_number over
-    a total order and join on it, so the operation is deterministic and
-    distributed (never zipWithIndex / driver-side)."""
-    wa = Window.orderBy(*[F.col(c) for c in a_order])
-    wb = Window.orderBy(*[F.col(c) for c in b_order])
-    an = a.withColumn("_rn", F.row_number().over(wa))
-    bn = b.withColumn("_rn", F.row_number().over(wb))
+    documented fragility; here each side gets a genuinely distributed
+    global position over a total order (range partition + local rank +
+    partition offsets — see `_global_positions`) and the sides equi-join
+    on it. No unpartitioned window, no single-partition exchange, no
+    driver materialization; plan-shape pinned by test."""
+    an = _global_positions(a, a_order, "_rn")
+    bn = _global_positions(b, b_order, "_rn")
     return an.join(bn, "_rn", "inner").drop("_rn")
 
 

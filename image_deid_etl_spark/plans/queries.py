@@ -642,6 +642,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(d, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
+_SIMHASH_FP_CTE = (
+    """
+  WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents
+  ),
+  tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+  agg AS (
+    SELECT doc_id,
+           """
+    + ",\n           ".join(
+        f"sum(CASE WHEN ascii(substring(md5(tok), {k + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(16)
+    )
+    + """
+    FROM tk GROUP BY doc_id
+  ),
+  fp AS (
+    SELECT doc_id, concat("""
+    + ", ".join(f"CASE WHEN v{k} > 0 THEN '1' ELSE '0' END" for k in range(16))
+    + """) AS simhash FROM agg
+  )
+"""
+)
+
+_SIMHASH_PAIRS_SQL = (
+    _SIMHASH_FP_CTE
+    + """,
+  banded AS (
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, concat('{b}|', substring(simhash, {b * 4 + 1}, 4)) AS band_key FROM fp"
+        for b in range(4)
+    )
+    + """
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM banded a JOIN banded c USING (band_key)
+    WHERE a.doc_id < c.doc_id
+  ),
+  scored AS (
+    SELECT id_a, id_b,
+           ("""
+    + " + ".join(
+        f"CASE WHEN substring(fa.simhash, {i + 1}, 1) <> substring(fb.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    + """)::INTEGER AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = cand.id_a
+    JOIN fp fb ON fb.doc_id = cand.id_b
+  )
+  SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 2
+  ORDER BY id_a, id_b
+"""
+)
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming-band bucket join (4 bands of 4
+    bits — exact recall for hamming <= 3) + exact hamming verification,
+    filtered to <= 2 differing bits."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        d, "doc_id", "text", bits=16, bands=4, max_hamming=2
+    ).orderBy("id_a", "id_b")
+
+
 _WINNOW_SQL = """
   WITH g AS (
     SELECT doc_id, pos, md5(substring(text, pos, 8)) AS ghash

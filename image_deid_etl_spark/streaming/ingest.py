@@ -22,6 +22,8 @@ Limitations vs the batch path (documented, by design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,6 +45,11 @@ def stream_ingest(
 ) -> None:
     """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch."""
     open_or_create_table(table_root, n_buckets)
+    # epoch ids are only meaningful within ONE checkpoint lineage: a fresh
+    # checkpoint dir restarts them at 0, so the guard below must key on the
+    # checkpoint identity too — otherwise pointing a new checkpoint at an
+    # existing table silently drops its first last_epoch+1 micro-batches.
+    ckpt_id = os.path.abspath(checkpoint_dir)
 
     src = (
         spark.readStream.schema(schema)
@@ -55,8 +62,10 @@ def stream_ingest(
         off = t.offsets()
         # epoch guard: foreachBatch may redeliver the last epoch after a
         # restart; skipping a committed epoch keeps the sink exactly-once
-        # even without relying on LWW idempotence.
-        if epoch_id <= off.get("last_epoch", -1):
+        # even without relying on LWW idempotence. Skip ONLY when the epoch
+        # comes from the same checkpoint lineage; a different checkpoint
+        # falls through to the merge, which LWW makes a harmless replay.
+        if off.get("stream_id") == ckpt_id and epoch_id <= off.get("last_epoch", -1):
             return
         if bdf.isEmpty():
             return
@@ -66,6 +75,7 @@ def stream_ingest(
             "max_seq_seen": max(off.get("max_seq_seen", 0), mx),
             "batch_id": off.get("batch_id", -1) + 1,
             "last_epoch": epoch_id,
+            "stream_id": ckpt_id,
         }
         merge_into(bdf.sparkSession, t, bdf, offsets=new_off, scrub=scrub)
 

@@ -1,0 +1,225 @@
+"""File-granular copy-on-write MERGE + compaction (lake/table.py, cdc/merge.py).
+
+The round-1 weakness: MERGE rewrote every file of a touched bucket, so
+multi-commit replays re-wrote the whole live table per commit. These tests
+pin the file-granular contract: a commit replaces ONLY files that actually
+hold a batch key; everything else survives by path, verbatim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.merge import merge_into
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+    ]
+    + SCHEMA.fields
+)
+
+
+def batch_df(spark, rows):
+    """rows: (seq, op, repo, path, content)"""
+    return spark.createDataFrame(rows, BATCH_SCHEMA)
+
+
+def offsets(n):
+    return {"committed_feed_files": n, "max_seq_seen": n * 1000, "batch_id": n - 1}
+
+
+def paths(t):
+    return {f["path"] for f in t.manifest()["files"]}
+
+
+def make_table(spark, tmp_path, n_buckets=4):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets)
+    return t
+
+
+def test_disjoint_key_commit_is_append_only(spark, tmp_path):
+    """New keys never rewrite existing files — the commit appends."""
+    t = make_table(spark, tmp_path)
+    b1 = batch_df(spark, [(i + 1, "add", "r", f"p{i}", "v1") for i in range(20)])
+    merge_into(spark, t, b1, offsets(1), scrub=False)
+    before = paths(t)
+    b2 = batch_df(spark, [(100 + i, "add", "r", f"q{i}", "v1") for i in range(20)])
+    merge_into(spark, t, b2, offsets(2), scrub=False)
+    after = paths(t)
+    assert before <= after, "existing files must be carried forward by path"
+    assert t.read(spark).count() == 40
+
+
+def test_update_rewrites_only_files_holding_the_key(spark, tmp_path):
+    """Three disjoint commits, then one key updated: exactly the one file
+    holding that key is replaced; every other file survives verbatim."""
+    t = make_table(spark, tmp_path)
+    for c, pref in enumerate(["a", "m", "z"]):
+        b = batch_df(
+            spark,
+            [(c * 100 + i + 1, "add", "r", f"{pref}{i}", "v1") for i in range(20)],
+        )
+        merge_into(spark, t, b, offsets(c + 1), scrub=False)
+    before = {f["path"]: f for f in t.manifest()["files"]}
+
+    upd = batch_df(spark, [(9999, "update", "r", "m3", "v2")])
+    merge_into(spark, t, upd, offsets(4), scrub=False)
+    after = paths(t)
+
+    gone = set(before) - after
+    assert len(gone) == 1, f"exactly one file should be replaced, got {gone}"
+    (victim,) = gone
+    # the victim really held the key (its range covers 'm3')
+    v = before[victim]
+    key = "r\x1fm3"
+    assert v["key_min"] <= key <= v["key_max"]
+    # state is correct: m3 updated, everything else intact
+    rows = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert rows["m3"] == "v2" and len(rows) == 60
+    assert all(v == "v1" for k, v in rows.items() if k != "m3")
+
+
+def test_manifest_key_ranges_present(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = batch_df(spark, [(i + 1, "add", "r", f"p{i}", "x") for i in range(10)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    for f in t.manifest()["files"]:
+        assert f["key_min"] is not None and f["key_max"] >= f["key_min"]
+
+
+def test_delete_tombstone_file_granular(spark, tmp_path):
+    """A delete rewrites only the victim's file; the tombstone is retained
+    physically and a late OLDER event cannot resurrect the key."""
+    t = make_table(spark, tmp_path)
+    b1 = batch_df(spark, [(i + 1, "add", "r", f"p{i}", "v1") for i in range(10)])
+    merge_into(spark, t, b1, offsets(1), scrub=False)
+    before = paths(t)
+    d = batch_df(spark, [(500, "delete", "r", "p3", None)])
+    merge_into(spark, t, d, offsets(2), scrub=False)
+    assert len(before - paths(t)) == 1
+    assert t.read(spark).filter(F.col("path") == "p3").count() == 0
+    # late older event for the deleted key: LWW must keep the tombstone
+    late = batch_df(spark, [(7, "update", "r", "p3", "ghost")])
+    merge_into(spark, t, late, offsets(3), scrub=False)
+    assert t.read(spark).filter(F.col("path") == "p3").count() == 0
+    assert t.read(spark).count() == 9
+
+
+def test_compaction_folds_files_and_preserves_state(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    for c in range(4):
+        b = batch_df(
+            spark,
+            [(c * 100 + i + 1, "add", "r", f"c{c}p{i}", f"v{c}") for i in range(16)],
+        )
+        merge_into(spark, t, b, offsets(c + 1), scrub=False)
+    d = batch_df(spark, [(999, "delete", "r", "c0p1", None)])
+    merge_into(spark, t, d, offsets(5), scrub=False)
+
+    m = t.manifest()
+    per_bucket: dict[int, int] = {}
+    for f in m["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values()) > 1, "setup should accumulate files"
+
+    state_before = sorted(
+        (r["repo"], r["path"], r["content"], r["commit_seq"])
+        for r in t.read(spark).collect()
+    )
+    raw_before = t.read_raw(spark).count()
+    off_before = t.offsets()
+
+    res = t.compact(spark, min_files_per_bucket=2)
+    assert res["files_after"] <= res["files_before"]
+
+    m2 = t.manifest()
+    per_bucket2: dict[int, int] = {}
+    for f in m2["files"]:
+        per_bucket2[f["bucket"]] = per_bucket2.get(f["bucket"], 0) + 1
+    assert max(per_bucket2.values()) == 1
+
+    state_after = sorted(
+        (r["repo"], r["path"], r["content"], r["commit_seq"])
+        for r in t.read(spark).collect()
+    )
+    assert state_after == state_before
+    assert t.read_raw(spark).count() == raw_before  # tombstones preserved
+    assert t.offsets() == off_before  # data-movement only
+    assert m2["snapshot_id"] == m["snapshot_id"] + 1
+
+
+def test_compaction_noop_below_threshold(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = batch_df(spark, [(1, "add", "r", "p", "x")])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    snap = t.snapshot_id
+    res = t.compact(spark, min_files_per_bucket=2)
+    assert res["compacted_buckets"] == []
+    assert t.snapshot_id == snap  # no empty commit
+
+
+def test_snapshots_ignores_orphan_tmp_manifests(spark, tmp_path):
+    """ADVICE fix: a crash-leftover manifest-N.json.tmp-<uuid> must neither
+    duplicate a snapshot id nor break expire_snapshots."""
+    t = make_table(spark, tmp_path)
+    b = batch_df(spark, [(1, "add", "r", "p", "x")])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    merge_into(
+        spark, t, batch_df(spark, [(2, "add", "r", "p2", "x")]), offsets(2), scrub=False
+    )
+    mdir = os.path.join(t.root, "_manifests")
+    m1 = os.path.join(mdir, "manifest-0000000001.json")
+    with open(m1) as f:
+        content = f.read()
+    with open(m1 + ".tmp-deadbeef", "w") as f:
+        f.write(content)
+    assert t.snapshots() == [0, 1, 2]
+    res = t.expire_snapshots(keep_last=1)
+    assert 1 in res["expired_snapshots"]  # no FileNotFoundError double-remove
+
+
+def test_update_heavy_replay_write_amplification(spark, tmp_path):
+    """The quantitative point of file-granular CoW: bytes written per
+    commit tracks the batch, not the table. An update of 1% of keys must
+    rewrite well under half the live files."""
+    t = make_table(spark, tmp_path, n_buckets=8)
+    b = batch_df(
+        spark, [(i + 1, "add", "r", f"k{i:05d}", "v" * 50) for i in range(2000)]
+    )
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    # spread adds over 3 more commits so buckets hold several files
+    for c in range(3):
+        more = batch_df(
+            spark,
+            [
+                (10_000 * (c + 1) + i, "add", "r", f"n{c}_{i:05d}", "w" * 50)
+                for i in range(2000)
+            ],
+        )
+        merge_into(spark, t, more, offsets(c + 2), scrub=False)
+    files_before = paths(t)
+    upd = batch_df(
+        spark, [(10**6 + i, "update", "r", f"k{i:05d}", "u" * 50) for i in range(20)]
+    )
+    merge_into(spark, t, upd, offsets(6), scrub=False)
+    replaced = files_before - paths(t)
+    assert len(replaced) < len(files_before) / 2
+    rows = t.read(spark)
+    assert rows.count() == 8000
+    assert rows.filter(F.col("content") == "u" * 50).count() == 20
