@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_winnowing",
+    "dedup_simhash_pairs",
     "knn_bruteforce_cosine",
     "knn_lsh_bucketed",
     "text_quality_scores",
@@ -96,20 +98,53 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_plus_cdc_replay",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "cdc_events": n_cdc,
-                "cdc_events_per_sec": round(eps, 1),
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_plus_cdc_replay",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cdc_events": n_cdc,
+        "cdc_events_per_sec": round(eps, 1),
+        "cpus": cpus,
+    }
+    prev = _previous_round()
+    if prev:
+        deltas = {
+            q: round(per_query[q] - prev["queries"][q], 3)
+            for q in per_query
+            if q in prev.get("queries", {})
+        }
+        out["vs_prev_round"] = {
+            "round_file": prev["_file"],
+            "query_sec_delta": deltas,  # negative = faster than last round
+            "cdc_eps_delta": round(eps - prev.get("cdc_events_per_sec", 0.0), 1),
+        }
+    print(json.dumps(out))
+
+
+def _previous_round() -> dict | None:
+    """Latest driver-recorded BENCH_r{N}.json, for per-query regression
+    visibility round over round. Single-run deltas on this host carry
+    ±2x noise — treat them as flags, not verdicts."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            d = json.load(f)
+        d["_file"] = os.path.basename(best)
+        return d
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

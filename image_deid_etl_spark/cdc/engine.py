@@ -30,6 +30,9 @@ TABLE_SCHEMA = T.StructType(
         T.StructField("commit", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("content", T.StringType(), True),
+        # JSON-sidecar analog (`custom_etl.py:346-359`): per-row key/value
+        # metadata; MERGE scrubs the known-PHI keys via map_filter
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -45,7 +48,9 @@ class IngestStats:
     batch_secs: list[float] = field(default_factory=list)
 
 
-def open_or_create_table(root: str, n_buckets: int | None = None) -> SnapshotTable:
+def open_or_create_table(
+    root: str, n_buckets: int | None = None, target_file_rows: int | None = None
+) -> SnapshotTable:
     """Open ``root``, creating it (n_buckets or 16) when absent.
 
     ``n_buckets=None`` means "unspecified" — only an EXPLICIT value that
@@ -64,7 +69,13 @@ def open_or_create_table(root: str, n_buckets: int | None = None) -> SnapshotTab
                 file=sys.stderr,
             )
         return table
-    return SnapshotTable.create(root, TABLE_SCHEMA, ["repo", "path"], n_buckets or 16)
+    return SnapshotTable.create(
+        root,
+        TABLE_SCHEMA,
+        ["repo", "path"],
+        n_buckets or 16,
+        target_file_rows or (1 << 19),
+    )
 
 
 def open_table(root: str) -> SnapshotTable:
@@ -94,10 +105,11 @@ def run_ingest(
     salt_partitions: int | None = None,
     max_batches: int | None = None,
     fail_before_commit_on_batch: int | None = None,
+    target_file_rows: int | None = None,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash."""
-    table = open_or_create_table(table_root, n_buckets)
+    table = open_or_create_table(table_root, n_buckets, target_file_rows)
     off0 = table.offsets()
     if off0.get("last_epoch") is not None and off0.get("committed_feed_files", 0) == 0:
         # the table was fed by the STREAMING path, whose file tracking

@@ -77,6 +77,18 @@ class FeedSpec:
     evolve_at: int | None = None  # seq >= this gains a `license` column
     n_files: int = 8
     content_repeat: int = 1  # ~multiply content size (realistic file bodies)
+    #: 0 = keys uniform over the whole universe (every batch touches every
+    #: file — the worst case for ANY copy-on-write format). > 0 = keys drawn
+    #: within ``locality * n_keys`` of the feed's progress frontier — the
+    #: realistic CDC shape (new keys onboard over time, updates hit recent
+    #: keys), where file-granular rewrite pays off. Out-of-order delivery is
+    #: then shuffled within delivery-chunk-sized blocks instead of globally
+    #: (a global shuffle would undo the temporal locality it models).
+    locality: float = 0.0
+    #: attach a map<string,string> sidecar (`meta`) per event, including the
+    #: known-PHI keys the MERGE must strip (custom_etl.py:348-349). Opt-in:
+    #: dict-building is a Python row loop, so huge bench feeds skip it.
+    with_meta: bool = False
 
 
 def _commit_ids(repo: pd.Series, path: pd.Series, seq: np.ndarray) -> np.ndarray:
@@ -118,7 +130,12 @@ def make_events(spec: FeedSpec) -> pd.DataFrame:
     key_lang = langs[ext_of_key]
 
     # --- op sequence (vectorized; first touch of a key is always `add`) ---
-    key_seq = rng.integers(0, k, size=n)
+    if spec.locality > 0:
+        frontier = (np.arange(n, dtype=np.int64) * k) // max(1, n)
+        w = max(1, int(spec.locality * k))
+        key_seq = np.clip(frontier - rng.integers(0, w + 1, size=n), 0, k - 1)
+    else:
+        key_seq = rng.integers(0, k, size=n)
     u = rng.random(n)
     op = np.where(u < spec.p_delete, "delete", np.where(u < spec.p_delete + spec.p_update, "update", "add"))
     first_touch = np.zeros(n, dtype=bool)
@@ -183,6 +200,27 @@ def make_events(spec: FeedSpec) -> pd.DataFrame:
     absent &= op == "delete"
     df.loc[absent, "path"] = "src/absent/" + df.loc[absent, "seq"].astype(str) + ".py"
 
+    if spec.with_meta:
+        # JSON-sidecar analog: 2 clean keys + 1-2 PHI keys per event; the
+        # engine's map_filter scrub must drop exactly the PHI ones.
+        ks = key_seq
+        ops = op
+        df["meta"] = [
+            None
+            if ops[i] == "delete"
+            else {
+                "kind": str(exts[ext_of_key[ks[i]]]),
+                "rev": str(int(seq[i]) % 13),
+                "StationName": f"scanner-{int(ks[i]) % 5}",
+                **(
+                    {"InstitutionName": "chop"}
+                    if ks[i] % 3 == 0
+                    else {}
+                ),
+            }
+            for i in range(n)
+        ]
+
     if spec.evolve_at is not None:
         lic = np.where(seq >= spec.evolve_at, "mit", None)
         df["license"] = lic
@@ -193,7 +231,17 @@ def make_events(spec: FeedSpec) -> pd.DataFrame:
         df = pd.concat([df, df.iloc[dup_idx]], ignore_index=True)
 
     if spec.shuffle:
-        df = df.sample(frac=1.0, random_state=spec.seed).reset_index(drop=True)
+        if spec.locality > 0:
+            # bounded out-of-order: permute within chunk-sized blocks
+            block = max(1, len(df) // max(1, spec.n_files))
+            idx = np.arange(len(df))
+            for b in range(0, len(df), block):
+                idx[b : b + block] = np.random.default_rng(spec.seed + b).permutation(
+                    idx[b : b + block]
+                )
+            df = df.iloc[idx].reset_index(drop=True)
+        else:
+            df = df.sample(frac=1.0, random_state=spec.seed).reset_index(drop=True)
     return df
 
 
@@ -216,6 +264,8 @@ def write_feed(out_dir: str, spec: FeedSpec) -> list[str]:
     for i, idx in enumerate(splits):
         chunk = df.iloc[idx]
         fields = list(base_fields)
+        if "meta" in chunk.columns:
+            fields.append(("meta", pa.map_(pa.string(), pa.string())))
         if "license" in chunk.columns:
             if chunk["license"].isna().all():
                 chunk = chunk.drop(columns=["license"])

@@ -59,7 +59,7 @@ from pyspark.sql import types as T
 import os
 
 from ..lake.table import SnapshotTable, bucket_expr, key_expr
-from .scrub import scrubbed
+from .scrub import scrub_meta, scrubbed
 from .skew import salted_repartition
 
 ENVELOPE_COLS = {"seq", "op", "ts"}
@@ -196,7 +196,7 @@ def merge_into(
     )
     old_schema = table.schema()
     new_schema = table.evolved_schema(data_schema)
-    evolved = len(new_schema.fields) != len(old_schema.fields)
+    evolved = new_schema != old_schema  # column adds AND type widening
 
     scrub_before_resolve = False
     if salt_partitions:
@@ -237,28 +237,58 @@ def merge_into(
             for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
         }
     # -- file-granular copy-on-write: only files holding a batch key ------
+    t_match0 = time.time()
     matched_abs, matched_rel = _match_files(spark, table, incoming, touched, key_ranges)
+    t_match = time.time() - t_match0
+    # Every row carries a file-group tag so the rewrite PRESERVES file
+    # cohorts (Iceberg-style): a matched file's rows are rewritten into
+    # their own output file(s); brand-new keys go to a per-bucket "new"
+    # file. Pooling history into one per-bucket file would re-mix cohorts
+    # every commit and make the next hot key-window match everything —
+    # cohort preservation is what bounds rewrite cost by update locality
+    # instead of table size. crc32(file path) is only a grouping id;
+    # a collision merely merges two cohorts (harmless).
     if matched_abs:
         existing = spark.read.schema(table._read_schema()).parquet(*matched_abs)
     else:
         existing = spark.createDataFrame([], table._read_schema())
+    existing = existing.withColumn("_fg", F.crc32(F.input_file_name()).cast("long"))
     for f in new_schema.fields:  # align evolved columns
         if f.name not in existing.columns:
             existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
-    order = [f.name for f in new_schema.fields] + ["commit_seq", "_deleted", "_bucket", "_key"]
+    order = [f.name for f in new_schema.fields] + [
+        "commit_seq", "_deleted", "_bucket", "_key", "_fg",
+    ]
     existing = existing.select(*order)
-    incoming_o = incoming.select(*order)
+    incoming_o = incoming.withColumn("_fg", F.lit(None).cast("long")).select(*order)
 
     # -- single LWW window: within-batch AND vs stored state (shuffle 1) --
-    merged = resolve_lww(existing.unionByName(incoming_o), key_cols, "commit_seq")
+    # The winner adopts its key's existing cohort (max _fg over the key's
+    # rows — same window partitioning as the LWW rank, so ONE exchange
+    # serves both); keys with no stored row fall to the "new" cohort (-1).
+    both = existing.unionByName(incoming_o)
+    w_rank = Window.partitionBy(*key_cols).orderBy(F.col("commit_seq").desc())
+    w_all = Window.partitionBy(*key_cols)
+    merged = (
+        both.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_kfg", F.max("_fg").over(w_all))
+        .filter(F.col("_rn") == 1)
+        .withColumn("_fg", F.coalesce(F.col("_kfg"), F.lit(-1)))
+        .drop("_rn", "_kfg")
+    )
 
     # -- vectorized scrub on winners only (idempotent on stored rows) -----
     if scrub and not scrub_before_resolve and "content" in merged.columns:
         merged = merged.withColumn("content", scrubbed(F.col("content")))
+    if scrub and "meta" in merged.columns:
+        # sidecar PHI-key deletion (map_filter, JVM-side; custom_etl.py:346)
+        merged = merged.withColumn("meta", scrub_meta(F.col("meta")))
 
     # -- copy-on-write rewrite of touched buckets (shuffle 2) -------------
     snap_id = table.snapshot_id + 1
+    t_write0 = time.time()
     entries = table.write_snapshot_files(merged, snap_id)
+    t_write = time.time() - t_write0
 
     if fail_before_commit:
         raise SimulatedCrash("crash injected between apply and commit")
@@ -271,4 +301,9 @@ def merge_into(
         schema=new_schema if evolved else None,
         started_at=started,
         expected_parent=parent_snapshot,
+        lineage_extra={
+            "match_sec": round(t_match, 3),
+            "write_sec": round(t_write, 3),
+            "files_replaced": len(matched_rel),
+        },
     )

@@ -21,7 +21,7 @@ import hashlib
 
 import pandas as pd
 
-from .scrub import scrub_series
+from .scrub import scrub_meta_pandas, scrub_series
 
 DATA_COLS = ["repo", "path", "commit", "lang", "content"]
 
@@ -38,6 +38,8 @@ def fold_feed(events: pd.DataFrame) -> pd.DataFrame:
     last = ev.drop_duplicates(subset=["repo", "path"], keep="last")
     live = last[last["op"] != "delete"].copy()
     live["content"] = scrub_series(live["content"].astype("string")).astype(object)
+    if "meta" in live.columns:
+        live["meta"] = scrub_meta_pandas(live["meta"])
     extra = [c for c in events.columns if c not in DATA_COLS + ["seq", "op", "ts"]]
     cols = DATA_COLS + ["seq"] + extra
     out = live[cols].rename(columns={"seq": "commit_seq"})

@@ -83,6 +83,43 @@ def duckdb_scrub_expr(col: str = "content") -> str:
     return expr
 
 
+#: sidecar keys the reference strips from every JSON sidecar
+#: (`custom_etl.py:348-349` fields_to_remove) — P13's literal semantic.
+PHI_META_KEYS = [
+    "DeviceSerialNumber",
+    "ImageComments",
+    "InstitutionAddress",
+    "InstitutionalDepartmentName",
+    "InstitutionName",
+    "ProcedureStepDescription",
+    "ProtocolName",
+    "StationName",
+]
+
+
+def scrub_meta(col: Column) -> Column:
+    """Drop the known-PHI keys from a ``map<string,string>`` sidecar column
+    — the reference's `delete_json_field` loop (`custom_etl.py:340-359`) as
+    a single JVM `map_filter` lambda (no Python, no explode). Null maps
+    pass through (delete events). Idempotent by construction."""
+    keys = [F.lit(k) for k in PHI_META_KEYS]
+    return F.map_filter(col, lambda k, _v: ~k.isin(*keys))
+
+
+def scrub_meta_pandas(s: "pd.Series") -> "pd.Series":
+    """The identical transform for the pandas oracle fold (`cdc/oracle.py`).
+    Accepts dicts or (key, value)-tuple lists (pyarrow's map repr)."""
+    drop = set(PHI_META_KEYS)
+
+    def fix(m):
+        if m is None or (isinstance(m, float)):
+            return None
+        items = m.items() if isinstance(m, dict) else m
+        return {k: v for k, v in items if k not in drop}
+
+    return s.map(fix)
+
+
 def scrubbed_native(col: Column) -> Column:
     """JVM-native scrub (no Python at all) — chained regexp_replace.
 

@@ -114,8 +114,20 @@ class SnapshotTable:
         schema: T.StructType,
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
+        target_file_rows: int = 1 << 19,
     ) -> "SnapshotTable":
-        """Initialize an empty table (snapshot 0, no data files)."""
+        """Initialize an empty table (snapshot 0, no data files).
+
+        ``target_file_rows`` caps rows per data file: within a bucket the
+        writer emits key-SORTED chunks of at most this many rows, so a
+        bucket's key space is covered by several key-clustered files
+        rather than one ever-growing one. That is what makes the
+        file-granular rewrite converge: a workload whose updates cluster
+        (temporally local keys) keeps matching only the files holding the
+        hot range, while cold ranges settle into files that are carried
+        forward untouched. At 100 TB you would size this by bytes
+        (~128-512 MB per file); rows are the knob Spark's writer exposes
+        (``maxRecordsPerFile``)."""
         key_cols = key_cols or ["repo", "path"]
         os.makedirs(os.path.join(root, MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(root, LINEAGE), exist_ok=True)
@@ -130,6 +142,7 @@ class SnapshotTable:
                 "kind": "hash_bucket",
                 "columns": key_cols,
                 "n_buckets": n_buckets,
+                "target_file_rows": target_file_rows,
             },
             "files": [],
             "offsets": {"committed_feed_files": 0, "max_seq_seen": 0, "batch_id": -1},
@@ -197,6 +210,9 @@ class SnapshotTable:
     def n_buckets(self) -> int:
         return self.manifest()["partition_spec"]["n_buckets"]
 
+    def target_file_rows(self) -> int:
+        return self.manifest()["partition_spec"].get("target_file_rows", 1 << 19)
+
     def snapshots(self) -> list[int]:
         """COMMITTED snapshot ids only. A manifest file written just before
         a crash (pointer never swapped) has id > current and is excluded —
@@ -219,22 +235,36 @@ class SnapshotTable:
     # schema evolution
     # ------------------------------------------------------------------ #
     def evolved_schema(self, incoming: T.StructType) -> T.StructType:
-        """Current schema + any new incoming columns (appended, nullable).
+        """Current schema + new incoming columns (appended, nullable) +
+        safe numeric TYPE WIDENING (byte→short→int→long, float→double).
 
-        Type conflicts are rejected (no implicit type widening in v1);
-        column *adds* are the evolution the north rule requires.
+        Widening is read-compatible without rewriting old files: Spark's
+        Parquet reader up-casts a narrower physical type under a wider
+        read schema (verified on this Spark version by
+        `tests/test_schema_evolution.py`). A NARROWER incoming type keeps
+        the table's type (the merge casts the batch up). Anything else —
+        e.g. string vs int — is a genuine conflict and is rejected loudly.
         """
         cur = self.schema()
         names = {f.name for f in cur.fields}
         fields = list(cur.fields)
         for f in incoming.fields:
+            if isinstance(f.dataType, T.NullType):
+                continue  # all-null batch column carries no type evidence
             if f.name in names:
-                cf = cur[f.name].dataType
-                if cf != f.dataType and not isinstance(f.dataType, T.NullType):
+                i = next(j for j, cf in enumerate(fields) if cf.name == f.name)
+                cf = fields[i]
+                if cf.dataType == f.dataType:
+                    continue
+                widened = _widen(cf.dataType, f.dataType)
+                if widened is None:
                     raise ValueError(
-                        f"schema conflict on {f.name}: table={cf}, incoming={f.dataType}"
+                        f"schema conflict on {f.name}: table={cf.dataType}, "
+                        f"incoming={f.dataType}"
                     )
-            elif not isinstance(f.dataType, T.NullType):
+                if widened != cf.dataType:
+                    fields[i] = T.StructField(f.name, widened, cf.nullable)
+            else:
                 fields.append(T.StructField(f.name, f.dataType, True))
         return T.StructType(fields)
 
@@ -280,9 +310,10 @@ class SnapshotTable:
         """Write new data files for a snapshot; return manifest file entries.
 
         ``df`` must contain the full read-schema (table + engine cols) with
-        ``_bucket`` populated. One Parquet file per bucket per commit — at
-        100 TB you would raise n_buckets so the copy-on-write rewrite unit
-        stays ~file-sized; AQE coalescing keeps small buckets cheap here.
+        ``_bucket`` populated. Within each bucket the rows are sorted by
+        the canonical ``_key`` and chunked into files of at most
+        ``target_file_rows`` rows — key-clustered files with tight
+        ``key_min``/``key_max`` stats, the unit of copy-on-write rewrite.
 
         The directory carries a per-ATTEMPT uuid, not just the snapshot id:
         two racing writers would otherwise both target ``snap-N`` and the
@@ -296,11 +327,14 @@ class SnapshotTable:
         out = os.path.join(self.root, rel)
         if "_key" not in df.columns:
             df = df.withColumn("_key", key_expr(self.key_cols()))
+        if "_fg" not in df.columns:
+            df = df.withColumn("_fg", F.lit(-1).cast("long"))
         (
             df.withColumn("_pb", F.col("_bucket"))
             .repartition(self.n_buckets(), F.col("_bucket"))
-            .sortWithinPartitions(*self.key_cols())
-            .write.partitionBy("_pb")
+            .sortWithinPartitions("_fg", "_key")
+            .write.partitionBy("_pb", "_fg")
+            .option("maxRecordsPerFile", self.target_file_rows())
             .mode("overwrite")
             .parquet(out)
         )
@@ -310,7 +344,11 @@ class SnapshotTable:
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, fn)
-                bucket = int(os.path.basename(dirpath).split("=")[1])
+                bucket = next(
+                    int(part.split("=")[1])
+                    for part in dirpath.split(os.sep)
+                    if part.startswith("_pb=")
+                )
                 meta = pq.ParquetFile(full).metadata
                 seq_min, seq_max = _col_range(meta, "commit_seq")
                 key_min, key_max = _col_range(meta, "_key")
@@ -499,6 +537,18 @@ class SnapshotTable:
             with open(os.path.join(ldir, fn)) as f:
                 out.append(json.load(f))
         return out
+
+
+_INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FLOAT_ORDER = [T.FloatType(), T.DoubleType()]
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types along a safe widening chain; None = conflict."""
+    for order in (_INT_ORDER, _FLOAT_ORDER):
+        if a in order and b in order:
+            return order[max(order.index(a), order.index(b))]
+    return None
 
 
 def _col_range(meta, col: str):

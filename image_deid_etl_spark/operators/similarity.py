@@ -49,15 +49,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 def _centroid_dist_structs(vec: Column, centroids: list[list[float]]) -> list[Column]:
     """(squared-distance, index) structs for every centroid — struct
-    ordering compares distance first, so least()/array_sort() give argmin."""
+    ordering compares distance first, so least()/array_sort() give argmin.
+
+    The distance uses the dot-product identity
+    ``|v−c|² = v·v − 2·v·c + c·c`` with each dot a sequential fold — the
+    exact floating-point structure DuckDB's `list_dot_product` reproduces,
+    which is what lets `knn_ivf` carry a bit-exact SQL oracle."""
+    vv = _dot(vec, vec)
     out = []
     for i, c in enumerate(centroids):
         arr = F.array(*[F.lit(x) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        cc = sum(x * x for x in c)
+        d = vv - F.lit(2.0) * _dot(vec, arr) + F.lit(cc)
         out.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     return out
 
@@ -207,31 +210,77 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def lsh_bucket_banded(vec: Column, dim: int, n_planes: int, band: int) -> Column:
+    """Band `band`'s sign-bit bucket: planes ``band*n_planes ..`` — each
+    band sees an independent set of hyperplanes (OR-amplification)."""
+    bits = []
+    for p in range(n_planes):
+        coeffs = _hyperplane(band * n_planes + p, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coeffs]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(F.lit(f"{band}|"), *bits)
+
+
 def lsh_bucketed_knn(
     items: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int = 12,
     k: int = 5,
+    n_bands: int = 3,
 ) -> DataFrame:
-    """Approximate all-pairs kNN: bucket by LSH signature, rank within
-    bucket. Equi-join on bucket replaces the cross join — the shuffle key
-    is the bucket id, and AQE splits any hot bucket."""
-    from pyspark.sql import Window
+    """Approximate all-pairs kNN with banded sign-bit LSH.
 
-    b = items.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
-    )
-    a = b.alias("a")
-    c = b.alias("c")
-    scored = (
+    Scale shape (the standard LSH recall/cost dial, mirroring the MinHash
+    band join in `dedup.py`):
+
+    * ``n_planes`` bits per band keep each band's bucket occupancy small —
+      the within-bucket candidate join is quadratic in occupancy, so MORE
+      planes = 2^n_planes buckets = bounded fanout (round 1's single
+      6-plane table was flagged: 64 buckets over the whole corpus is a
+      hot-bucket blowup at 100 TB);
+    * ``n_bands`` independent plane sets OR-amplify recall: a true
+      neighbor pair is found if ANY band agrees on all its bits.
+
+    Candidates are the distinct union of per-band equi-joins (bucketed,
+    never all-pairs; AQE splits residual hot buckets), then exact cosine
+    ranks the top-k.
+    """
+    banded = None
+    for b in range(n_bands):
+        part = items.select(
+            F.col(id_col),
+            lsh_bucket_banded(F.col(vec_col), dim, n_planes, b).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
         a.join(c, on="bucket")
         .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"c.{id_col}").alias("neighbor_id"),
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("_cos"),
+        )
+        .distinct()
+    )
+    va = items.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_va"))
+    vb = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_cos"),
         )
     )
     return _rank_topk(scored, k)

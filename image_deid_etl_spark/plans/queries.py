@@ -770,21 +770,39 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_knn_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+def _band_bucket_sql(dim: int, n_planes: int, band: int) -> str:
+    """DuckDB mirror of `similarity.lsh_bucket_banded`."""
     bit_cases = []
     for p in range(n_planes):
-        coeffs = similarity._hyperplane(p, dim)
+        coeffs = similarity._hyperplane(band * n_planes + p, dim)
         arr = "[" + ", ".join(repr(c) for c in coeffs) + "]"
         bit_cases.append(
             f"CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END"
         )
-    bucket = "concat(" + ", ".join(bit_cases) + ")"
+    return f"concat('{band}|', " + ", ".join(bit_cases) + ")"
+
+
+def _lsh_knn_sql(dim: int = 64, n_planes: int = 8, n_bands: int = 2, k: int = 5) -> str:
+    banded = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {_band_bucket_sql(dim, n_planes, b)} AS bucket FROM e"
+        for b in range(n_bands)
+    )
     return f"""
   WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-  bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+  banded AS (
+    {banded}
+  ),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM banded a JOIN banded c USING (bucket)
+    WHERE a.vec_id <> c.vec_id
+  ),
   s AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+    SELECT query_id, neighbor_id,
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM cand JOIN e a ON a.vec_id = cand.query_id
+              JOIN e b ON b.vec_id = cand.neighbor_id
   )
   SELECT query_id, neighbor_id, rank FROM (
     SELECT query_id, neighbor_id,
@@ -797,11 +815,13 @@ def _lsh_knn_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
 
 @register("knn_lsh_bucketed", _lsh_knn_sql())
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: sign-bit LSH buckets; equi-join replaces cross join."""
+    """ANN scale path: banded sign-bit LSH (8 planes x 2 OR-amplified
+    bands — 256 buckets per band bound the candidate fanout; any-band
+    agreement recovers recall); equi-join replaces cross join."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_knn(e, "vec_id", "embedding", dim=64, n_planes=6, k=5).orderBy(
-        "query_id", "rank"
-    )
+    return similarity.lsh_bucketed_knn(
+        e, "vec_id", "embedding", dim=64, n_planes=8, k=5, n_bands=2
+    ).orderBy("query_id", "rank")
 
 
 def _embed_dup_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.25) -> str:
@@ -847,16 +867,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf")  # rows-only: iterative k-means isn't robustly SQL-expressible
+_IVF_SQL = """
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS c
+    FROM e ORDER BY vec_id LIMIT 8
+  ),
+  dist AS (
+    -- |v-c|^2 via the dot identity: the exact fold structure the engine
+    -- uses, so argmin ties break identically
+    SELECT e.vec_id, e.v, cents.ci,
+           list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cents.c)
+           + list_dot_product(cents.c, cents.c) AS d
+    FROM e CROSS JOIN cents
+  ),
+  assigned AS (
+    SELECT vec_id, v, ci FROM (
+      SELECT vec_id, v, ci,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+      FROM dist
+    ) WHERE rn = 1
+  ),
+  probes AS (
+    SELECT vec_id AS query_id, v AS qv, ci AS cell FROM (
+      SELECT vec_id, v, ci,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+      FROM dist WHERE vec_id < 10
+    ) WHERE rn <= 3
+  ),
+  s AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_dot_product(p.qv, a.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+    FROM probes p JOIN assigned a ON a.ci = p.cell AND a.vec_id <> p.query_id
+  )
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("knn_ivf", _IVF_SQL)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, n_probe cells per query) —
-    the third ANN path alongside brute force and LSH. Rows-only check:
-    float mean accumulation order makes a bit-exact SQL oracle fragile;
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    """IVF ANN (coarse quantizer, n_probe cells per query) — the third ANN
+    path alongside brute force and LSH. The catalog query pins the
+    quantizer to the deterministic init (n_iters=0: centroids are the 8
+    lowest-id vectors verbatim) so a bit-exact DuckDB oracle exists; the
+    Lloyd-iteration path (n_iters>0) is exercised by the recall-vs-brute-
+    force assertion in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.ivf_knn(
-        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=3
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=3, n_iters=0
     ).orderBy("query_id", "rank")
 
 
@@ -1263,3 +1328,306 @@ def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.sum(_dec("value")).over(w).cast("double").alias("running_value")
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------- #
+# Round-2 oracle coverage: operators previously verified only by pytest
+# (VERDICT r01 "What's missing" #2) — J2/U2, J9/U4, J10, F8, P9/P10/P12/P15,
+# S6+A4, S8(min_by form), A5.
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "coalesce_enrich_fallback",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_custkey % 100 AS custmod, c_mktsegment
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    hit AS (
+      SELECT o.o_orderkey, o.o_custkey % 100 AS custmod, d.c_mktsegment,
+             d.c_custkey IS NOT NULL AS matched
+      FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+    ),
+    fdim AS (SELECT custmod, min(c_mktsegment) AS seg FROM dim GROUP BY custmod)
+    SELECT o_orderkey, c_mktsegment AS segment FROM hit WHERE matched
+    UNION ALL
+    SELECT h.o_orderkey, f.seg AS segment
+    FROM hit h LEFT JOIN fdim f USING (custmod) WHERE NOT h.matched
+    ORDER BY o_orderkey
+    """,
+)
+def coalesce_enrich_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/U2 — primary-key enrich with fallback-key rescue for the misses,
+    union of the two join passes (`custom_etl.py:296-301`). A third of the
+    dim is withheld so the fallback path genuinely fires."""
+    from ..operators.relational import coalesce_key_enrich
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("o_custkey") % 100).alias("custmod"),
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", (F.col("c_custkey") % 100).alias("custmod"), "c_mktsegment")
+    )
+    return (
+        coalesce_key_enrich(o, dim, ["c_custkey"], ["custmod"], ["c_mktsegment"])
+        .select("o_orderkey", F.col("c_mktsegment").alias("segment"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "zip_positional_ranks",
+    """
+    WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation),
+    b AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+          FROM customer WHERE c_custkey < 25)
+    SELECT a.n_name, b.c_custkey FROM a JOIN b USING (rn) ORDER BY n_name
+    """,
+)
+def zip_positional_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/U4 — positional column-wise concat (pandas ``concat(axis=1)``,
+    `custom_etl.py:304`) via the distributed zip (range partition + local
+    rank + partition offsets; plan-shape pinned by test)."""
+    from ..operators.relational import positional_zip_join
+
+    a = _t(spark, sf_dir, "nation").select("n_name")
+    b = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 25).select("c_custkey")
+    return positional_zip_join(a, b, ["n_name"], ["c_custkey"]).orderBy("n_name")
+
+
+@register(
+    "map_lookup_segment_code",
+    """
+    SELECT c_custkey,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'BLD'
+                             WHEN 'AUTOMOBILE' THEN 'AUT'
+                             WHEN 'MACHINERY' THEN 'MCH'
+                             ELSE 'OTH' END AS seg_code
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def map_lookup_segment_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — broadcast dict lookup as a `create_map` literal (the
+    diagnosis-mapping JSON, `custom_etl.py:422`); misses default via
+    coalesce."""
+    from ..operators.relational import map_literal_lookup
+
+    c = _t(spark, sf_dir, "customer")
+    mapped = map_literal_lookup(
+        c, "c_mktsegment",
+        {"BUILDING": "BLD", "AUTOMOBILE": "AUT", "MACHINERY": "MCH"},
+        "seg_code",
+    )
+    return mapped.select(
+        "c_custkey", F.coalesce(F.col("seg_code"), F.lit("OTH")).alias("seg_code")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "missing_value_split",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props_n
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN props_n IS NULL THEN 'missed' ELSE 'matched' END AS side,
+           count(*) AS n
+    FROM ev GROUP BY event_type, side ORDER BY event_type, side
+    """,
+)
+def missing_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — missing-value split: route rows into matched/missed branches
+    on field presence (`custom_etl.py:296-301` hit/miss partition), then
+    summarize both branches."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props_n",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("props")),
+    )
+    matched = ev.filter(F.col("props_n").isNotNull()).withColumn("side", F.lit("matched"))
+    missed = ev.filter(F.col("props_n").isNull()).withColumn("side", F.lit("missed"))
+    return (
+        matched.unionByName(missed)
+        .groupBy("event_type", "side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "side")
+    )
+
+
+@register(
+    "scalar_fixups_suite",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_brand || '''' || p_name, '''', '_', 'g') AS cleaned,
+           CASE WHEN p_size % 3 = 0 THEN ' ' ELSE p_brand END AS fixed,
+           CASE WHEN p_size % 2 = 0 THEN p_name ELSE p_name || ' EST' END AS tz_stripped,
+           CASE WHEN p_size % 5 = 0
+                THEN try_strptime(p_type, '%Y-%m-%d') IS NOT NULL
+                ELSE try_strptime(
+                       '20' || lpad(CAST(p_size % 30 + 1 AS VARCHAR), 2, '0')
+                            || '-03-' || lpad(CAST(p_size % 28 + 1 AS VARCHAR), 2, '0'),
+                       '%Y-%m-%d') IS NOT NULL
+           END AS is_dt
+    FROM part ORDER BY p_partkey
+    """,
+)
+def scalar_fixups_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10/P12/P15 — the remaining scalar fixups as one projection
+    suite: quote scrubbing, empty-sentinel fix, tz-suffix strip, is_date
+    try-parse (`custom_etl.py:328-330,557,625-682,611-623`)."""
+    from ..functions import empty_sentinel_fix, is_date, scrub_quotes, strip_tz_suffix
+
+    p = _t(spark, sf_dir, "part")
+    sentinel_src = F.when(F.col("p_size") % 3 == 0, F.lit("[]")).otherwise(F.col("p_brand"))
+    tz_src = F.when(
+        F.col("p_size") % 2 == 0, F.concat(F.col("p_name"), F.lit(":EDT"))
+    ).otherwise(F.concat(F.col("p_name"), F.lit(" EST")))
+    date_src = F.when(F.col("p_size") % 5 == 0, F.col("p_type")).otherwise(
+        F.concat(
+            F.lit("20"),
+            F.lpad((F.col("p_size") % 30 + 1).cast("string"), 2, "0"),
+            F.lit("-03-"),
+            F.lpad((F.col("p_size") % 28 + 1).cast("string"), 2, "0"),
+        )
+    )
+    return p.select(
+        "p_partkey",
+        scrub_quotes(F.concat(F.col("p_brand"), F.lit("'"), F.col("p_name"))).alias("cleaned"),
+        empty_sentinel_fix(sentinel_src).alias("fixed"),
+        strip_tz_suffix(tz_src).alias("tz_stripped"),
+        is_date(date_src).alias("is_dt"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "csv_dim_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def csv_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A4 — the CSV dimension source end to end: write the nation dim
+    out as CSV WITH duplicated rows, read it back through the broadcast
+    CSV reader (header, explicit schema, key dedup — duplicates are exact
+    row copies, so the dedup pick is deterministic), and verify the round
+    trip reproduces the table (`main_pipeline.py:31`,
+    `external_data_handling.py:9`)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.readers import read_broadcast_dim_csv
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = os.path.join(
+        tempfile.gettempdir(), f"csvdim_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    nat.unionByName(nat).coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    df = read_broadcast_dim_csv(spark, out, dedup_cols=["n_nationkey"], schema=schema)
+    return df.orderBy("n_nationkey")
+
+
+@register(
+    "first_nonnull_minby",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props_n,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_n
+      FROM events
+    )
+    SELECT user_id,
+           arg_min(props_n, event_id) FILTER (WHERE props_n IS NOT NULL) AS props_n,
+           arg_min(value_n, event_id) FILTER (WHERE value_n IS NOT NULL) AS value_n
+    FROM ev GROUP BY user_id ORDER BY user_id
+    """,
+)
+def first_nonnull_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A3 (min_by form) — first non-null value per group by a
+    deterministic order key, as a partial-aggregating min_by (the
+    early-exit tag scan, `custom_etl.py:198-239`)."""
+    from ..operators.relational import first_non_null_per_group
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "props_n",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("props")),
+        )
+        .withColumn(
+            "value_n",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")),
+        )
+    )
+    return first_non_null_per_group(
+        ev, ["user_id"], ["event_id"], ["props_n", "value_n"]
+    ).orderBy("user_id")
+
+
+@register(
+    "ingest_gate_counts",
+    """
+    SELECT event_type, count(*) AS n, count(*) > 0 AS nonempty
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ingest_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — count/emptiness gating summary (the engine's per-batch gate,
+    `cdc/engine.py`; reference `__main__.py:126-127`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), (F.count(F.lit(1)) > 0).alias("nonempty"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "map_props_filtered",
+    """
+    SELECT event_id, k AS key, val FROM (
+      SELECT event_id, 'k' AS k, json_extract_string(props, '$.k') AS val FROM events
+      UNION ALL SELECT event_id, 'user', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT event_id, 'etype', event_type FROM events
+    ) ORDER BY event_id, k
+    """,
+)
+def map_props_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 map surface — the sidecar-map pipeline end to end: parse the
+    JSON props into map<string,string> (`from_json`), enrich via
+    `map_concat`, drop blocklisted keys via `map_filter` (the reference's
+    sidecar-key deletion, `custom_etl.py:340-359`), and explode to sorted
+    (key, value) rows the oracle can hash."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    m0 = F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
+    m = F.map_concat(
+        m0,
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("secret"), F.lit("s3cr3t"),
+            F.lit("etype"), F.col("event_type"),
+        ),
+    )
+    mf = F.map_filter(m, lambda k, _v: ~k.isin("secret", "password"))
+    return (
+        ev.select("event_id", F.explode(mf).alias("key", "val"))
+        .orderBy("event_id", "key")
+    )

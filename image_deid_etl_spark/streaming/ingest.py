@@ -13,9 +13,10 @@ Also provides the watermarked tumbling-window aggregation
 (`hourly_counts_stream`) for late-data-tolerant ingest metrics.
 
 Limitations vs the batch path (documented, by design):
-* the file source needs a fixed schema up front, so mid-feed column adds
-  require restarting the stream with the evolved schema (the batch path
-  evolves in-flight);
+* the file source needs a fixed schema per RUN: mid-feed column adds are
+  picked up at the next (re)start — `stream_ingest` infers the union of
+  the feed's file footers (`infer_feed_schema`) so an evolved feed needs
+  no manual schema and no replay (the batch path evolves in-flight);
 * `run_ingest`'s crash-injection knobs don't apply — Spark's own
   checkpoint handles resume.
 """
@@ -33,18 +34,46 @@ from ..cdc.feed import FEED_SCHEMA
 from ..cdc.merge import merge_into
 
 
+def infer_feed_schema(
+    spark: SparkSession, feed_dir: str, base: T.StructType = FEED_SCHEMA
+) -> T.StructType:
+    """Union of the base feed schema and any columns present in the feed's
+    Parquet footers (a mergeSchema footer scan — metadata only, no data
+    read). Run at stream (re)start: columns added mid-feed surface with
+    nulls for pre-evolution files, exactly like the batch path. Base
+    types win on name collision (the feed cannot retype envelope columns
+    under a running stream)."""
+    try:
+        seen = spark.read.option("mergeSchema", "true").parquet(feed_dir).schema
+    except Exception:  # empty dir — nothing beyond the base schema yet
+        return base
+    names = {f.name for f in base.fields}
+    extra = [
+        T.StructField(f.name, f.dataType, True)
+        for f in seen.fields
+        if f.name not in names and not isinstance(f.dataType, T.NullType)
+    ]
+    return T.StructType(list(base.fields) + extra)
+
+
 def stream_ingest(
     spark: SparkSession,
     table_root: str,
     feed_dir: str,
     checkpoint_dir: str,
-    schema: T.StructType = FEED_SCHEMA,
+    schema: T.StructType | None = None,
     n_buckets: int = 16,
     scrub: bool = True,
     max_files_per_trigger: int = 4,
 ) -> None:
-    """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch."""
+    """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch.
+
+    ``schema=None`` (default) infers the evolved union schema from the
+    feed's footers at start — restarting after a mid-feed column add
+    picks the new column up without replay."""
     open_or_create_table(table_root, n_buckets)
+    if schema is None:
+        schema = infer_feed_schema(spark, feed_dir)
     # epoch ids are only meaningful within ONE checkpoint lineage: a fresh
     # checkpoint dir restarts them at 0, so the guard below must key on the
     # checkpoint identity too — otherwise pointing a new checkpoint at an

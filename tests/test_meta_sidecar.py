@@ -1,0 +1,81 @@
+"""MapType sidecar (`meta map<string,string>`) through the full MERGE path.
+
+Reference P13 literal semantic: the sidecar-key deletion loop
+(`custom_etl.py:340-359`) — here a single JVM `map_filter` inside the MERGE,
+verified against the pandas oracle fold.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.oracle import fold_feed
+from image_deid_etl_spark.cdc.scrub import PHI_META_KEYS
+
+
+@pytest.fixture(scope="module")
+def meta_table(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("meta")
+    spec = FeedSpec(n_events=3000, n_keys=250, skew=0.4, dup_frac=0.05, with_meta=True)
+    feed = str(root / "feed")
+    write_feed(feed, spec)
+    table_root = str(root / "table")
+    run_ingest(spark, table_root, feed, max_files_per_batch=3)
+    return open_table(table_root), spec
+
+
+def test_meta_is_map_type_in_table_schema(meta_table, spark):
+    t, _ = meta_table
+    assert t.schema()["meta"].dataType.simpleString() == "map<string,string>"
+
+
+def test_phi_keys_stripped_clean_keys_kept(meta_table, spark):
+    t, _ = meta_table
+    rows = t.read(spark).filter("meta IS NOT NULL").collect()
+    assert rows, "live rows should carry meta"
+    phi = set(PHI_META_KEYS)
+    for r in rows:
+        keys = set(r["meta"].keys())
+        assert not (keys & phi), f"PHI keys survived: {keys & phi}"
+        assert "kind" in keys and "rev" in keys  # clean keys intact
+
+
+def test_meta_matches_pandas_oracle(meta_table, spark):
+    t, spec = meta_table
+    expected = fold_feed(make_events(spec))
+    exp = {
+        (r.repo, r.path): r.meta
+        for r in expected.itertuples()
+        if isinstance(r.meta, dict)
+    }
+    got = {
+        (r["repo"], r["path"]): dict(r["meta"])
+        for r in t.read(spark).filter("meta IS NOT NULL").collect()
+    }
+    assert got == exp
+
+
+def test_meta_scrub_idempotent_on_replay(meta_table, spark, tmp_path):
+    """Re-merging already-scrubbed rows must not change them (map_filter
+    drops nothing the second time)."""
+    t, spec = meta_table
+    before = {
+        (r["repo"], r["path"]): dict(r["meta"])
+        for r in t.read(spark).filter("meta IS NOT NULL").collect()
+    }
+    # replay the last chunk through merge (same data, higher batch id)
+    from image_deid_etl_spark.cdc.feed import list_feed_files, read_feed_files
+    from image_deid_etl_spark.cdc.merge import merge_into
+
+    feed_dir = str(t.root).replace("table", "feed")
+    chunk = read_feed_files(spark, list_feed_files(feed_dir)[-1:])
+    off = dict(t.offsets())
+    off["batch_id"] += 1
+    merge_into(spark, t, chunk, offsets=off)
+    after = {
+        (r["repo"], r["path"]): dict(r["meta"])
+        for r in t.read(spark).filter("meta IS NOT NULL").collect()
+    }
+    assert after == before

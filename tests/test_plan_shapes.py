@@ -54,6 +54,27 @@ def test_native_queries_have_no_python(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
 
 
+def test_positional_zip_join_never_single_partition(spark):
+    """The distributed zip must not collapse either side to one task
+    (round-1 used an unpartitioned Window — an 'Exchange SinglePartition'
+    scale-killer)."""
+    from pyspark.sql import functions as F
+
+    from image_deid_etl_spark.operators.relational import positional_zip_join
+
+    a = spark.range(1000).select(F.col("id").alias("x"))
+    b = spark.range(1000).select((999 - F.col("id")).alias("y"))
+    z = positional_zip_join(a, b, ["x"], ["y"])
+    p = spark._jvm.PythonSQLUtils.explainString(
+        z._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in p
+    # and the zip is correct: row i of a-sorted pairs with row i of b-sorted
+    rows = z.collect()
+    assert len(rows) == 1000
+    assert all(r["x"] == r["y"] for r in rows)
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     p = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")

@@ -66,3 +66,68 @@ def test_explicit_null_type_ignored(spark, tmp_path):
     )
     s = t.evolved_schema(T.StructType([T.StructField("newcol", T.NullType())]))
     assert "newcol" not in [f.name for f in s.fields]
+
+
+def test_type_widening_int_to_long_and_float_to_double(spark, tmp_path):
+    """Safe numeric widening evolves the schema in place; files written
+    under the narrow type stay readable (Spark up-casts at scan)."""
+    from image_deid_etl_spark.cdc.merge import merge_into
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("stars", T.IntegerType(), True),
+            T.StructField("score", T.FloatType(), True),
+        ]
+    )
+    t = SnapshotTable.create(str(tmp_path / "t"), schema, ["repo", "path"], 4)
+    b1 = spark.createDataFrame(
+        [(1, "add", "r", "p1", 5, 1.5)],
+        "seq long, op string, repo string, path string, stars int, score float",
+    )
+    merge_into(spark, t, b1, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0}, scrub=False)
+    b2 = spark.createDataFrame(
+        [(2, "add", "r", "p2", 2**40, 2.5)],
+        "seq long, op string, repo string, path string, stars long, score double",
+    )
+    merge_into(spark, t, b2, {"committed_feed_files": 2, "max_seq_seen": 2, "batch_id": 1}, scrub=False)
+    sch = t.schema()
+    assert sch["stars"].dataType == T.LongType()
+    assert sch["score"].dataType == T.DoubleType()
+    rows = {r["path"]: (r["stars"], r["score"]) for r in t.read(spark).collect()}
+    assert rows["p1"] == (5, 1.5) and rows["p2"] == (2**40, 2.5)
+    assert t.manifest()["schema_version"] >= 1
+
+
+def test_narrower_incoming_keeps_table_type(spark, tmp_path):
+    from image_deid_etl_spark.cdc.merge import merge_into
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("stars", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(str(tmp_path / "t"), schema, ["repo", "path"], 4)
+    b = spark.createDataFrame(
+        [(1, "add", "r", "p", 7)],
+        "seq long, op string, repo string, path string, stars int",
+    )
+    merge_into(spark, t, b, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0}, scrub=False)
+    assert t.schema()["stars"].dataType == T.LongType()
+    assert t.read(spark).collect()[0]["stars"] == 7
+
+
+def test_incompatible_widening_rejected(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("stars", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(str(tmp_path / "t2"), schema, ["repo", "path"], 4)
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.evolved_schema(T.StructType([T.StructField("stars", T.StringType())]))

@@ -133,3 +133,67 @@ def test_stateful_repo_stats_accumulate_across_batches(spark, tmp_path):
                 == grp["total_events"].values[grp["batch_events"].cumsum().argsort()]).all()
         assert grp["max_seq"].max() == ev[ev["repo"] == repo]["seq"].max()
     assert out.groupby("repo").size().min() >= 2  # state carried 2+ batches
+
+
+def test_stream_schema_evolution_on_restart(spark, tmp_path):
+    """A column added mid-feed is picked up at the next stream start via
+    footer-union schema inference — no manual schema, no replay of
+    already-committed epochs."""
+    import os
+
+    from image_deid_etl_spark.cdc.feed import make_events, FeedSpec
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    # phase 1: plain feed, no license column
+    write_feed(feed, FeedSpec(n_events=400, n_keys=60, n_files=4, shuffle=False))
+    stream_ingest(spark, root, feed, ckpt)
+    t = open_or_create_table(root)
+    snap1, epoch1 = t.snapshot_id, t.offsets()["last_epoch"]
+    assert "license" not in [f.name for f in t.schema().fields]
+
+    # phase 2: new chunks carry an evolved column
+    ev = make_events(FeedSpec(n_events=100, n_keys=60, n_files=1, shuffle=False, seed=7))
+    ev["seq"] = ev["seq"] + 10_000  # strictly newer events
+    ev["license"] = "mit"
+    table = pa.Table.from_pandas(ev, preserve_index=False)
+    pq.write_table(table, os.path.join(feed, "feed-00099.parquet"))
+
+    stream_ingest(spark, root, feed, ckpt)  # restart, schema inferred
+    t = open_or_create_table(root)
+    assert "license" in [f.name for f in t.schema().fields]
+    assert t.offsets()["last_epoch"] > epoch1  # new epoch committed
+    lic = t.read(spark).filter(F.col("license").isNotNull())
+    assert lic.count() > 0
+    # pre-evolution rows surface the new column as null, not replayed
+    assert t.read(spark).filter(F.col("license").isNull()).count() > 0
+
+
+def test_stream_fresh_checkpoint_does_not_drop_batches(spark, tmp_path):
+    """ADVICE fix: epoch ids restart at 0 under a NEW checkpoint dir; the
+    guard must key on checkpoint identity and fall through to the
+    idempotent merge instead of silently skipping the first epochs."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=600, n_keys=80, n_files=6)
+    write_feed(feed, spec)
+    stream_ingest(spark, root, feed, str(tmp_path / "ckptA"), max_files_per_trigger=2)
+    t = open_or_create_table(root)
+    assert t.offsets()["last_epoch"] >= 1
+
+    # second run, SAME feed, FRESH checkpoint: epochs restart at 0. The
+    # merge replays (harmless via LWW) rather than being skipped, and the
+    # final state is unchanged.
+    before = sha256_state(fold_feed(make_events(spec)))
+    stream_ingest(spark, root, feed, str(tmp_path / "ckptB"), max_files_per_trigger=2)
+    t = open_or_create_table(root)
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, before, check_dtype=False)
