@@ -1,0 +1,72 @@
+"""S14 — re-upload source→source: replicate a table snapshot back into
+feed form.
+
+Reference analog: `upload_dicoms` / `UploadBuffer`
+(`/root/reference/src/image_deid_etl/image_deid_etl/orthanc.py:199-229`) —
+walking one store and POSTing every object into another. Here the "other
+store" is a change feed: `export_feed` renders a snapshot of the lake table
+as ordered feed chunks (op=add, seq=commit_seq), so any downstream engine
+instance — or this one, for a backfill/migration — can ingest it through
+the normal exactly-once MERGE path. Round-trip is verified by test:
+export → ingest into a fresh table → identical state.
+
+Spark-first shape: one column-projected scan, a single range-partitioned
+write into N numbered chunks — no driver-side row loop (the reference
+walks files one HTTP POST at a time)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import SnapshotTable
+
+
+def export_feed(
+    spark: SparkSession,
+    table: SnapshotTable,
+    out_dir: str,
+    n_chunks: int = 8,
+    snapshot_id: int | None = None,
+) -> int:
+    """Write a snapshot's live rows as feed delivery chunks; returns the
+    row count. ``ts`` is re-derived from ``commit_seq`` (the feed epoch
+    convention), so the export is byte-deterministic for a snapshot."""
+    from .feed import _EPOCH_US
+
+    live = table.read(spark, snapshot_id=snapshot_id)
+    data_cols = [f.name for f in table.schema(snapshot_id).fields]
+    out = live.select(
+        F.col("commit_seq").alias("seq"),
+        F.lit("add").alias("op"),
+        *[F.col(c) for c in data_cols],
+        F.timestamp_micros(
+            (F.lit(_EPOCH_US) + F.col("commit_seq") * F.lit(1_000_000)).cast("long")
+        ).alias("ts"),
+    )
+    tmp = out_dir + ".tmp"
+    (
+        out.repartitionByRange(n_chunks, F.col("seq"))
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # rename part files into the numbered feed-chunk convention
+    os.makedirs(out_dir, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, p in enumerate(parts):
+        os.replace(os.path.join(tmp, p), os.path.join(out_dir, f"feed-{i:05d}.parquet"))
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )

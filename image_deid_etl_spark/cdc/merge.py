@@ -74,6 +74,76 @@ def _ranges_overlap(f: dict, lo: str, hi: str) -> bool:
     return not (fmax < lo or fmin > hi)
 
 
+def _bloom_prune(
+    table: SnapshotTable, incoming: DataFrame, candidates: list[dict]
+) -> list[dict]:
+    """Middle prune stage: a file whose key bloom rejects every batch key
+    provably holds none of them — dropped without ANY data read. Keeps
+    the per-commit prune cost O(batch keys), not O(table key column).
+
+    Hashes are the write-time pair (xxhash64(_key[, seed]) mod m): the
+    raw 64-bit hashes come from the SAME JVM function, the mod runs in
+    numpy (both sides non-negative-mod). Bitmap tests are vectorized per
+    Arrow batch; the output is file paths only. Files without blooms
+    (pre-bloom manifests) always survive to the exact scan.
+    """
+    blooms: dict[int, list[tuple[str, int, "object"]]] = {}
+    out: list[dict] = []
+    n_bloomed = 0
+    for f in candidates:
+        lb = table.load_bloom(f)
+        if lb is None:
+            out.append(f)  # unknown — stays a candidate
+        else:
+            import numpy as np
+
+            m, bmp = lb
+            blooms.setdefault(f["bucket"], []).append(
+                (f["path"], m, np.frombuffer(bmp, dtype=np.uint8))
+            )
+            n_bloomed += 1
+    if not n_bloomed:
+        return out
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        hits: set[str] = set()
+        for pdf in batches:
+            for b, grp in pdf.groupby("_bucket"):
+                flist = blooms.get(b)
+                if not flist:
+                    continue
+                h1 = grp["_h1"].to_numpy()
+                h2 = grp["_h2"].to_numpy()
+                for path, m, bits in flist:
+                    if path in hits:
+                        continue
+                    i1 = (h1 % m).astype(np.int64)
+                    i2 = (h2 % m).astype(np.int64)
+                    ok = (bits[i1 >> 3] >> (i1 & 7).astype(np.uint8)) & 1
+                    ok &= (bits[i2 >> 3] >> (i2 & 7).astype(np.uint8)) & 1
+                    if ok.any():
+                        hits.add(path)
+        yield pd.DataFrame({"p": sorted(hits)})
+
+    probed = (
+        incoming.select(
+            F.col("_bucket"),
+            F.xxhash64("_key").alias("_h1"),
+            F.xxhash64("_key", F.lit(1)).alias("_h2"),
+        )
+        .mapInPandas(probe, "p string")
+        .distinct()
+        .collect()
+    )
+    positive = {r["p"] for r in probed}
+    by_path = {f["path"]: f for f in candidates}
+    out.extend(by_path[p] for p in positive if p in by_path)
+    return out
+
+
 def _match_files(
     spark: SparkSession,
     table: SnapshotTable,
@@ -101,6 +171,9 @@ def _match_files(
         if f["bucket"] in key_ranges
         and _ranges_overlap(f, *key_ranges[f["bucket"]])
     ]
+    if not candidates:
+        return [], set()
+    candidates = _bloom_prune(table, incoming, candidates)
     if not candidates:
         return [], set()
     # exact prune: one narrow scan of the candidates' _key column,

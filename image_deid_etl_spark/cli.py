@@ -167,6 +167,20 @@ def cmd_compact(args) -> None:
     print(json.dumps(res))
 
 
+def cmd_export(args) -> None:
+    from .cdc.engine import open_table
+    from .cdc.export import export_feed
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="export")
+    n = export_feed(spark, table, args.out, n_chunks=args.chunks, snapshot_id=args.snapshot)
+    print(json.dumps({"rows_exported": n, "out": args.out}))
+
+
 def cmd_bootstrap(args) -> None:
     from .cdc.engine import bootstrap_offsets
 
@@ -244,6 +258,13 @@ def main(argv: list[str] | None = None) -> None:
     k.add_argument("--table", required=True)
     k.add_argument("--min-files", type=int, default=2, help="compact buckets with at least this many files")
     k.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("export", help="re-upload source->source: snapshot -> feed chunks")
+    e.add_argument("--table", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--chunks", type=int, default=8)
+    e.add_argument("--snapshot", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bootstrap", help="mark feed chunks processed without replay")
     b.add_argument("--table", required=True)

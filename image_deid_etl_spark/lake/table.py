@@ -63,7 +63,14 @@ from pyspark.sql import types as T
 CURRENT = "_current"
 MANIFESTS = "_manifests"
 LINEAGE = "_lineage"
+BLOOMS = "_blooms"
 DATA = "data"
+
+#: bloom sizing: ~10 bits/key (k=2 hashes → ~3% fp), power-of-two bits,
+#: capped at 512 KiB per file. Stored as sidecar binaries (Iceberg puffin
+#: analog) — manifests stay small; only candidate files' blooms are read.
+_BLOOM_MIN_BITS = 1 << 13
+_BLOOM_MAX_BITS = 1 << 22
 
 #: engine-managed columns appended to the user schema in every data file
 ENGINE_COLS = [
@@ -131,6 +138,7 @@ class SnapshotTable:
         key_cols = key_cols or ["repo", "path"]
         os.makedirs(os.path.join(root, MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(root, LINEAGE), exist_ok=True)
+        os.makedirs(os.path.join(root, BLOOMS), exist_ok=True)
         os.makedirs(os.path.join(root, DATA), exist_ok=True)
         t = cls(root)
         manifest = {
@@ -329,6 +337,12 @@ class SnapshotTable:
             df = df.withColumn("_key", key_expr(self.key_cols()))
         if "_fg" not in df.columns:
             df = df.withColumn("_fg", F.lit(-1).cast("long"))
+        # raw 64-bit key hashes, persisted so the bloom build reads two int
+        # columns instead of re-decoding + re-hashing the key strings; the
+        # explicit read schema hides them from every normal scan
+        df = df.withColumn("_bh1", F.xxhash64("_key")).withColumn(
+            "_bh2", F.xxhash64("_key", F.lit(1))
+        )
         (
             df.withColumn("_pb", F.col("_bucket"))
             .repartition(self.n_buckets(), F.col("_bucket"))
@@ -364,7 +378,75 @@ class SnapshotTable:
                         "key_max": key_max,
                     }
                 )
+        self._attach_blooms(df.sparkSession, entries)
         return entries
+
+    def _attach_blooms(self, spark: SparkSession, entries: list[dict]) -> None:
+        """Per-file key bloom sidecars (Iceberg puffin analog).
+
+        One Spark job over the JUST-WRITTEN files (batch-sized, never
+        table-sized), reading ONLY the two persisted raw-hash int columns
+        — no string decode, no re-hash. Bitmaps are assembled per file in
+        an Arrow `applyInPandas` (bounded output: one row of m/8 bytes per
+        file). MERGE uses these to prove a file holds NO batch key without
+        reading it — the prune that keeps per-commit cost O(batch) instead
+        of O(table key scan).
+        """
+        if not entries:
+            return
+
+        max_rows = max(e["rows"] for e in entries) or 1
+        m = _BLOOM_MIN_BITS
+        while m < max_rows * 10 and m < _BLOOM_MAX_BITS:
+            m <<= 1
+
+        def build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for col in ("_bh1", "_bh2"):
+                h = (pdf[col].to_numpy() % m).astype(np.int64)
+                np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
+            return pd.DataFrame({"f": [pdf["f"].iloc[0]], "bloom": [bits.tobytes()]})
+
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        hash_schema = T.StructType(
+            [T.StructField("_bh1", T.LongType()), T.StructField("_bh2", T.LongType())]
+        )
+        kdf = (
+            spark.read.schema(hash_schema)
+            .parquet(*paths)
+            .select(F.input_file_name().alias("f"), "_bh1", "_bh2")
+        )
+        rows = kdf.groupBy("f").applyInPandas(build, "f string, bloom binary").collect()
+        by_real = {
+            os.path.realpath(os.path.join(self.root, e["path"])): e for e in entries
+        }
+        bdir = os.path.join(self.root, BLOOMS)
+        os.makedirs(bdir, exist_ok=True)
+        for r in rows:
+            real = os.path.realpath(r["f"].removeprefix("file:"))
+            e = by_real.get(real)
+            if e is None:
+                continue
+            name = f"bloom-{uuid.uuid4().hex}.bin"
+            with open(os.path.join(bdir, name), "wb") as fh:
+                fh.write(r["bloom"])
+            e["bloom_path"] = os.path.join(BLOOMS, name)
+            e["bloom_m"] = m
+
+    def load_bloom(self, entry: dict):
+        """The (m, bitmap) of a file entry, or None when absent (pre-bloom
+        manifests) — callers must treat None as 'always a candidate'."""
+        bp = entry.get("bloom_path")
+        if not bp:
+            return None
+        try:
+            with open(os.path.join(self.root, bp), "rb") as fh:
+                return entry["bloom_m"], fh.read()
+        except OSError:
+            return None
 
     def commit_snapshot(
         self,
@@ -500,19 +582,28 @@ class SnapshotTable:
         retained = set(tail) | {current}
         expired = [s for s in snaps if s not in retained]
         live_files: set[str] = set()
+        live_blooms: set[str] = set()
         for s in retained:
-            live_files |= {f["path"] for f in self.manifest(s)["files"]}
+            for f in self.manifest(s)["files"]:
+                live_files.add(f["path"])
+                if f.get("bloom_path"):
+                    live_blooms.add(f["bloom_path"])
         dead_files: set[str] = set()
+        dead_blooms: set[str] = set()
         for s in expired:
-            dead_files |= {f["path"] for f in self.manifest(s)["files"]}
+            for f in self.manifest(s)["files"]:
+                dead_files.add(f["path"])
+                if f.get("bloom_path"):
+                    dead_blooms.add(f["bloom_path"])
         dead_files -= live_files
+        dead_blooms -= live_blooms
         for s in expired:
             os.remove(self._manifest_path(s))
             lpath = os.path.join(self.root, LINEAGE, f"lineage-{s:010d}.json")
             if os.path.exists(lpath):
                 os.remove(lpath)
         removed_bytes = 0
-        for rel in dead_files:
+        for rel in dead_files | dead_blooms:
             full = os.path.join(self.root, rel)
             if os.path.exists(full):
                 removed_bytes += os.path.getsize(full)

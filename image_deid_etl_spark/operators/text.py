@@ -83,3 +83,30 @@ def fingerprint(text: Column) -> Column:
     (rolling-hash analog, engine-portable)."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def hash_split(
+    id_col: Column, fractions: dict[str, float], salt: str = "split-v1"
+) -> Column:
+    """Deterministic train/val/test assignment by content-independent key
+    hash — the standard leakage-safe corpus split (reseedable via `salt`;
+    stable under re-partitioning, engine-portable: md5 is identical
+    everywhere, unlike Bernoulli sampling which depends on row order).
+
+    The first 8 hex chars of md5(salt|id) map to [0, 1); cumulative
+    fraction boundaries pick the bucket. Fractions must sum to ~1.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)

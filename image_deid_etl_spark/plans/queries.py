@@ -1631,3 +1631,33 @@ def map_props_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", F.explode(mf).alias("key", "val"))
         .orderBy("event_id", "key")
     )
+
+
+@register(
+    "corpus_hash_split",
+    """
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN ('0x' || substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.8 THEN 'train'
+               WHEN ('0x' || substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.9 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus staple: leakage-safe deterministic train/val/test
+    split by key hash (stable under repartitioning; no Bernoulli row-order
+    dependence), summarized per language."""
+    d = _t(spark, sf_dir, "documents")
+    split = text.hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy("lang", "split")
+    )

@@ -223,3 +223,67 @@ def test_update_heavy_replay_write_amplification(spark, tmp_path):
     rows = t.read(spark)
     assert rows.count() == 8000
     assert rows.filter(F.col("content") == "u" * 50).count() == 20
+
+
+def test_export_feed_roundtrip(spark, tmp_path):
+    """S14 re-upload source->source: a snapshot exported as feed chunks
+    and ingested into a FRESH table reproduces the state exactly."""
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.export import export_feed
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=2000, n_keys=300, dup_frac=0.04, with_meta=True))
+    run_ingest(spark, root, feed, max_files_per_batch=4)
+    src = open_table(root)
+
+    out_feed = str(tmp_path / "exported")
+    n = export_feed(spark, src, out_feed, n_chunks=4)
+    assert n == src.read(spark).count()
+
+    root2 = str(tmp_path / "t2")
+    run_ingest(spark, root2, out_feed, max_files_per_batch=2)
+    dst = open_table(root2)
+
+    cols = ["repo", "path", "commit", "lang", "content", "meta", "commit_seq"]
+    a = sorted(map(tuple, (
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"],
+         tuple(sorted(r["meta"].items())) if r["meta"] else None, r["commit_seq"])
+        for r in src.read(spark).collect())))
+    b = sorted(map(tuple, (
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"],
+         tuple(sorted(r["meta"].items())) if r["meta"] else None, r["commit_seq"])
+        for r in dst.read(spark).collect())))
+    assert a == b
+
+
+def test_bloom_prunes_range_overlapping_files(spark, tmp_path):
+    """A file whose [key_min, key_max] spans the probe key but whose bloom
+    rejects it is pruned with NO data read; a real key survives to the
+    exact scan and resolves to exactly its file."""
+    from image_deid_etl_spark.cdc.merge import _bloom_prune
+    from image_deid_etl_spark.lake.table import bucket_expr, key_expr
+
+    t = make_table(spark, tmp_path, n_buckets=2)
+    rows = [(i + 1, "add", "r", f"a{i}", "x") for i in range(20)]
+    rows += [(100 + i, "add", "r", f"z{i}", "x") for i in range(20)]
+    merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    files = t.manifest()["files"]
+    assert all(f.get("bloom_path") and f.get("bloom_m") for f in files)
+
+    def probe_df(path):
+        return (
+            spark.createDataFrame([("r", path)], "repo string, path string")
+            .select(
+                bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+                key_expr(["repo", "path"]).alias("_key"),
+            )
+        )
+
+    # "m5" sorts between a* and z*, so every file range covers it — but no
+    # bloom contains it
+    assert _bloom_prune(t, probe_df("m5"), files) == []
+    # a real key bloom-hits (at least) the file that holds it
+    survived = _bloom_prune(t, probe_df("a3"), files)
+    key = "r\x1fa3"
+    assert any(f["key_min"] <= key <= f["key_max"] for f in survived)
