@@ -53,8 +53,13 @@ def export_feed(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    # rename part files into the numbered feed-chunk convention
+    # rename part files into the numbered feed-chunk convention; clear any
+    # previous export first — a re-export with fewer chunks must not leave
+    # stale trailing chunks behind (they would corrupt a downstream ingest)
     os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        if old.startswith("feed-") and old.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, old))
     parts = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
     )

@@ -16,24 +16,27 @@ Plan shape — tuned to exactly TWO wide shuffles per micro-batch, with
 FILE-granular copy-on-write (commit cost ∝ keys updated, not table size):
 
     batch ──(1 small job: count, max seq, per-bucket key ranges)──┐
-    manifest prune: candidate files = touched buckets ∩ key-range │
-    exact prune (1 narrow job): scan candidates' _key column,     │
-      left-semi vs batch keys → the files that REALLY hold a      │
-      batch key (matched); all other files carry forward by path ─┤
+    prune 1 (metadata): candidate files = touched buckets whose   │
+      manifest key range overlaps the batch's per-bucket range    │
+    prune 2 (blooms): batch keys probe candidate files' bloom     │
+      sidecars — files that provably hold no batch key drop with  │
+      NO data read (O(batch keys), never O(table))                │
+    prune 3 (exact, 1 narrow job): scan the survivors' _key       │
+      column, left-semi vs batch keys → the files that REALLY     │
+      hold a batch key; all other files carry forward by path ────┤
     existing(matched files only) ─────────────────────────────────┤
-          ∪ ──shuffle #1: window LWW on (repo,path)──► winners
+          ∪ ──shuffle #1: window LWW on (repo,path), winners keep
+               their file COHORT (same exchange, second window fn)
           ──vectorized scrub (Arrow pandas UDF, idempotent)──►
-          ──shuffle #2: repartition by bucket──► parquet per bucket
+          ──shuffle #2: repartition by bucket, sort (_pb,_fg,_key)
+               ──► key-clustered parquet per (bucket, cohort)
           ──► atomic manifest swap (data + offsets together)
 
-At 100 TB the two prune stages are what keep MERGE viable: the manifest
-range prune is metadata-only (clustered keys — e.g. a feed that delivers
-per-repo — eliminate most files before any IO), and the exact prune reads
-ONE dictionary-encoded string column of the survivors, so an insert-mostly
-batch rewrites nothing and commits append-only. The next refinement at
-that scale is a per-file key bloom in the manifest (Iceberg puffin analog)
-to skip the exact-prune scan for wide-range files; range stats + exact
-scan keep this version both correct and simple.
+At 100 TB the prune ladder is what keeps MERGE viable: ranges are free,
+blooms cost one batch-sized probe, and the exact scan reads ONE
+dictionary-encoded string column of the bloom positives only — so an
+insert-mostly batch rewrites nothing and commits append-only, and an
+update with temporal locality rewrites just the hot cohort files.
 
 Scrubbing runs *after* LWW resolution so only surviving rows cross the
 Python boundary (losers of the window never pay the Arrow transfer).
@@ -50,13 +53,12 @@ is on as the runtime backstop.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-import os
 
 from ..lake.table import SnapshotTable, bucket_expr, key_expr
 from .scrub import scrub_meta, scrubbed
@@ -87,17 +89,23 @@ def _bloom_prune(
     Arrow batch; the output is file paths only. Files without blooms
     (pre-bloom manifests) always survive to the exact scan.
     """
+    import numpy as np
+
+    #: driver/closure memory budget for loaded bitmaps; candidates beyond
+    #: it skip the bloom stage and fall through to the exact scan (still
+    #: correct, just less pruned)
+    budget = 256 << 20
     blooms: dict[int, list[tuple[str, int, "object"]]] = {}
     out: list[dict] = []
     n_bloomed = 0
+    spent = 0
     for f in candidates:
-        lb = table.load_bloom(f)
+        lb = table.load_bloom(f) if spent < budget else None
         if lb is None:
-            out.append(f)  # unknown — stays a candidate
+            out.append(f)  # unknown / over budget — stays a candidate
         else:
-            import numpy as np
-
             m, bmp = lb
+            spent += len(bmp)
             blooms.setdefault(f["bucket"], []).append(
                 (f["path"], m, np.frombuffer(bmp, dtype=np.uint8))
             )
@@ -151,9 +159,11 @@ def _match_files(
     touched: set[int],
     key_ranges: dict[int, tuple[str, str]] | None,
 ) -> tuple[list[str], set[str]]:
-    """The two copy-on-write prune stages. Returns (matched absolute
-    paths, matched manifest-relative paths) — the files a batch key
-    actually lives in. Everything else carries forward untouched.
+    """The copy-on-write prune ladder (ranges → blooms → exact scan).
+    Returns (matched absolute paths, matched manifest-relative paths) —
+    the files a batch key actually lives in. Everything else carries
+    forward untouched. Files without key stats (pre-upgrade) are treated
+    as always-matched (the exact scan cannot see their null _key).
     """
     files = [f for f in table.manifest()["files"] if f["bucket"] in touched]
     if not files:
@@ -173,33 +183,42 @@ def _match_files(
     ]
     if not candidates:
         return [], set()
+    # files with no key stats predate the _key column (or lost stats): the
+    # exact scan below could NOT see their keys (null _key), so the only
+    # conservative treatment is ALWAYS-MATCHED — rewrite them. Mirrors the
+    # None-handling in _ranges_overlap/load_bloom; keeps pre-upgrade
+    # tables correct at the cost of one full rewrite of legacy files.
+    legacy = [f for f in candidates if f.get("key_min") is None]
+    candidates = [f for f in candidates if f.get("key_min") is not None]
     candidates = _bloom_prune(table, incoming, candidates)
-    if not candidates:
+    if not candidates and not legacy:
         return [], set()
     # exact prune: one narrow scan of the candidates' _key column,
     # semi-joined against the batch keys. Collect is bounded by the
     # number of candidate FILES, never rows.
-    abs_by_real: dict[str, str] = {}
-    rel_by_real: dict[str, str] = {}
-    for f in candidates:
-        full = os.path.join(table.root, f["path"])
-        real = os.path.realpath(full)
-        abs_by_real[real] = full
-        rel_by_real[real] = f["path"]
-    schema = table._read_schema()
-    cand = spark.read.schema(schema).parquet(*abs_by_real.values())
-    hit_rows = (
-        cand.select("_key", F.input_file_name().alias("_file"))
-        .join(incoming.select("_key"), "_key", "left_semi")
-        .select("_file")
-        .distinct()
-        .collect()
-    )
-    matched_abs, matched_rel = [], set()
-    for r in hit_rows:
-        real = os.path.realpath(r["_file"].removeprefix("file:"))
-        matched_abs.append(abs_by_real[real])
-        matched_rel.add(rel_by_real[real])
+    matched_abs = [os.path.join(table.root, f["path"]) for f in legacy]
+    matched_rel = {f["path"] for f in legacy}
+    if candidates:
+        abs_by_real: dict[str, str] = {}
+        rel_by_real: dict[str, str] = {}
+        for f in candidates:
+            full = os.path.join(table.root, f["path"])
+            real = os.path.realpath(full)
+            abs_by_real[real] = full
+            rel_by_real[real] = f["path"]
+        schema = table._read_schema()
+        cand = spark.read.schema(schema).parquet(*abs_by_real.values())
+        hit_rows = (
+            cand.select("_key", F.input_file_name().alias("_file"))
+            .join(incoming.select("_key"), "_key", "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        for r in hit_rows:
+            real = os.path.realpath(r["_file"].removeprefix("file:"))
+            matched_abs.append(abs_by_real[real])
+            matched_rel.add(rel_by_real[real])
     return matched_abs, matched_rel
 
 

@@ -346,7 +346,10 @@ class SnapshotTable:
         (
             df.withColumn("_pb", F.col("_bucket"))
             .repartition(self.n_buckets(), F.col("_bucket"))
-            .sortWithinPartitions("_fg", "_key")
+            # prefix (_pb, _fg) satisfies the dynamic-partition writer's
+            # required ordering (no second SortExec), _key then guarantees
+            # each emitted chunk is key-clustered with tight min/max stats
+            .sortWithinPartitions("_pb", "_fg", "_key")
             .write.partitionBy("_pb", "_fg")
             .option("maxRecordsPerFile", self.target_file_rows())
             .mode("overwrite")
@@ -384,13 +387,16 @@ class SnapshotTable:
     def _attach_blooms(self, spark: SparkSession, entries: list[dict]) -> None:
         """Per-file key bloom sidecars (Iceberg puffin analog).
 
-        One Spark job over the JUST-WRITTEN files (batch-sized, never
-        table-sized), reading ONLY the two persisted raw-hash int columns
-        — no string decode, no re-hash. Bitmaps are assembled per file in
-        an Arrow `applyInPandas` (bounded output: one row of m/8 bytes per
-        file). MERGE uses these to prove a file holds NO batch key without
-        reading it — the prune that keeps per-commit cost O(batch) instead
-        of O(table key scan).
+        One SHUFFLE-FREE Spark job over the JUST-WRITTEN files
+        (batch-sized, never table-sized), reading ONLY the two persisted
+        raw-hash int columns — no string decode, no re-hash. Each task
+        builds PARTIAL bitmaps for the files in its scan partition inside
+        an Arrow `mapInPandas` (rows of a file are contiguous in the scan,
+        so this emits ~one row of m/8 bytes per file, no exchange of the
+        8 B/row hashes); the driver ORs partials per file. MERGE uses the
+        result to prove a file holds NO batch key without reading it —
+        the prune that keeps per-commit cost O(batch) instead of O(table
+        key scan).
         """
         if not entries:
             return
@@ -400,15 +406,24 @@ class SnapshotTable:
         while m < max_rows * 10 and m < _BLOOM_MAX_BITS:
             m <<= 1
 
-        def build(pdf):
+        def build_partials(batches):
             import numpy as np
             import pandas as pd
 
-            bits = np.zeros(m // 8, dtype=np.uint8)
-            for col in ("_bh1", "_bh2"):
-                h = (pdf[col].to_numpy() % m).astype(np.int64)
-                np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
-            return pd.DataFrame({"f": [pdf["f"].iloc[0]], "bloom": [bits.tobytes()]})
+            partial: dict[str, "np.ndarray"] = {}
+            for pdf in batches:
+                for fname, grp in pdf.groupby("f"):
+                    bits = partial.get(fname)
+                    if bits is None:
+                        bits = partial[fname] = np.zeros(m // 8, dtype=np.uint8)
+                    for col in ("_bh1", "_bh2"):
+                        h = (grp[col].to_numpy() % m).astype(np.int64)
+                        np.bitwise_or.at(
+                            bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8)
+                        )
+            yield pd.DataFrame(
+                {"f": list(partial), "bloom": [b.tobytes() for b in partial.values()]}
+            )
 
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         hash_schema = T.StructType(
@@ -419,7 +434,16 @@ class SnapshotTable:
             .parquet(*paths)
             .select(F.input_file_name().alias("f"), "_bh1", "_bh2")
         )
-        rows = kdf.groupBy("f").applyInPandas(build, "f string, bloom binary").collect()
+        import numpy as np
+
+        merged: dict[str, "np.ndarray"] = {}
+        for r in kdf.mapInPandas(build_partials, "f string, bloom binary").collect():
+            arr = np.frombuffer(r["bloom"], dtype=np.uint8)
+            if r["f"] in merged:
+                merged[r["f"]] = merged[r["f"]] | arr
+            else:
+                merged[r["f"]] = arr
+        rows = [{"f": f, "bloom": b.tobytes()} for f, b in merged.items()]
         by_real = {
             os.path.realpath(os.path.join(self.root, e["path"])): e for e in entries
         }
@@ -481,6 +505,8 @@ class SnapshotTable:
                 f"table advanced to snapshot {cur['snapshot_id']} "
                 f"(expected {expected_parent}); another writer is active"
             )
+        if offsets is None:  # offsets-only default: carry the parent's
+            offsets = cur["offsets"]
         snap = cur["snapshot_id"] + 1
         dropped = set(replaced_paths or ())
         buckets = touched_buckets if touched_buckets is not None else set()

@@ -215,7 +215,9 @@ def winnowing_fingerprints(
                     d = memo.get(g)
                     if d is None:
                         d = hashlib.md5(g.encode("utf-8")).digest()
-                        if len(memo) < 1_000_000:
+                        # bounded: 8 concurrent tasks each holding a large
+                        # dict is real Python-heap pressure on a shared box
+                        if len(memo) < 200_000:
                             memo[g] = d
                     digs += d
                 u = np.frombuffer(bytes(digs), dtype=">u8").reshape(n, 2)
@@ -279,32 +281,35 @@ def simhash_pairs(
         raise ValueError("exact recall needs max_hamming <= bands - 1")
     fp = simhash_fingerprints(df, id_col, text_col, bits)
     width = bits // bands
-    banded = None
-    for b in range(bands):
-        part = fp.select(
-            F.col(id_col),
-            F.concat(
-                F.lit(f"{b}|"), F.substring("simhash", b * width + 1, width)
-            ).alias("band_key"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # ALL band keys in one projection + explode (a single pass over the
+    # fingerprint aggregate — per-band unionByName branches would re-run
+    # the whole tokenize+md5+groupBy DAG once per band), carrying the
+    # fingerprint itself so the hamming verify needs no extra joins.
+    band_exprs = [
+        F.concat(F.lit(f"{b}|"), F.substring("simhash", b * width + 1, width))
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_exprs)).alias("band_key")
+    )
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(c, on="band_key")
         .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("c.simhash").alias("_sb"),
+        )
         .distinct()
     )
-    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
-    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
     hamming = sum(
         (F.substring("_sa", i + 1, 1) != F.substring("_sb", i + 1, 1)).cast("int")
         for i in range(bits)
     )
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

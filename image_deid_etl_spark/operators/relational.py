@@ -124,33 +124,34 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
 def _global_positions(df: DataFrame, order: list[str], col: str) -> DataFrame:
     """Distributed global row-position over a TOTAL order (the ties-free
     precondition is the caller's contract). The zipWithIndex idiom in pure
-    DataFrame ops: range-repartition on the order key (partition p holds
-    strictly smaller keys than p+1), rank locally per partition, then add
-    per-partition cumulative offsets (one bounded collect of partition
-    counts — never the rows). No single-partition exchange anywhere.
+    DataFrame ops, as ONE query: range-repartition on the order key
+    (partition p holds strictly smaller keys than p+1), rank locally per
+    partition, and add per-partition cumulative offsets derived from the
+    SAME range exchange (Catalyst reuses it), broadcast-joined back.
 
-    The ranged frame is persisted so the counts job and the ranked output
-    see the identical partition assignment."""
+    Data rows never pass through a single task; the only single-partition
+    step is the running sum over the ≤n_partitions COUNT rows — metadata-
+    sized by construction. One query also means one boundary-sampling
+    pass, so partition assignment is consistent between the offsets and
+    the ranks (no persist needed)."""
     n = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order])
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order]).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    off, acc = {}, 0
-    for pid in sorted(counts):
-        off[pid] = acc
-        acc += counts[pid]
-    omap = F.create_map(*[F.lit(x) for kv in sorted(off.items()) for x in kv])
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)))
+        .select("_pid", "_off")
+    )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order])
-    out = ranged.withColumn(
-        col, (omap[F.col("_pid")] + F.row_number().over(w)).cast("long")
-    ).drop("_pid")
-    return out
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
 
 
 def positional_zip_join(

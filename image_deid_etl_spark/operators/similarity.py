@@ -255,13 +255,20 @@ def lsh_bucketed_knn(
     never all-pairs; AQE splits residual hot buckets), then exact cosine
     ranks the top-k.
     """
-    banded = None
-    for b in range(n_bands):
-        part = items.select(
-            F.col(id_col),
-            lsh_bucket_banded(F.col(vec_col), dim, n_planes, b).alias("bucket"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # all bands in ONE projection + explode — a single scan of the items
+    # table computes every band's bucket (per-band union branches would
+    # rescan the table once per band)
+    banded = items.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    lsh_bucket_banded(F.col(vec_col), dim, n_planes, b)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(c, on="bucket")

@@ -1526,9 +1526,9 @@ def csv_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import read_broadcast_dim_csv
 
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    out = os.path.join(
-        tempfile.gettempdir(), f"csvdim_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # per-invocation dir: a fixed path would race with a concurrent run of
+    # the same catalog (overwrite-while-read)
+    out = os.path.join(tempfile.mkdtemp(prefix="csvdim_"), "nation_csv")
     nat.unionByName(nat).coalesce(1).write.mode("overwrite").option(
         "header", "true"
     ).csv(out)

