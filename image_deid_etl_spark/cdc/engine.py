@@ -139,15 +139,17 @@ def run_ingest(
         # file-granular copy-on-write pruning.
         from ..lake.table import bucket_expr, key_expr
 
+        kc = table.key_cols()
         stats_rows = (
-            batch.groupBy(
-                bucket_expr(table.n_buckets(), table.key_cols()).alias("_b")
-            )
+            batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("seq").alias("mx"),
-                F.min(key_expr(table.key_cols())).alias("lo"),
-                F.max(key_expr(table.key_cols())).alias("hi"),
+                # min/max over the SAME canonical key encoding the file
+                # stats use — tuple-order shortcuts would diverge for keys
+                # containing chars below the separator
+                F.min(key_expr(kc)).alias("lo"),
+                F.max(key_expr(kc)).alias("hi"),
             )
             .collect()
         )

@@ -158,16 +158,22 @@ def _match_files(
     incoming: DataFrame,
     touched: set[int],
     key_ranges: dict[int, tuple[str, str]] | None,
-) -> tuple[list[str], set[str]]:
+) -> tuple[list[str], set[str], dict[str, dict]]:
     """The copy-on-write prune ladder (ranges → blooms → exact scan).
-    Returns (matched absolute paths, matched manifest-relative paths) —
-    the files a batch key actually lives in. Everything else carries
-    forward untouched. Files without key stats (pre-upgrade) are treated
-    as always-matched (the exact scan cannot see their null _key).
+    Returns (matched absolute paths, matched manifest-relative paths,
+    bloom entry-updates for carried files) — the files a batch key
+    actually lives in; everything else carries forward untouched. Files
+    without key stats (pre-upgrade) are treated as always-matched (the
+    exact scan cannot see their null _key).
+
+    Blooms are built HERE, lazily, the first time a file becomes a
+    candidate — the build reads two int columns of files this phase
+    would otherwise exact-scan anyway, and the sidecar persists via the
+    commit's carried-entry updates, so every later commit skips both.
     """
     files = [f for f in table.manifest()["files"] if f["bucket"] in touched]
     if not files:
-        return [], set()
+        return [], set(), {}
     if key_ranges is None:
         key_ranges = {
             r["_bucket"]: (r["lo"], r["hi"])
@@ -182,7 +188,7 @@ def _match_files(
         and _ranges_overlap(f, *key_ranges[f["bucket"]])
     ]
     if not candidates:
-        return [], set()
+        return [], set(), {}
     # files with no key stats predate the _key column (or lost stats): the
     # exact scan below could NOT see their keys (null _key), so the only
     # conservative treatment is ALWAYS-MATCHED — rewrite them. Mirrors the
@@ -190,9 +196,11 @@ def _match_files(
     # tables correct at the cost of one full rewrite of legacy files.
     legacy = [f for f in candidates if f.get("key_min") is None]
     candidates = [f for f in candidates if f.get("key_min") is not None]
+    missing = [f for f in candidates if not f.get("bloom_path")]
+    bloom_updates = table.build_blooms(spark, missing) if missing else {}
     candidates = _bloom_prune(table, incoming, candidates)
     if not candidates and not legacy:
-        return [], set()
+        return [], set(), bloom_updates
     # exact prune: one narrow scan of the candidates' _key column,
     # semi-joined against the batch keys. Collect is bounded by the
     # number of candidate FILES, never rows.
@@ -219,7 +227,7 @@ def _match_files(
             real = os.path.realpath(r["_file"].removeprefix("file:"))
             matched_abs.append(abs_by_real[real])
             matched_rel.add(rel_by_real[real])
-    return matched_abs, matched_rel
+    return matched_abs, matched_rel, bloom_updates
 
 
 class SimulatedCrash(RuntimeError):
@@ -330,7 +338,9 @@ def merge_into(
         }
     # -- file-granular copy-on-write: only files holding a batch key ------
     t_match0 = time.time()
-    matched_abs, matched_rel = _match_files(spark, table, incoming, touched, key_ranges)
+    matched_abs, matched_rel, bloom_updates = _match_files(
+        spark, table, incoming, touched, key_ranges
+    )
     t_match = time.time() - t_match0
     # Every row carries a file-group tag so the rewrite PRESERVES file
     # cohorts (Iceberg-style): a matched file's rows are rewritten into
@@ -348,8 +358,12 @@ def merge_into(
     for f in new_schema.fields:  # align evolved columns
         if f.name not in existing.columns:
             existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # NOTE: _key (and the raw-hash cols) are derivable from the key
+    # columns, so they are NOT carried through the LWW shuffle — the
+    # writer re-derives them post-exchange. ~40 B/row less through both
+    # wide shuffles.
     order = [f.name for f in new_schema.fields] + [
-        "commit_seq", "_deleted", "_bucket", "_key", "_fg",
+        "commit_seq", "_deleted", "_bucket", "_fg",
     ]
     existing = existing.select(*order)
     incoming_o = incoming.withColumn("_fg", F.lit(None).cast("long")).select(*order)
@@ -358,16 +372,26 @@ def merge_into(
     # The winner adopts its key's existing cohort (max _fg over the key's
     # rows — same window partitioning as the LWW rank, so ONE exchange
     # serves both); keys with no stored row fall to the "new" cohort (-1).
-    both = existing.unionByName(incoming_o)
+    # Append-only commits (nothing matched) skip the cohort window — every
+    # key is trivially new.
     w_rank = Window.partitionBy(*key_cols).orderBy(F.col("commit_seq").desc())
-    w_all = Window.partitionBy(*key_cols)
-    merged = (
-        both.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_kfg", F.max("_fg").over(w_all))
-        .filter(F.col("_rn") == 1)
-        .withColumn("_fg", F.coalesce(F.col("_kfg"), F.lit(-1)))
-        .drop("_rn", "_kfg")
-    )
+    if not matched_abs:
+        merged = (
+            incoming_o.withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") == 1)
+            .withColumn("_fg", F.lit(-1).cast("long"))
+            .drop("_rn")
+        )
+    else:
+        both = existing.unionByName(incoming_o)
+        w_all = Window.partitionBy(*key_cols)
+        merged = (
+            both.withColumn("_rn", F.row_number().over(w_rank))
+            .withColumn("_kfg", F.max("_fg").over(w_all))
+            .filter(F.col("_rn") == 1)
+            .withColumn("_fg", F.coalesce(F.col("_kfg"), F.lit(-1)))
+            .drop("_rn", "_kfg")
+        )
 
     # -- vectorized scrub on winners only (idempotent on stored rows) -----
     if scrub and not scrub_before_resolve and "content" in merged.columns:
@@ -393,6 +417,7 @@ def merge_into(
         schema=new_schema if evolved else None,
         started_at=started,
         expected_parent=parent_snapshot,
+        entry_updates=bloom_updates,
         lineage_extra={
             "match_sec": round(t_match, 3),
             "write_sec": round(t_write, 3),

@@ -333,24 +333,27 @@ class SnapshotTable:
         """
         rel = os.path.join(DATA, f"snap-{snapshot_id:010d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel)
-        if "_key" not in df.columns:
-            df = df.withColumn("_key", key_expr(self.key_cols()))
         if "_fg" not in df.columns:
             df = df.withColumn("_fg", F.lit(-1).cast("long"))
-        # raw 64-bit key hashes, persisted so the bloom build reads two int
-        # columns instead of re-decoding + re-hashing the key strings; the
-        # explicit read schema hides them from every normal scan
-        df = df.withColumn("_bh1", F.xxhash64("_key")).withColumn(
-            "_bh2", F.xxhash64("_key", F.lit(1))
-        )
-        (
-            df.withColumn("_pb", F.col("_bucket"))
+        staged = (
+            df.drop("_key", "_bh1", "_bh2")
+            .withColumn("_pb", F.col("_bucket"))
             .repartition(self.n_buckets(), F.col("_bucket"))
+            # derived columns are (re)computed AFTER the exchange so the
+            # shuffle never carries bytes reconstructible from the key:
+            # _key for clustering/stats/exact-prune, and the raw 64-bit
+            # key hashes the bloom build later reads as two int columns
+            # (the explicit read schema hides all three from normal scans)
+            .withColumn("_key", key_expr(self.key_cols()))
+            .withColumn("_bh1", F.xxhash64("_key"))
+            .withColumn("_bh2", F.xxhash64("_key", F.lit(1)))
             # prefix (_pb, _fg) satisfies the dynamic-partition writer's
             # required ordering (no second SortExec), _key then guarantees
             # each emitted chunk is key-clustered with tight min/max stats
             .sortWithinPartitions("_pb", "_fg", "_key")
-            .write.partitionBy("_pb", "_fg")
+        )
+        (
+            staged.write.partitionBy("_pb", "_fg")
             .option("maxRecordsPerFile", self.target_file_rows())
             .mode("overwrite")
             .parquet(out)
@@ -381,25 +384,29 @@ class SnapshotTable:
                         "key_max": key_max,
                     }
                 )
-        self._attach_blooms(df.sparkSession, entries)
         return entries
 
-    def _attach_blooms(self, spark: SparkSession, entries: list[dict]) -> None:
-        """Per-file key bloom sidecars (Iceberg puffin analog).
+    def build_blooms(self, spark: SparkSession, entries: list[dict]) -> dict[str, dict]:
+        """Per-file key bloom sidecars (Iceberg puffin analog), built
+        LAZILY: not at write time (that would tax every commit's hot
+        path), but the first time a file becomes a rewrite candidate —
+        amortized into the match phase that would otherwise exact-scan it.
+        Returns ``{path: {"bloom_path", "bloom_m"}}`` updates (the passed
+        entry dicts are updated in place too) for `commit_snapshot` to
+        fold into carried-forward manifest entries.
 
-        One SHUFFLE-FREE Spark job over the JUST-WRITTEN files
-        (batch-sized, never table-sized), reading ONLY the two persisted
-        raw-hash int columns — no string decode, no re-hash. Each task
-        builds PARTIAL bitmaps for the files in its scan partition inside
-        an Arrow `mapInPandas` (rows of a file are contiguous in the scan,
-        so this emits ~one row of m/8 bytes per file, no exchange of the
-        8 B/row hashes); the driver ORs partials per file. MERGE uses the
-        result to prove a file holds NO batch key without reading it —
-        the prune that keeps per-commit cost O(batch) instead of O(table
-        key scan).
+        One SHUFFLE-FREE Spark job over the given files, reading ONLY the
+        two persisted raw-hash int columns — no string decode, no re-hash.
+        Each task builds PARTIAL bitmaps for the files in its scan
+        partition inside an Arrow `mapInPandas` (rows of a file are
+        contiguous in the scan, so this emits ~one row of m/8 bytes per
+        file, no exchange of the 8 B/row hashes); the driver ORs partials
+        per file. MERGE uses the result to prove a file holds NO batch key
+        without reading it — the prune that keeps per-commit cost O(batch)
+        instead of O(table key scan).
         """
         if not entries:
-            return
+            return {}
 
         max_rows = max(e["rows"] for e in entries) or 1
         m = _BLOOM_MIN_BITS
@@ -417,6 +424,10 @@ class SnapshotTable:
                     if bits is None:
                         bits = partial[fname] = np.zeros(m // 8, dtype=np.uint8)
                     for col in ("_bh1", "_bh2"):
+                        if grp[col].isna().any():
+                            # pre-upgrade file without hash columns — the
+                            # all-zero-bitmap guard below drops it
+                            continue
                         h = (grp[col].to_numpy() % m).astype(np.int64)
                         np.bitwise_or.at(
                             bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8)
@@ -443,22 +454,29 @@ class SnapshotTable:
                 merged[r["f"]] = merged[r["f"]] | arr
             else:
                 merged[r["f"]] = arr
-        rows = [{"f": f, "bloom": b.tobytes()} for f, b in merged.items()]
         by_real = {
             os.path.realpath(os.path.join(self.root, e["path"])): e for e in entries
         }
         bdir = os.path.join(self.root, BLOOMS)
         os.makedirs(bdir, exist_ok=True)
-        for r in rows:
-            real = os.path.realpath(r["f"].removeprefix("file:"))
+        updates: dict[str, dict] = {}
+        for fname, bits in merged.items():
+            real = os.path.realpath(fname.removeprefix("file:"))
             e = by_real.get(real)
             if e is None:
                 continue
+            if e.get("rows", 0) > 0 and not bits.any():
+                # pre-upgrade file without the hash columns: an all-zero
+                # bloom would FALSELY reject its keys — leave it bloomless
+                # (always exact-scanned) instead
+                continue
             name = f"bloom-{uuid.uuid4().hex}.bin"
             with open(os.path.join(bdir, name), "wb") as fh:
-                fh.write(r["bloom"])
-            e["bloom_path"] = os.path.join(BLOOMS, name)
-            e["bloom_m"] = m
+                fh.write(bits.tobytes())
+            upd = {"bloom_path": os.path.join(BLOOMS, name), "bloom_m": m}
+            e.update(upd)
+            updates[e["path"]] = upd
+        return updates
 
     def load_bloom(self, entry: dict):
         """The (m, bitmap) of a file entry, or None when absent (pre-bloom
@@ -482,6 +500,7 @@ class SnapshotTable:
         started_at: float | None = None,
         expected_parent: int | None = None,
         replaced_paths: set[str] | None = None,
+        entry_updates: dict[str, dict] | None = None,
     ) -> int:
         """Build + atomically publish the next manifest.
 
@@ -491,7 +510,9 @@ class SnapshotTable:
         disk. ``touched_buckets`` is the coarse legacy form — it expands to
         "all files of those buckets" (used by full-bucket rewrites such as
         the initial load path in tests). Passing neither replaces nothing
-        (pure append / offsets-only commit).
+        (pure append / offsets-only commit). ``entry_updates`` folds
+        metadata earned since the parent manifest (lazily built bloom
+        sidecars) into the carried entries.
 
         The table is SINGLE-WRITER by design (like the reference's one
         cron-driven pipeline); ``expected_parent`` adds an optimistic
@@ -510,8 +531,9 @@ class SnapshotTable:
         snap = cur["snapshot_id"] + 1
         dropped = set(replaced_paths or ())
         buckets = touched_buckets if touched_buckets is not None else set()
+        upd = entry_updates or {}
         carried = [
-            f
+            {**f, **upd[f["path"]]} if f["path"] in upd else f
             for f in cur["files"]
             if f["path"] not in dropped and f["bucket"] not in buckets
         ]

@@ -824,20 +824,25 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _embed_dup_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.25) -> str:
-    bit_cases = []
-    for p in range(n_planes):
-        coeffs = similarity._hyperplane(p, dim)
-        arr = "[" + ", ".join(repr(c) for c in coeffs) + "]"
-        bit_cases.append(
-            f"CASE WHEN list_dot_product(v, CAST({arr} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END"
-        )
-    bucket = "concat(" + ", ".join(bit_cases) + ")"
+def _embed_dup_sql(
+    dim: int = 64, n_planes: int = 8, n_bands: int = 2, threshold: float = 0.25
+) -> str:
+    banded = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {_band_bucket_sql(dim, n_planes, b)} AS bucket FROM e"
+        for b in range(n_bands)
+    )
     return f"""
   WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-  bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  banded AS (
+    {banded}
+  ),
+  cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM banded x JOIN banded y USING (bucket)
+    WHERE x.vec_id < y.vec_id
+  )
+  SELECT id_a, id_b
+  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b
   WHERE {_COS_SQL} >= {threshold}
   ORDER BY id_a, id_b
 """
@@ -845,24 +850,36 @@ def _embed_dup_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.25) ->
 
 @register("dedup_embedding_cosine", _embed_dup_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH sign-bit buckets bound the
-    candidate set; exact cosine filters within buckets."""
+    """Embedding-cosine near-dup pairs: banded sign-bit LSH (8 planes x 2
+    OR-amplified bands — 256 buckets/band bound the candidate fanout at
+    scale, any-band agreement recovers recall); exact cosine verifies
+    within the candidate set."""
     e = _t(spark, sf_dir, "embeddings")
-    b = e.select(
+    banded = e.select(
         "vec_id",
-        "embedding",
-        similarity.lsh_bucket(F.col("embedding"), 64, 6).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    similarity.lsh_bucket_banded(F.col("embedding"), 64, 8, b)
+                    for b in range(2)
+                ]
+            )
+        ).alias("bucket"),
     )
-    a = b.alias("a")
-    c = b.alias("c")
-    return (
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
         a.join(c, on="bucket")
         .filter(F.col("a.vec_id") < F.col("c.vec_id"))
-        .filter(
-            similarity.cosine_similarity(F.col("a.embedding"), F.col("c.embedding"))
-            >= 0.25
-        )
         .select(F.col("a.vec_id").alias("id_a"), F.col("c.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(similarity.cosine_similarity(F.col("_va"), F.col("_vb")) >= 0.25)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
 

@@ -257,10 +257,10 @@ def test_export_feed_roundtrip(spark, tmp_path):
     assert a == b
 
 
-def test_bloom_prunes_range_overlapping_files(spark, tmp_path):
-    """A file whose [key_min, key_max] spans the probe key but whose bloom
-    rejects it is pruned with NO data read; a real key survives to the
-    exact scan and resolves to exactly its file."""
+def test_bloom_built_lazily_and_prunes_range_overlaps(spark, tmp_path):
+    """Blooms are built the first time a file becomes a rewrite candidate
+    (not on the write hot path), persist via carried-entry updates, and
+    then prune range-overlapping files with NO data read."""
     from image_deid_etl_spark.cdc.merge import _bloom_prune
     from image_deid_etl_spark.lake.table import bucket_expr, key_expr
 
@@ -268,8 +268,26 @@ def test_bloom_prunes_range_overlapping_files(spark, tmp_path):
     rows = [(i + 1, "add", "r", f"a{i}", "x") for i in range(20)]
     rows += [(100 + i, "add", "r", f"z{i}", "x") for i in range(20)]
     merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    first = {f["path"] for f in t.manifest()["files"]}
+    assert not any(f.get("bloom_path") for f in t.manifest()["files"]), "lazy"
+
+    # "m5" sorts between a* and z*: every file's range covers it, so the
+    # second commit makes all of them candidates → blooms get built, the
+    # probe rejects, and the commit is append-only (files carried intact).
+    merge_into(
+        spark, t, batch_df(spark, [(500, "add", "r", "m5", "y")]), offsets(2), scrub=False
+    )
     files = t.manifest()["files"]
-    assert all(f.get("bloom_path") and f.get("bloom_m") for f in files)
+    assert first <= {f["path"] for f in files}, "bloom prune kept commit 1 intact"
+    # only the touched bucket's files became candidates → only they gain
+    # blooms (lazy = on demand, never table-wide)
+    probe_bucket = (
+        spark.createDataFrame([("r", "m5")], "repo string, path string")
+        .select(bucket_expr(2, ["repo", "path"]).alias("b"))
+        .collect()[0]["b"]
+    )
+    bloomed = [f for f in files if f["path"] in first and f["bucket"] == probe_bucket]
+    assert bloomed and all(f.get("bloom_path") and f.get("bloom_m") for f in bloomed)
 
     def probe_df(path):
         return (
@@ -280,10 +298,7 @@ def test_bloom_prunes_range_overlapping_files(spark, tmp_path):
             )
         )
 
-    # "m5" sorts between a* and z*, so every file range covers it — but no
-    # bloom contains it
-    assert _bloom_prune(t, probe_df("m5"), files) == []
-    # a real key bloom-hits (at least) the file that holds it
-    survived = _bloom_prune(t, probe_df("a3"), files)
+    assert _bloom_prune(t, probe_df("m6"), bloomed) == []
+    survived = _bloom_prune(t, probe_df("a3"), bloomed)
     key = "r\x1fa3"
     assert any(f["key_min"] <= key <= f["key_max"] for f in survived)
