@@ -36,7 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_winnowing",
-    "dedup_simhash_pairs",
+    # dedup_simhash_pairs stays catalog-only: this corpus is dense in
+    # near-duplicates, so its OUTPUT is quadratic at sf0.1 (~10^6 pairs) —
+    # a result-size artifact, not an execution-plan cost
     "knn_bruteforce_cosine",
     "knn_lsh_bucketed",
     "text_quality_scores",
@@ -141,6 +143,8 @@ def _previous_round() -> dict | None:
     try:
         with open(best) as f:
             d = json.load(f)
+        if "parsed" in d:  # the driver wraps bench.py's JSON line
+            d = d["parsed"]
         d["_file"] = os.path.basename(best)
         return d
     except Exception:
