@@ -313,3 +313,53 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-CLUSTER extraction from a near-dup pair list — the
+    grouping stage a real dedup pipeline needs after LSH pair extraction
+    (keep ONE representative per connected component, not per pair).
+
+    Iterative min-label propagation, all-DataFrame: each round every
+    vertex adopts min(own label, neighbors' labels) — two partial-agg
+    shuffles per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow). The driver loop checks ONE bounded
+    scalar per round (did any label change), never row data; each round's
+    labels are persisted and the previous round's cache released, so the
+    lineage never deepens past one round. The fixpoint (min id per
+    component) is unique, hence deterministic and oracle-checkable via a
+    recursive-CTE reachability query.
+
+    Returns (v, component) for every vertex that appears in a pair.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev)
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["v"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("_m"))
+        )
+        stepped = (
+            labels.join(nbr, labels["v"] == nbr["dst"], "left")
+            .select(
+                labels["v"],
+                F.least(labels["label"], F.coalesce(nbr["_m"], labels["label"])).alias(
+                    "label"
+                ),
+                (F.coalesce(nbr["_m"], labels["label"]) < labels["label"]).alias("_chg"),
+            )
+            .persist()
+        )
+        changed = stepped.filter(F.col("_chg")).limit(1).count()
+        prev, labels = labels, stepped.select("v", "label")
+        prev.unpersist()
+        if changed == 0:
+            break
+    return labels.select("v", "label")

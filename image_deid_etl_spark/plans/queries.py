@@ -1678,3 +1678,178 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
         .orderBy("lang", "split")
     )
+
+
+_COMPONENTS_SQL = (
+    _shingle_cte(3).replace("WITH w AS", "WITH RECURSIVE w AS")
+    + """,
+  sig AS (
+    SELECT doc_id,
+           """
+    + ",\n           ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))
+    + """
+    FROM shn GROUP BY doc_id
+  ),
+  bands AS (
+    SELECT doc_id, concat_ws('|', '0', h0, h1) AS band_key FROM sig
+    UNION ALL SELECT doc_id, concat_ws('|', '1', h2, h3) FROM sig
+    UNION ALL SELECT doc_id, concat_ws('|', '2', h4, h5) FROM sig
+    UNION ALL SELECT doc_id, concat_ws('|', '3', h6, h7) FROM sig
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+  ),
+  verts AS (SELECT DISTINCT src AS v FROM edges),
+  reach(v, l) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v WHERE r.l < e.dst
+  )
+  SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v ORDER BY doc_id
+"""
+)
+
+
+@register("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: MinHash-LSH candidate pairs folded
+    into connected components by iterative min-label propagation (the
+    unique fixpoint is oracle-checked against a recursive-CTE
+    reachability query). The training-data use: keep min-id doc per
+    component, drop the rest."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
+@register(
+    "event_gap_stats",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           sum(gap_us) AS total_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap analysis per user — integer-microsecond
+    arithmetic (timezone-independent on TIMESTAMP_NTZ) so the oracle
+    comparison is exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    g = ev.select("user_id", "event_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders,
+           grouping(r.r_name)::BIGINT * 2 + grouping(n.n_name)::BIGINT AS lvl
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY lvl, region, nation
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) with
+    grouping() level markers; sums decimal-exact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    lvl = (F.grouping("r_name").cast("long") * 2 + F.grouping("n_name").cast("long"))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            lvl.alias("lvl"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+            "lvl",
+        )
+        .orderBy("lvl", "region", "nation")
+    )
+
+
+@register(
+    "text_repetition_filter",
+    """
+    WITH lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+    ),
+    nb AS (SELECT doc_id, line FROM lines WHERE length(trim(line)) > 0),
+    st AS (
+      SELECT doc_id,
+             count(*) AS n_lines,
+             count(DISTINCT line) AS n_distinct
+      FROM nb GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_distinct,
+           CAST(round(1.0 - n_distinct / n_lines, 6) AS DOUBLE) AS dup_line_ratio,
+           (1.0 - n_distinct / n_lines) > 0.3 AS flagged
+    FROM st ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: duplicate-line fraction per
+    document (training corpora drop boilerplate-heavy docs above a
+    threshold). Pure codegen: split → explode → two counts."""
+    d = _t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).filter(F.length(F.trim("line")) > 0)
+    st = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("line").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct") / F.col("n_lines")
+    return st.select(
+        "doc_id",
+        "n_lines",
+        "n_distinct",
+        F.round(ratio, 6).cast("double").alias("dup_line_ratio"),
+        (ratio > 0.3).alias("flagged"),
+    ).orderBy("doc_id")

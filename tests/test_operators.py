@@ -154,3 +154,24 @@ def test_winnowing_overlap_guarantee(spark):
     sets = fps.groupby("doc_id")["fp"].apply(set)
     assert len(sets[1] & sets[2]) > 0      # overlap detected
     assert len(sets[1] & sets[3]) == 0     # disjoint content, no collision
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation finds exact components on a known graph,
+    including a chain (multi-hop) and singleton-pair clusters."""
+    from image_deid_etl_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["v"], r["label"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
