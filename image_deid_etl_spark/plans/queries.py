@@ -1743,7 +1743,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(gap_us) AS n_gaps,
            min(gap_us) AS min_gap_us,
            max(gap_us) AS max_gap_us,
-           sum(gap_us) AS total_gap_us
+           sum(gap_us)::BIGINT AS total_gap_us
     FROM g GROUP BY user_id ORDER BY user_id
     """,
 )
