@@ -125,3 +125,97 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image RESIZE stage (stub decode, real plumbing).
+
+    The real implementation replaces `_dims_stub` with
+    ``PIL.Image.open(...).size`` and emits re-encoded bytes; no codec
+    ships in this container, so the stub derives deterministic source
+    dimensions from the payload digest. The scaling math is exact integer
+    arithmetic (``out = side * max_side // longest``), so a SQL oracle
+    verifies the whole Arrow pipeline end to end.
+    """
+
+    def _dims_stub(payload: bytes) -> tuple[int, int]:
+        # STUB: a real decoder reads the header; we derive stable fake
+        # dims (16..271 px) from the digest so tests are deterministic
+        hx = hashlib.sha256(payload).hexdigest()
+        return 16 + int(hx[0:2], 16), 16 + int(hx[2:4], 16)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "width": [], "height": [],
+                    "out_width": [], "out_height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h = _dims_stub(bytes(payload))
+                longest = max(w, h)
+                if longest <= max_side:
+                    ow, oh = w, h
+                else:
+                    ow, oh = w * max_side // longest, h * max_side // longest
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, step: int = 10
+) -> DataFrame:
+    """Video FRAME-SAMPLE stage (stub demux, real plumbing).
+
+    The real implementation demuxes with a codec library; the stub treats
+    the payload as fixed-size frames and emits every ``step``-th one —
+    the genuinely interesting Spark shape (one input row fans out to many
+    frame rows through an Arrow batch) with per-frame byte slices hashed
+    so content, not just offsets, crosses the boundary.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "byte_offset": [], "frame_sha": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                n_frames = len(buf) // frame_bytes
+                for idx in range(0, n_frames, step):
+                    off = idx * frame_bytes
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["byte_offset"].append(off)
+                    rows["frame_sha"].append(
+                        hashlib.sha256(buf[off : off + frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SCHEMA)

@@ -1853,3 +1853,60 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).cast("double").alias("dup_line_ratio"),
         (ratio > 0.3).alias("flagged"),
     ).orderBy("doc_id")
+
+
+@register(
+    "media_resize_dims",
+    """
+    WITH img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+    d AS (
+      SELECT media_id,
+             16 + ('0x' || substring(sha256(text), 1, 2))::INT AS width,
+             16 + ('0x' || substring(sha256(text), 3, 2))::INT AS height
+      FROM img
+    )
+    SELECT media_id, width, height,
+           CASE WHEN greatest(width, height) <= 64 THEN width
+                ELSE (width * 64 // greatest(width, height))::INT END AS out_width,
+           CASE WHEN greatest(width, height) <= 64 THEN height
+                ELSE (height * 64 // greatest(width, height))::INT END AS out_height
+    FROM d ORDER BY media_id
+    """,
+)
+def media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE stage: stub decode (deterministic dims from the
+    payload digest — no codecs in this container), exact-integer scaling
+    to max side 64 inside the Arrow batch; the SQL oracle replays the
+    identical arithmetic, so the whole mapInPandas pipeline is verified."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d, "doc_id", "text")
+    return multimodal.resize_images(media, max_side=64).orderBy("media_id")
+
+
+@register(
+    "media_frame_samples",
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id, text, (strlen(text) // 64)::BIGINT AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT media_id, text, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx
+      FROM vid WHERE n_frames > 0
+    )
+    SELECT media_id, frame_idx, frame_idx * 64 AS byte_offset,
+           sha256(substring(text, (frame_idx * 64 + 1)::INT, 64)) AS frame_sha
+    FROM fr ORDER BY media_id, frame_idx
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal FRAME-SAMPLE stage: stub demux over fixed-size frames,
+    every 10th frame emitted with its byte offset and content hash — the
+    one-row-fans-out-to-many Arrow batch shape a real demuxer needs. The
+    corpus is ASCII, so byte slices == character slices and the SQL
+    oracle verifies per-frame content hashes, not just offsets."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d, "doc_id", "text")
+    return multimodal.sample_frames(media, frame_bytes=64, step=10).orderBy(
+        "media_id", "frame_idx"
+    )
