@@ -163,7 +163,11 @@ def cmd_compact(args) -> None:
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
     spark = build_session(app_name="compact")
-    res = table.compact(spark, min_files_per_bucket=args.min_files)
+    res = table.compact(
+        spark,
+        min_files_per_bucket=args.min_files,
+        drop_tombstones_below=args.drop_tombstones_below,
+    )
     print(json.dumps(res))
 
 
@@ -257,6 +261,10 @@ def main(argv: list[str] | None = None) -> None:
     k = sub.add_parser("compact", help="fold small data files per bucket (rewrite_data_files)")
     k.add_argument("--table", required=True)
     k.add_argument("--min-files", type=int, default=2, help="compact buckets with at least this many files")
+    k.add_argument(
+        "--drop-tombstones-below", type=int, default=None, metavar="SEQ",
+        help="GC watermark: drop tombstones older than SEQ (caller asserts no older event can arrive)",
+    )
     k.set_defaults(fn=cmd_compact)
 
     e = sub.add_parser("export", help="re-upload source->source: snapshot -> feed chunks")

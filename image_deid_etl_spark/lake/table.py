@@ -576,15 +576,20 @@ class SnapshotTable:
         spark: SparkSession,
         min_files_per_bucket: int = 2,
         buckets: list[int] | None = None,
+        drop_tombstones_below: int | None = None,
     ) -> dict:
         """Maintenance: fold a bucket's accumulated small files into one
         (Iceberg ``rewrite_data_files`` analog). File-granular MERGE makes
         commits append-mostly, so buckets accrue one small file per commit;
         compaction restores read efficiency without changing any row.
 
-        Tombstones are preserved verbatim — they still guard against
-        late-arriving older events resurrecting deleted keys. Offsets are
-        carried unchanged; the commit is data-movement only.
+        Tombstones are preserved by default — they guard against
+        late-arriving OLDER events resurrecting deleted keys.
+        ``drop_tombstones_below`` is the GC watermark: the CALLER asserts
+        that no event with ``seq`` below it can ever arrive (e.g. the feed
+        source's retention horizon), and tombstones older than it are
+        physically dropped. Offsets are carried unchanged; the commit is
+        data-movement only.
         """
         m = self.manifest()
         per_bucket: dict[int, list[dict]] = {}
@@ -593,12 +598,22 @@ class SnapshotTable:
         todo = {
             b: fs
             for b, fs in per_bucket.items()
-            if len(fs) >= min_files_per_bucket and (buckets is None or b in buckets)
+            if (buckets is None or b in buckets)
+            and (
+                len(fs) >= min_files_per_bucket or drop_tombstones_below is not None
+            )
         }
         if not todo:
             return {"compacted_buckets": [], "files_before": 0, "files_after": 0}
         replaced = {f["path"] for fs in todo.values() for f in fs}
         df = self.read_raw(spark, buckets=sorted(todo))
+        if drop_tombstones_below is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col("_deleted"), F.lit(False))
+                    & (F.col("commit_seq") < F.lit(drop_tombstones_below))
+                )
+            )
         started = time.time()
         entries = self.write_snapshot_files(df, self.snapshot_id + 1)
         self.commit_snapshot(

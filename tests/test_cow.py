@@ -302,3 +302,27 @@ def test_bloom_built_lazily_and_prunes_range_overlaps(spark, tmp_path):
     survived = _bloom_prune(t, probe_df("a3"), bloomed)
     key = "r\x1fa3"
     assert any(f["key_min"] <= key <= f["key_max"] for f in survived)
+
+
+def test_compaction_tombstone_gc_watermark(spark, tmp_path):
+    """drop_tombstones_below physically removes only tombstones older than
+    the watermark; newer tombstones keep guarding against resurrection."""
+    t = make_table(spark, tmp_path)
+    b1 = batch_df(spark, [(i + 1, "add", "r", f"p{i}", "v") for i in range(10)])
+    merge_into(spark, t, b1, offsets(1), scrub=False)
+    d = batch_df(
+        spark,
+        [(100, "delete", "r", "p1", None), (900, "delete", "r", "p2", None)],
+    )
+    merge_into(spark, t, d, offsets(2), scrub=False)
+    assert t.read_raw(spark).filter(F.col("_deleted")).count() == 2
+
+    t.compact(spark, min_files_per_bucket=1, drop_tombstones_below=500)
+    dead = t.read_raw(spark).filter(F.col("_deleted")).collect()
+    assert [r["path"] for r in dead] == ["p2"]  # seq-900 tombstone retained
+    assert t.read(spark).count() == 8  # live state unchanged
+
+    # the retained tombstone still blocks a late older event...
+    late = batch_df(spark, [(800, "update", "r", "p2", "ghost")])
+    merge_into(spark, t, late, offsets(3), scrub=False)
+    assert t.read(spark).filter(F.col("path") == "p2").count() == 0
