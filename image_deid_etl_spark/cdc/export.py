@@ -53,18 +53,23 @@ def export_feed(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    # rename part files into the numbered feed-chunk convention; clear any
-    # previous export first — a re-export with fewer chunks must not leave
-    # stale trailing chunks behind (they would corrupt a downstream ingest)
+    # rename part files into the numbered feed-chunk convention. Ordering
+    # matters for crash safety: INSTALL the new chunks first (os.replace
+    # atomically overwrites each name), THEN delete only the stale
+    # trailing chunks of a larger previous export — a crash mid-way
+    # leaves a mix of new and old chunks but never an empty/partial
+    # directory where a complete export used to be.
     os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        if old.startswith("feed-") and old.endswith(".parquet"):
-            os.remove(os.path.join(out_dir, old))
     parts = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
     )
     for i, p in enumerate(parts):
         os.replace(os.path.join(tmp, p), os.path.join(out_dir, f"feed-{i:05d}.parquet"))
+    for old in os.listdir(out_dir):
+        if old.startswith("feed-") and old.endswith(".parquet"):
+            idx = int(old[len("feed-"):].split(".")[0])
+            if idx >= len(parts):
+                os.remove(os.path.join(out_dir, old))
     for leftover in os.listdir(tmp):
         os.remove(os.path.join(tmp, leftover))
     os.rmdir(tmp)

@@ -410,7 +410,7 @@ def merge_into(
         raise SimulatedCrash("crash injected between apply and commit")
 
     # -- atomic commit: files + offsets + (maybe) evolved schema ----------
-    return table.commit_snapshot(
+    snap = table.commit_snapshot(
         new_files=entries,
         replaced_paths=matched_rel,
         offsets=offsets,
@@ -424,3 +424,12 @@ def merge_into(
             "files_replaced": len(matched_rel),
         },
     )
+    # a bloom built this commit for a file this same commit then REPLACED
+    # is referenced by no manifest — delete it now (crash-orphans are
+    # swept by expire_snapshots)
+    for p in set(bloom_updates) & matched_rel:
+        try:
+            os.remove(os.path.join(table.root, bloom_updates[p]["bloom_path"]))
+        except OSError:
+            pass
+    return snap

@@ -372,6 +372,7 @@ class SnapshotTable:
                 meta = pq.ParquetFile(full).metadata
                 seq_min, seq_max = _col_range(meta, "commit_seq")
                 key_min, key_max = _col_range(meta, "_key")
+                _del_min, del_max = _col_range(meta, "_deleted")
                 entries.append(
                     {
                         "path": os.path.relpath(full, self.root),
@@ -382,6 +383,8 @@ class SnapshotTable:
                         "seq_max": seq_max,
                         "key_min": key_min,
                         "key_max": key_max,
+                        # bool col stats: max=True ⇔ file holds a tombstone
+                        "has_deletes": bool(del_max) if del_max is not None else None,
                     }
                 )
         return entries
@@ -595,13 +598,23 @@ class SnapshotTable:
         per_bucket: dict[int, list[dict]] = {}
         for f in m["files"]:
             per_bucket.setdefault(f["bucket"], []).append(f)
+
+        def gc_candidate(f: dict) -> bool:
+            # manifest stats prove absence: a file with no tombstones, or
+            # whose oldest row is already >= the watermark, holds nothing
+            # droppable. Missing stats → conservative include.
+            if drop_tombstones_below is None:
+                return False
+            if f.get("has_deletes") is False:
+                return False
+            smin = f.get("seq_min")
+            return smin is None or smin < drop_tombstones_below
+
         todo = {
             b: fs
             for b, fs in per_bucket.items()
             if (buckets is None or b in buckets)
-            and (
-                len(fs) >= min_files_per_bucket or drop_tombstones_below is not None
-            )
+            and (len(fs) >= min_files_per_bucket or any(gc_candidate(f) for f in fs))
         }
         if not todo:
             return {"compacted_buckets": [], "files_before": 0, "files_after": 0}
@@ -671,6 +684,19 @@ class SnapshotTable:
             if os.path.exists(full):
                 removed_bytes += os.path.getsize(full)
                 os.remove(full)
+        # orphan sweep: sidecars referenced by NO retained manifest (lazy
+        # blooms built in a merge that crashed before its commit). Safe
+        # under the single-writer contract; if an expire ever raced a
+        # merge, the merge's commit would reference a swept bloom and
+        # load_bloom degrades to the conservative no-bloom path.
+        bdir = os.path.join(self.root, BLOOMS)
+        if os.path.isdir(bdir):
+            for fn in os.listdir(bdir):
+                rel = os.path.join(BLOOMS, fn)
+                if rel not in live_blooms:
+                    full = os.path.join(bdir, fn)
+                    removed_bytes += os.path.getsize(full)
+                    os.remove(full)
         return {
             "expired_snapshots": expired,
             "removed_files": len(dead_files),

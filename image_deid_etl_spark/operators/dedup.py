@@ -330,9 +330,14 @@ def connected_components(
     labels are persisted and the previous round's cache released, so the
     lineage never deepens past one round. The fixpoint (min id per
     component) is unique, hence deterministic and oracle-checkable via a
-    recursive-CTE reachability query.
+    recursive-CTE reachability query. Raises if the labels have not
+    converged within ``max_iter`` rounds (a silent early exit would split
+    real clusters).
 
-    Returns (v, component) for every vertex that appears in a pair.
+    Returns (v, component) for every vertex that appears in a pair. The
+    result is a persisted DataFrame (the iteration's last round);
+    callers running many component jobs in one session should call
+    ``result.unpersist()`` when done.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -340,26 +345,36 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     ).persist()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["v"])
             .groupBy("dst")
             .agg(F.min("label").alias("_m"))
         )
-        stepped = (
-            labels.join(nbr, labels["v"] == nbr["dst"], "left")
-            .select(
-                labels["v"],
-                F.least(labels["label"], F.coalesce(nbr["_m"], labels["label"])).alias(
-                    "label"
-                ),
-                (F.coalesce(nbr["_m"], labels["label"]) < labels["label"]).alias("_chg"),
-            )
-            .persist()
+        joined = labels.join(nbr, labels["v"] == nbr["dst"], "left").select(
+            labels["v"],
+            F.least(labels["label"], F.coalesce(nbr["_m"], labels["label"])).alias(
+                "label"
+            ),
+            (F.coalesce(nbr["_m"], labels["label"]) < labels["label"]).alias("_chg"),
         )
-        changed = stepped.filter(F.col("_chg")).limit(1).count()
-        prev, labels = labels, stepped.select("v", "label")
+        changed = joined.filter(F.col("_chg")).limit(1).count()
+        # persist exactly the frame we hand forward/return, so a caller's
+        # result.unpersist() genuinely releases the cache
+        stepped = joined.select("v", "label").persist()
+        prev, labels = labels, stepped
         prev.unpersist()
         if changed == 0:
+            converged = True
             break
-    return labels.select("v", "label")
+    if not converged:
+        # returning non-converged labels would silently split one real
+        # cluster into several — fail loudly instead (diameter > max_iter
+        # means pathological chains; raise the knob deliberately)
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    return labels

@@ -131,13 +131,23 @@ def _global_positions(df: DataFrame, order: list[str], col: str) -> DataFrame:
 
     Data rows never pass through a single task; the only single-partition
     step is the running sum over the ≤n_partitions COUNT rows — metadata-
-    sized by construction. One query also means one boundary-sampling
-    pass, so partition assignment is consistent between the offsets and
-    the ranks (no persist needed)."""
-    n = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    sized by construction. Consistency of the partition assignment between
+    the offsets branch and the ranks branch comes from EXCHANGE REUSE
+    (both branches reference the identical range exchange; verified at
+    runtime by the plan-shape test). If exchange reuse is disabled in the
+    session, the ranged frame is persisted instead — boundary sampling
+    must never run twice."""
+    spark = df.sparkSession
+    n = max(2, spark.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order]).withColumn(
         "_pid", F.spark_partition_id()
     )
+    reuse_on = (
+        str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() == "true"
+        or str(spark.conf.get("spark.sql.adaptive.enabled", "true")).lower() == "true"
+    )
+    if not reuse_on:
+        ranged = ranged.persist()
     w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         ranged.groupBy("_pid")

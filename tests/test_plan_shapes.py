@@ -77,6 +77,13 @@ def test_positional_zip_join_never_single_partition(spark):
     rows = z.collect()
     assert len(rows) == 1000
     assert all(r["x"] == r["y"] for r in rows)
+    # partition-assignment consistency between the offsets and rank
+    # branches is guaranteed by exchange reuse — assert it actually
+    # happened at runtime (each side's range exchange computed ONCE)
+    p_exec = spark._jvm.PythonSQLUtils.explainString(
+        z._jdf.queryExecution(), "formatted"
+    )
+    assert p_exec.count("ReusedExchange") >= 2
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
