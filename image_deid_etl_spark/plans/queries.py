@@ -1910,3 +1910,43 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, frame_bytes=64, step=10).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "median_value_by_type",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, value AS median_value, n AS n_events
+    FROM r WHERE rn = (n + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistic (lower median) per group via rank selection —
+    no interpolation arithmetic, so the picked value is an exact copy of
+    a table cell and hashes identically cross-engine. The distributed
+    shape: one window over the group key, rank filter."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select(
+            "event_type",
+            F.col("value").alias("median_value"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
