@@ -213,7 +213,7 @@ def make_events(spec: FeedSpec) -> pd.DataFrame:
                 "rev": str(int(seq[i]) % 13),
                 "StationName": f"scanner-{int(ks[i]) % 5}",
                 **(
-                    {"InstitutionName": "chop"}
+                    {"InstitutionName": f"site-{int(ks[i]) % 3}"}
                     if ks[i] % 3 == 0
                     else {}
                 ),
