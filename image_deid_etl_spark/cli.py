@@ -126,6 +126,30 @@ def cmd_validate(args) -> None:
             F.col("content").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
         )
         leaked.write.mode("overwrite").parquet(f"{args.report}/scrub_leaks")
+    # fsck: manifest ↔ disk consistency (read-only metadata walk)
+    import os as _os
+
+    fsck = {"missing_data_files": 0, "missing_blooms": 0, "bad_key_ranges": 0,
+            "row_mismatch_files": 0}
+    for f in table.manifest()["files"]:
+        full = _os.path.join(table.root, f["path"])
+        if not _os.path.exists(full):
+            fsck["missing_data_files"] += 1
+            continue
+        if f.get("bloom_path") and not _os.path.exists(
+            _os.path.join(table.root, f["bloom_path"])
+        ):
+            fsck["missing_blooms"] += 1
+        if (
+            f.get("key_min") is not None
+            and f.get("key_max") is not None
+            and f["key_min"] > f["key_max"]
+        ):
+            fsck["bad_key_ranges"] += 1
+        import pyarrow.parquet as _pq
+
+        if _pq.ParquetFile(full).metadata.num_rows != f["rows"]:
+            fsck["row_mismatch_files"] += 1
     print(
         json.dumps(
             {
@@ -138,9 +162,12 @@ def cmd_validate(args) -> None:
                 "null_content_rows": stats["null_content"],
                 "snapshots": table.snapshots(),
                 "lineage_commits": len(table.lineage()),
+                "fsck": fsck,
             }
         )
     )
+    if any(fsck.values()):
+        sys.exit(2)
 
 
 def cmd_expire(args) -> None:
