@@ -16,12 +16,28 @@ walks files one HTTP POST at a time)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import SnapshotTable
+
+#: Export completeness marker, installed via ``os.replace``. Consumers
+#: (`list_feed_files`) ignore chunks at indices >= ``n_chunks`` and refuse
+#: an ``in_progress`` feed — so a crash mid-export can never resurrect
+#: keys deleted between exports via a stale trailing chunk.
+FEED_MANIFEST = "_FEED_EXPORT.json"
+
+
+def _write_feed_manifest(out_dir: str, payload: dict) -> None:
+    tmp = os.path.join(out_dir, FEED_MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, FEED_MANIFEST))
 
 
 def export_feed(
@@ -53,18 +69,24 @@ def export_feed(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    # rename part files into the numbered feed-chunk convention. Ordering
-    # matters for crash safety: INSTALL the new chunks first (os.replace
-    # atomically overwrites each name), THEN delete only the stale
-    # trailing chunks of a larger previous export — a crash mid-way
-    # leaves a mix of new and old chunks but never an empty/partial
-    # directory where a complete export used to be.
+    # rename part files into the numbered feed-chunk convention. Crash
+    # safety is a 4-step protocol around the FEED_MANIFEST marker:
+    #   (0) mark in_progress  — a crash during install is DETECTED: the
+    #       consumer refuses the feed until the export is re-run;
+    #   (1) install new chunks (os.replace atomically overwrites names);
+    #   (2) mark complete with the chunk count — from this instant the
+    #       consumer ignores stale trailing chunks of a larger previous
+    #       export, so a crash before step (3) cannot resurrect keys
+    #       deleted between exports;
+    #   (3) physically delete the (already invisible) stale chunks.
     os.makedirs(out_dir, exist_ok=True)
     parts = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
     )
+    _write_feed_manifest(out_dir, {"in_progress": True})
     for i, p in enumerate(parts):
         os.replace(os.path.join(tmp, p), os.path.join(out_dir, f"feed-{i:05d}.parquet"))
+    _write_feed_manifest(out_dir, {"n_chunks": len(parts)})
     for old in os.listdir(out_dir):
         if old.startswith("feed-") and old.endswith(".parquet"):
             idx = int(old[len("feed-"):].split(".")[0])

@@ -287,15 +287,38 @@ def list_feed_files(feed_dir: str) -> list[str]:
     moment indices outgrow their zero-padding ('feed-100000' sorts before
     'feed-99999'), which at 10^10-event scale would silently shuffle the
     frontier — replaying committed chunks and skipping fresh ones.
+
+    Honors an exporter's ``_FEED_EXPORT.json`` marker when present: an
+    ``in_progress`` feed (exporter crashed mid-install) is refused, and
+    chunks at indices >= the recorded ``n_chunks`` (stale trailing chunks
+    of a larger previous export, not yet physically deleted) are ignored —
+    ingesting them could resurrect keys deleted between exports. Feeds
+    without a marker (normal incremental producers) read everything.
     """
 
     def idx(name: str) -> int:
         return int(name[len("feed-"):].split(".")[0])
 
+    n_chunks: int | None = None
+    manifest = os.path.join(feed_dir, "_FEED_EXPORT.json")
+    if os.path.exists(manifest):
+        import json
+
+        with open(manifest, encoding="utf-8") as f:
+            meta = json.load(f)
+        if meta.get("in_progress"):
+            raise RuntimeError(
+                f"feed at {feed_dir} is marked in_progress: the exporter "
+                "crashed mid-install; re-run the export before consuming"
+            )
+        n_chunks = meta.get("n_chunks")
+
     names = [
         f
         for f in os.listdir(feed_dir)
-        if f.startswith("feed-") and f.endswith(".parquet")
+        if f.startswith("feed-")
+        and f.endswith(".parquet")
+        and (n_chunks is None or idx(f) < n_chunks)
     ]
     return [os.path.join(feed_dir, f) for f in sorted(names, key=idx)]
 

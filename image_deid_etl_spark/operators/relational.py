@@ -142,9 +142,13 @@ def _global_positions(df: DataFrame, order: list[str], col: str) -> DataFrame:
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order]).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Gate on exchange.reuse ALONE: AQE being on does NOT imply the two
+    # branches share one physical exchange — with exchange.reuse=false the
+    # offsets and ranks branches would re-run the range exchange with
+    # independently sampled boundaries (RangePartitioner seeds differ per
+    # RDD instance), assigning inconsistent _pid and corrupting positions.
     reuse_on = (
         str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() == "true"
-        or str(spark.conf.get("spark.sql.adaptive.enabled", "true")).lower() == "true"
     )
     if not reuse_on:
         ranged = ranged.persist()

@@ -1017,10 +1017,30 @@ def media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "byte_len", "sha256").orderBy("media_id")
 
 
-@register("media_features_full")  # no SQL oracle: stub decode isn't SQL-expressible
+@register(
+    "media_features_full",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             sha256(text) AS sha256
+      FROM documents
+    )
+    SELECT media_id, kind, byte_len, sha256,
+           ('0x' || substring(sha256, 1, 8))::BIGINT / 4294967296.0 AS feat_mean,
+           (CASE kind WHEN 'image' THEN 2048 WHEN 'audio' THEN 512 ELSE 4096 END)::INT AS feat_dim,
+           byte_len >= 8 AS valid
+    FROM m WHERE byte_len >= 8
+    ORDER BY media_id
+    """,
+)
 def media_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal feature extraction incl. stub decode + quarantine
-    routing (rows-only check; the decode fake is Python-side)."""
+    routing. The stub decode's arithmetic (`feat_mean` = first 4 digest
+    bytes / 2^32, `feat_dim` = CASE over kind, `valid` = len >= 8) is
+    replayed exactly by the SQL oracle, so the mapInPandas fan-out is
+    verified end to end, not just rows-only."""
     d = _t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d, "doc_id", "text")
     feats = multimodal.extract_features(media)

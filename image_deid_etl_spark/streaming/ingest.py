@@ -24,6 +24,7 @@ Limitations vs the batch path (documented, by design):
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,53 @@ from pyspark.sql import types as T
 from ..cdc.engine import open_or_create_table
 from ..cdc.feed import FEED_SCHEMA
 from ..cdc.merge import merge_into
+
+
+def _export_valid_chunks(feed_dir: str) -> set[str] | None:
+    """Chunk names covered by an exporter's ``_FEED_EXPORT.json``, or None
+    when the feed has no marker (normal incremental producer — read all).
+
+    Mirrors `cdc.feed.list_feed_files`: the batch and streaming consumers
+    must agree on what a crashed/partially-cleaned export exposes, or the
+    streaming path could resurrect keys the batch path correctly ignores.
+    """
+    import json
+
+    marker = os.path.join(feed_dir, "_FEED_EXPORT.json")
+    if not os.path.exists(marker):
+        return None
+    with open(marker, encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("in_progress"):
+        raise RuntimeError(
+            f"feed at {feed_dir} is marked in_progress: the exporter "
+            "crashed mid-install; re-run the export before consuming"
+        )
+    n = meta.get("n_chunks")
+    if n is None:
+        return None
+    return {f"feed-{i:05d}.parquet" for i in range(n)}
+
+
+def _checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """Stable identity for ONE checkpoint lineage, minted at stream start.
+
+    The path alone is NOT a safe identity: wiping and recreating the same
+    checkpoint dir restarts epoch ids at 0 while the path still matches,
+    so a path-keyed guard would silently skip the first ``last_epoch + 1``
+    micro-batches. A uuid marker file created with the checkpoint dir (and
+    destroyed with it) gives a recreated dir a fresh identity, so its
+    epochs fall through to the idempotent merge instead of being skipped.
+    """
+    marker = os.path.join(checkpoint_dir, "_stream_id")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    if not os.path.exists(marker):
+        tmp = f"{marker}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp, marker)  # atomic: a crash never leaves a torn marker
+    with open(marker, encoding="utf-8") as f:
+        return f.read().strip()
 
 
 def infer_feed_schema(
@@ -78,13 +126,26 @@ def stream_ingest(
     # checkpoint dir restarts them at 0, so the guard below must key on the
     # checkpoint identity too — otherwise pointing a new checkpoint at an
     # existing table silently drops its first last_epoch+1 micro-batches.
-    ckpt_id = os.path.abspath(checkpoint_dir)
+    # Identity = uuid marker INSIDE the dir (not the path): wiping and
+    # recreating the same path mints a new id.
+    ckpt_id = _checkpoint_stream_id(checkpoint_dir)
+
+    valid_chunks = _export_valid_chunks(feed_dir)
 
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(feed_dir)
     )
+    if valid_chunks is not None:
+        # exported feed: drop rows from chunks beyond the export manifest
+        # (stale trailing chunks of a larger previous export — see
+        # cdc/export.py crash-safety protocol). _metadata is the file
+        # source's hidden per-row provenance column; the filter is a scan
+        # predicate, not a Python UDF.
+        src = src.withColumn("_src_chunk", F.col("_metadata.file_name")).filter(
+            F.col("_src_chunk").isin(sorted(valid_chunks))
+        ).drop("_src_chunk")
 
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
         t = open_or_create_table(table_root, n_buckets)

@@ -326,3 +326,62 @@ def test_compaction_tombstone_gc_watermark(spark, tmp_path):
     late = batch_df(spark, [(800, "update", "r", "p2", "ghost")])
     merge_into(spark, t, late, offsets(3), scrub=False)
     assert t.read(spark).filter(F.col("path") == "p2").count() == 0
+
+
+def test_export_crash_safety_markers(spark, tmp_path):
+    """ADVICE fix (r2): a crash between installing new chunks and deleting
+    stale trailing ones must not let a consumer resurrect deleted keys.
+    The _FEED_EXPORT.json marker (installed via os.replace BEFORE the
+    stale-delete) makes trailing chunks invisible; an in_progress marker
+    (crash mid-install) makes the feed refuse consumption entirely."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.export import export_feed
+    from image_deid_etl_spark.cdc.feed import FeedSpec, list_feed_files, write_feed
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=1000, n_keys=150))
+    run_ingest(spark, root, feed)
+    src = open_table(root)
+
+    out_feed = str(tmp_path / "exported")
+    export_feed(spark, src, out_feed, n_chunks=3)
+
+    # simulate the crash: a stale trailing chunk (from a larger previous
+    # export) carrying a key that no longer exists, NOT covered by the
+    # manifest's n_chunks=3
+    stale = pa.Table.from_pydict(
+        {
+            "seq": [1],
+            "op": ["add"],
+            "repo": ["ghost-repo"],
+            "path": ["ghost/file.py"],
+            "commit": ["dead"],
+            "lang": ["python"],
+            "content": ["resurrected"],
+            "ts": pa.array([0], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(stale, os.path.join(out_feed, "feed-00099.parquet"))
+
+    files = list_feed_files(out_feed)
+    assert all("feed-00099" not in f for f in files)
+    assert len(files) == 3
+
+    root2 = str(tmp_path / "t2")
+    run_ingest(spark, root2, out_feed)
+    dst = open_table(root2)
+    assert dst.read(spark).filter("repo = 'ghost-repo'").count() == 0
+
+    # crash mid-install: in_progress marker -> consumer refuses the feed
+    with open(os.path.join(out_feed, "_FEED_EXPORT.json"), "w") as f:
+        json.dump({"in_progress": True}, f)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="in_progress"):
+        list_feed_files(out_feed)

@@ -117,6 +117,23 @@ def test_positional_zip_join(spark):
     assert out == {("a", "x"), ("b", "y")}
 
 
+def test_positional_zip_join_without_exchange_reuse(spark):
+    """ADVICE fix (r2): with exchange.reuse=false the persist fallback must
+    kick in even when AQE is on — otherwise the two branches re-sample
+    range boundaries independently and positions are inconsistent."""
+    from image_deid_etl_spark.operators.relational import positional_zip_join
+
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        a = spark.range(0, 5000).selectExpr("id as o", "concat('L', id) as lv")
+        b = spark.range(0, 5000).selectExpr("id as o2", "concat('R', id) as rv")
+        out = positional_zip_join(a, b, ["o"], ["o2"]).collect()
+        assert len(out) == 5000
+        assert all(r["lv"][1:] == r["rv"][1:] for r in out)
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
 def test_map_literal_lookup(spark):
     from image_deid_etl_spark.operators.relational import map_literal_lookup
 

@@ -197,3 +197,55 @@ def test_stream_fresh_checkpoint_does_not_drop_batches(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, before, check_dtype=False)
+
+
+def test_stream_wiped_checkpoint_same_path_does_not_drop_batches(spark, tmp_path):
+    """ADVICE fix (r2, medium): checkpoint identity must be a marker INSIDE
+    the dir, not its path. Wiping + recreating the same checkpoint path
+    restarts epoch ids at 0; a path-keyed guard then skips every epoch
+    <= the old last_epoch — here the rerun packs ALL files (old + new)
+    into fewer epochs than the first run committed, so a path-keyed guard
+    would drop the new events entirely."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = FeedSpec(n_events=400, n_keys=60, n_files=8)
+    write_feed(feed, spec)
+    # one file per epoch -> last_epoch = 7
+    stream_ingest(spark, root, feed, ckpt, max_files_per_trigger=1)
+    assert open_or_create_table(root).offsets()["last_epoch"] == 7
+
+    # user wipes the checkpoint dir but keeps the table and the feed
+    shutil.rmtree(ckpt)
+
+    # strictly newer events on fresh keys arrive as new feed chunks
+    new = make_events(FeedSpec(n_events=100, n_keys=20, n_files=1, shuffle=False, seed=9))
+    new["seq"] = new["seq"] + 10_000
+    new["path"] = "newkeys/" + new["path"]
+    pq.write_table(
+        pa.Table.from_pandas(new, preserve_index=False),
+        os.path.join(feed, "feed-00099.parquet"),
+    )
+
+    # rerun, SAME checkpoint path, 4 files/epoch -> 3 epochs (0..2), all
+    # <= the stale last_epoch=7. The uuid marker gives the recreated dir a
+    # new identity, so every epoch falls through to the idempotent merge.
+    stream_ingest(spark, root, feed, ckpt, max_files_per_trigger=4)
+
+    t = open_or_create_table(root)
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    all_events = pd.concat([make_events(spec), new], ignore_index=True)
+    expected = sha256_state(fold_feed(all_events))
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
