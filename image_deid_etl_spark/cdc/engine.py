@@ -150,6 +150,11 @@ def run_ingest(
                 # containing chars below the separator
                 F.min(key_expr(kc)).alias("lo"),
                 F.max(key_expr(kc)).alias("hi"),
+                # approx distinct keys (HLL, same scan) feeds the MERGE
+                # prune-ladder short-circuit: dense-in-DISTINCT-KEYS
+                # batches skip bloom probe + exact scan (events alone
+                # would over-trigger on hot-key bursts)
+                F.approx_count_distinct(key_expr(kc)).alias("nk"),
             )
             .collect()
         )
@@ -157,6 +162,7 @@ def run_ingest(
         mx = max((r["mx"] for r in stats_rows), default=0) or 0
         touched = {r["_b"] for r in stats_rows}
         key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
+        key_counts = {r["_b"]: r["nk"] for r in stats_rows}
         # spread the existing dict: fields owned by other ingest modes
         # (e.g. the streaming epoch guard's last_epoch) must survive a
         # batch commit, or a later stream restart re-applies its epoch
@@ -176,6 +182,7 @@ def run_ingest(
             fail_before_commit=(fail_before_commit_on_batch == stats.batches),
             touched=touched,
             key_ranges=key_ranges,
+            key_counts=key_counts,
         )
         stats.batches += 1
         stats.events += n

@@ -152,12 +152,22 @@ def _bloom_prune(
     return out
 
 
+#: Ladder short-circuit thresholds (see `_match_files`): a bucket skips
+#: blooms + exact scan when range-prune kept >= this fraction of its files
+#: AND the batch's (approx) distinct keys cover >= the density fraction of
+#: the bucket's live rows — the regime where probing cannot prune anything
+#: and its fixed cost is pure overhead on the no-locality path.
+_SHORT_CIRCUIT_CAND_FRAC = 0.8
+_SHORT_CIRCUIT_KEY_DENSITY = 0.2
+
+
 def _match_files(
     spark: SparkSession,
     table: SnapshotTable,
     incoming: DataFrame,
     touched: set[int],
     key_ranges: dict[int, tuple[str, str]] | None,
+    key_counts: dict[int, int] | None = None,
 ) -> tuple[list[str], set[str], dict[str, dict]]:
     """The copy-on-write prune ladder (ranges → blooms → exact scan).
     Returns (matched absolute paths, matched manifest-relative paths,
@@ -170,6 +180,22 @@ def _match_files(
     candidate — the build reads two int columns of files this phase
     would otherwise exact-scan anyway, and the sidecar persists via the
     commit's carried-entry updates, so every later commit skips both.
+
+    Short-circuit (per bucket): when range-prune keeps >= 80% of the
+    bucket's files AND the batch's approx-distinct keys (``key_counts``,
+    from the engine's existing stats job) cover >= 20% of the bucket's
+    live rows, every file is statistically certain to take a hit — the
+    bloom build/probe and exact scan would keep everything anyway, so
+    the bucket's candidates are declared matched outright. Both legs
+    matter: range-frac alone would mis-fire on a TRICKLE batch whose few
+    keys span the whole range (blooms prune those well), and density is
+    measured in distinct keys, not events, so a hot-key burst doesn't
+    trigger it. Dense-uniform replay batches (the no-locality worst
+    case) skip ~3 s of pure overhead per commit; locality feeds fail the
+    range-frac leg and keep the full ladder. Worst-case misfire (a batch
+    of mostly NEW keys spanning the full range — blooms would have
+    pruned) is bounded by the density leg: rewritten rows <= distinct
+    batch keys / 0.2 = 5x batch — O(batch), never O(table).
     """
     files = [f for f in table.manifest()["files"] if f["bucket"] in touched]
     if not files:
@@ -189,6 +215,39 @@ def _match_files(
     ]
     if not candidates:
         return [], set(), {}
+    if key_counts:
+        n_files_by_bucket: dict[int, int] = {}
+        for f in files:
+            n_files_by_bucket[f["bucket"]] = n_files_by_bucket.get(f["bucket"], 0) + 1
+        cand_by_bucket: dict[int, list[dict]] = {}
+        for f in candidates:
+            cand_by_bucket.setdefault(f["bucket"], []).append(f)
+        short_circuited: list[dict] = []
+        laddered: list[dict] = []
+        for b, cands in cand_by_bucket.items():
+            rows_b = sum(f.get("rows", 0) for f in cands)
+            dense = (
+                len(cands) >= _SHORT_CIRCUIT_CAND_FRAC * n_files_by_bucket[b]
+                and key_counts.get(b, 0) >= _SHORT_CIRCUIT_KEY_DENSITY * max(1, rows_b)
+            )
+            (short_circuited if dense else laddered).append(cands)
+        if short_circuited:
+            sc = [f for cands in short_circuited for f in cands]
+            candidates = [f for cands in laddered for f in cands]
+            if not candidates:
+                return (
+                    [os.path.join(table.root, f["path"]) for f in sc],
+                    {f["path"] for f in sc},
+                    {},
+                )
+            # mixed: short-circuited buckets are matched outright; the
+            # rest still run the ladder below
+            pre_abs = [os.path.join(table.root, f["path"]) for f in sc]
+            pre_rel = {f["path"] for f in sc}
+        else:
+            pre_abs, pre_rel = [], set()
+    else:
+        pre_abs, pre_rel = [], set()
     # files with no key stats predate the _key column (or lost stats): the
     # exact scan below could NOT see their keys (null _key), so the only
     # conservative treatment is ALWAYS-MATCHED — rewrite them. Mirrors the
@@ -200,12 +259,12 @@ def _match_files(
     bloom_updates = table.build_blooms(spark, missing) if missing else {}
     candidates = _bloom_prune(table, incoming, candidates)
     if not candidates and not legacy:
-        return [], set(), bloom_updates
+        return pre_abs, pre_rel, bloom_updates
     # exact prune: one narrow scan of the candidates' _key column,
     # semi-joined against the batch keys. Collect is bounded by the
     # number of candidate FILES, never rows.
-    matched_abs = [os.path.join(table.root, f["path"]) for f in legacy]
-    matched_rel = {f["path"] for f in legacy}
+    matched_abs = pre_abs + [os.path.join(table.root, f["path"]) for f in legacy]
+    matched_rel = pre_rel | {f["path"] for f in legacy}
     if candidates:
         abs_by_real: dict[str, str] = {}
         rel_by_real: dict[str, str] = {}
@@ -277,13 +336,16 @@ def merge_into(
     fail_before_commit: bool = False,
     touched: set[int] | None = None,
     key_ranges: dict[int, tuple[str, str]] | None = None,
+    key_counts: dict[int, int] | None = None,
 ) -> int:
     """Apply one change-event micro-batch; return the new snapshot id.
 
     ``offsets`` is committed atomically with the data (exactly-once).
     ``key_ranges`` (bucket → (key_min, key_max) of the batch, as computed
     by the engine's per-batch stats job) lets the caller spare the extra
-    range-aggregation scan here.
+    range-aggregation scan here. ``key_counts`` (bucket → approx distinct
+    batch keys, same stats job) enables the prune-ladder short-circuit on
+    dense no-locality batches; without it the full ladder always runs.
     """
     started = time.time()
     key_cols = table.key_cols()
@@ -339,7 +401,7 @@ def merge_into(
     # -- file-granular copy-on-write: only files holding a batch key ------
     t_match0 = time.time()
     matched_abs, matched_rel, bloom_updates = _match_files(
-        spark, table, incoming, touched, key_ranges
+        spark, table, incoming, touched, key_ranges, key_counts
     )
     t_match = time.time() - t_match0
     # Every row carries a file-group tag so the rewrite PRESERVES file

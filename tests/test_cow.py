@@ -385,3 +385,56 @@ def test_export_crash_safety_markers(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="in_progress"):
         list_feed_files(out_feed)
+
+
+def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
+    """r3 perf fix: a dense no-locality batch (distinct keys >= 20% of the
+    bucket's rows, range-prune keeps >= 80% of files) skips blooms +
+    exact scan and matches all candidates outright; a TRICKLE batch with
+    the same full-range span must still run the ladder and prune."""
+    from image_deid_etl_spark.cdc import merge as M
+
+    t = make_table(spark, tmp_path, n_buckets=1)
+    # two files in the bucket: keys a00..a49 and z00..z49
+    merge_into(spark, t, batch_df(
+        spark, [(i + 1, "add", "r", f"a{i:02d}", "x") for i in range(50)]
+    ), offsets(1), scrub=False)
+    merge_into(spark, t, batch_df(
+        spark, [(100 + i, "add", "r", f"z{i:02d}", "x") for i in range(50)]
+    ), offsets(2), scrub=False)
+    files2 = paths(t)
+    assert len(files2) == 2
+
+    # trickle: 2 keys spanning the full range -> range keeps both files,
+    # but density fails (2 << 0.2*100) -> ladder prunes to the files
+    # actually holding the keys (both here, one key each) -- and with keys
+    # missing entirely, to NONE
+    kr = {0: ("r\x1fa00", "r\x1fzzz")}
+    matched_abs, _, _ = M._match_files(
+        spark, t,
+        batch_df(spark, [(200, "add", "r", "a00", "y"), (201, "add", "r", "nope", "y")])
+        .selectExpr("*").select(
+            "*",
+            M.bucket_expr(1, ["repo", "path"]).alias("_bucket"),
+            M.key_expr(["repo", "path"]).alias("_key"),
+        ),
+        {0}, kr, key_counts={0: 2},
+    )
+    assert len(matched_abs) == 1  # bloom/exact pruned file z*, kept a*
+
+    # dense: 100 distinct keys over 100 live rows, full-range span ->
+    # short-circuit: both files matched with NO bloom sidecars built
+    dense = batch_df(
+        spark,
+        [(300 + i, "add", "r", f"a{i:02d}", "y") for i in range(50)]
+        + [(400 + i, "add", "r", f"z{i:02d}", "y") for i in range(50)],
+    ).select(
+        "*",
+        M.bucket_expr(1, ["repo", "path"]).alias("_bucket"),
+        M.key_expr(["repo", "path"]).alias("_key"),
+    )
+    matched_abs, matched_rel, bloom_updates = M._match_files(
+        spark, t, dense, {0}, kr, key_counts={0: 100}
+    )
+    assert matched_rel == files2
+    assert bloom_updates == {}  # ladder never ran -> no blooms built
