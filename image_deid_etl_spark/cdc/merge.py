@@ -197,7 +197,10 @@ def _match_files(
     pruned) is bounded by the density leg: rewritten rows <= distinct
     batch keys / 0.2 = 5x batch — O(batch), never O(table).
     """
-    files = [f for f in table.manifest()["files"] if f["bucket"] in touched]
+    # sharded-manifest hot path: load ONLY the touched buckets' shards —
+    # the match phase never parses the full live-file list (O(touched),
+    # not O(table); see lake/table.py manifest sharding)
+    files = table.files_for_buckets(touched)
     if not files:
         return [], set(), {}
     if key_ranges is None:

@@ -130,7 +130,15 @@ def cmd_validate(args) -> None:
     import os as _os
 
     fsck = {"missing_data_files": 0, "missing_blooms": 0, "bad_key_ranges": 0,
-            "row_mismatch_files": 0}
+            "row_mismatch_files": 0, "missing_shards": 0}
+    # sharded manifests: verify every referenced bucket shard exists
+    # before materializing the file list through them
+    top = table.manifest(with_files=False)
+    for name in top.get("file_shards", {}).values():
+        if not _os.path.exists(table._shard_path(name)):
+            fsck["missing_shards"] += 1
+    if fsck["missing_shards"]:
+        sys.exit(json.dumps({"fsck": fsck, "error": "manifest shard(s) missing"}))
     for f in table.manifest()["files"]:
         full = _os.path.join(table.root, f["path"])
         if not _os.path.exists(full):

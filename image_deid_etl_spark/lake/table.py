@@ -152,7 +152,7 @@ class SnapshotTable:
                 "n_buckets": n_buckets,
                 "target_file_rows": target_file_rows,
             },
-            "files": [],
+            "file_shards": {},
             "offsets": {"committed_feed_files": 0, "max_seq_seen": 0, "batch_id": -1},
             "properties": {},
         }
@@ -161,6 +161,61 @@ class SnapshotTable:
 
     def _manifest_path(self, snapshot_id: int) -> str:
         return os.path.join(self.root, MANIFESTS, f"manifest-{snapshot_id:010d}.json")
+
+    # -- manifest sharding (O(batch) commits) -------------------------- #
+    # The top manifest stores per-bucket SHARD references instead of the
+    # full file list: {"file_shards": {"<bucket>": "shard-....json"}}.
+    # A commit rewrites only the shards of buckets it changed and carries
+    # every other shard by NAME — so commit cost is O(changed buckets'
+    # entries + n_buckets), never O(live files). Iceberg shards its
+    # manifests for exactly this reason; a single JSON enumerating every
+    # live file is a driver-side O(table) parse per commit at 100 TB.
+    # Shards are immutable once written (uuid-suffixed names — a crashed
+    # commit attempt orphans its shards, never corrupts a committed one);
+    # `expire_snapshots` sweeps unreferenced shards. Legacy manifests with
+    # an inline "files" list remain readable; the first commit on one
+    # migrates every bucket to shards.
+
+    def _shard_path(self, name: str) -> str:
+        return os.path.join(self.root, MANIFESTS, name)
+
+    def _load_shard(self, name: str) -> list[dict]:
+        with open(self._shard_path(name)) as f:
+            return json.load(f)
+
+    def _write_shard(self, snapshot_id: int, bucket: int, entries: list[dict]) -> str:
+        name = f"shard-{snapshot_id:010d}-b{bucket:05d}-{uuid.uuid4().hex[:8]}.json"
+        path = self._shard_path(name)
+        with open(path, "w") as f:
+            json.dump(entries, f)
+            f.flush()
+            os.fsync(f.fileno())  # durable BEFORE the pointer swap
+        return name
+
+    @staticmethod
+    def _bucket_of_path(path: str) -> int | None:
+        """Bucket of a data file, parsed from its ``_pb=<b>`` path
+        component (the layout `write_snapshot_files` emits)."""
+        for part in path.split("/"):
+            if part.startswith("_pb="):
+                return int(part.split("=")[1])
+        return None
+
+    def files_for_buckets(
+        self, buckets: set[int], snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Manifest entries of the given buckets only — loads just those
+        buckets' shards (the MERGE hot path: O(touched), not O(table))."""
+        m = self.manifest(snapshot_id, with_files=False)
+        shards = m.get("file_shards")
+        if shards is None:  # legacy inline manifest
+            return [f for f in m["files"] if f["bucket"] in buckets]
+        out: list[dict] = []
+        for b in sorted(buckets):
+            name = shards.get(str(b))
+            if name:
+                out.extend(self._load_shard(name))
+        return out
 
     def _write_manifest(self, manifest: dict) -> None:
         """Durable write + atomic pointer swap (the commit point)."""
@@ -187,7 +242,12 @@ class SnapshotTable:
             finally:
                 os.close(fd)
 
-    def manifest(self, snapshot_id: int | None = None) -> dict:
+    def manifest(self, snapshot_id: int | None = None, with_files: bool = True) -> dict:
+        """Load a snapshot's manifest. ``with_files=True`` (default)
+        materializes the full ``"files"`` list — for sharded manifests
+        that loads every bucket shard, an O(live files) read. Metadata
+        accessors and the MERGE hot path use ``with_files=False`` /
+        `files_for_buckets` to stay O(1) / O(touched)."""
         with open(os.path.join(self.root, CURRENT)) as f:
             name = f.read().strip()
         if snapshot_id is None:
@@ -200,26 +260,37 @@ class SnapshotTable:
                 )
             path = self._manifest_path(snapshot_id)
         with open(path) as f:
-            return json.load(f)
+            m = json.load(f)
+        if with_files and "files" not in m:
+            m["files"] = [
+                e
+                for b in sorted(m.get("file_shards", {}), key=int)
+                for e in self._load_shard(m["file_shards"][b])
+            ]
+        return m
 
     @property
     def snapshot_id(self) -> int:
-        return self.manifest()["snapshot_id"]
+        return self.manifest(with_files=False)["snapshot_id"]
 
     def schema(self, snapshot_id: int | None = None) -> T.StructType:
-        return T.StructType.fromJson(self.manifest(snapshot_id)["schema"])
+        return T.StructType.fromJson(
+            self.manifest(snapshot_id, with_files=False)["schema"]
+        )
 
     def offsets(self) -> dict:
-        return self.manifest()["offsets"]
+        return self.manifest(with_files=False)["offsets"]
 
     def key_cols(self) -> list[str]:
-        return self.manifest()["partition_spec"]["columns"]
+        return self.manifest(with_files=False)["partition_spec"]["columns"]
 
     def n_buckets(self) -> int:
-        return self.manifest()["partition_spec"]["n_buckets"]
+        return self.manifest(with_files=False)["partition_spec"]["n_buckets"]
 
     def target_file_rows(self) -> int:
-        return self.manifest()["partition_spec"].get("target_file_rows", 1 << 19)
+        return self.manifest(with_files=False)["partition_spec"].get(
+            "target_file_rows", 1 << 19
+        )
 
     def snapshots(self) -> list[int]:
         """COMMITTED snapshot ids only. A manifest file written just before
@@ -294,11 +365,12 @@ class SnapshotTable:
         are even listed to Spark (our Iceberg-style partition pruning; no
         directory listing of a 100 TB table).
         """
-        m = self.manifest(snapshot_id)
-        files = m["files"]
         if buckets is not None:
-            bs = set(buckets)
-            files = [f for f in files if f["bucket"] in bs]
+            # manifest-level partition pruning loads ONLY those buckets'
+            # shards — O(pruned), not O(table)
+            files = self.files_for_buckets(set(buckets), snapshot_id)
+        else:
+            files = self.manifest(snapshot_id)["files"]
         schema = self._read_schema(snapshot_id)
         if not files:
             return spark.createDataFrame([], schema)
@@ -523,7 +595,7 @@ class SnapshotTable:
         clobbering the pointer (Iceberg-style compare-and-swap — here
         best-effort, since POSIX rename can't truly CAS).
         """
-        cur = self.manifest()
+        cur = self.manifest(with_files=False)
         if expected_parent is not None and cur["snapshot_id"] != expected_parent:
             raise ConcurrentCommitError(
                 f"table advanced to snapshot {cur['snapshot_id']} "
@@ -535,18 +607,56 @@ class SnapshotTable:
         dropped = set(replaced_paths or ())
         buckets = touched_buckets if touched_buckets is not None else set()
         upd = entry_updates or {}
-        carried = [
-            {**f, **upd[f["path"]]} if f["path"] in upd else f
-            for f in cur["files"]
-            if f["path"] not in dropped and f["bucket"] not in buckets
-        ]
+
+        # -- sharded carry-forward: rewrite ONLY changed buckets' shards --
+        legacy_files = cur.get("files") if "file_shards" not in cur else None
+        changed: set[int] = set(buckets)
+        for e in new_files:
+            changed.add(e["bucket"])
+        for p in dropped | set(upd):
+            b = self._bucket_of_path(p)
+            if b is None:
+                # unparseable path (shouldn't happen with our layout):
+                # conservatively rewrite every bucket's shard
+                changed = set(range(cur["partition_spec"]["n_buckets"]))
+                break
+            changed.add(b)
+        new_by_bucket: dict[int, list[dict]] = {}
+        for e in new_files:
+            new_by_bucket.setdefault(e["bucket"], []).append(e)
+        if legacy_files is not None:
+            # one-time migration of an inline-"files" manifest: shard out
+            # every bucket that has entries (or changes)
+            parent_by_bucket: dict[int, list[dict]] = {}
+            for f in legacy_files:
+                parent_by_bucket.setdefault(f["bucket"], []).append(f)
+            changed |= set(parent_by_bucket)
+            shard_map: dict[str, str] = {}
+        else:
+            parent_by_bucket = {}
+            shard_map = dict(cur["file_shards"])  # unchanged buckets: by NAME
+        for b in sorted(changed):
+            if legacy_files is not None:
+                parent_entries = parent_by_bucket.get(b, [])
+            else:
+                name = shard_map.get(str(b))
+                parent_entries = self._load_shard(name) if name else []
+            entries = [
+                {**f, **upd[f["path"]]} if f["path"] in upd else f
+                for f in parent_entries
+                if f["path"] not in dropped and f["bucket"] not in buckets
+            ] + new_by_bucket.get(b, [])
+            if entries:
+                shard_map[str(b)] = self._write_shard(snap, b, entries)
+            else:
+                shard_map.pop(str(b), None)
         manifest = {
             "snapshot_id": snap,
             "parent_id": cur["snapshot_id"],
             "schema": json.loads((schema or self.schema()).json()),
             "schema_version": cur["schema_version"] + (1 if schema is not None else 0),
             "partition_spec": cur["partition_spec"],
-            "files": carried + new_files,
+            "file_shards": shard_map,
             "offsets": offsets,
             "properties": cur["properties"],
         }
@@ -659,7 +769,11 @@ class SnapshotTable:
         expired = [s for s in snaps if s not in retained]
         live_files: set[str] = set()
         live_blooms: set[str] = set()
+        live_shards: set[str] = set()
         for s in retained:
+            live_shards |= set(
+                self.manifest(s, with_files=False).get("file_shards", {}).values()
+            )
             for f in self.manifest(s)["files"]:
                 live_files.add(f["path"])
                 if f.get("bloom_path"):
@@ -678,6 +792,12 @@ class SnapshotTable:
             lpath = os.path.join(self.root, LINEAGE, f"lineage-{s:010d}.json")
             if os.path.exists(lpath):
                 os.remove(lpath)
+        # shard sweep: manifest shards referenced by NO retained manifest
+        # (expired snapshots' rewritten shards + crashed-commit orphans)
+        mdir = os.path.join(self.root, MANIFESTS)
+        for fn in os.listdir(mdir):
+            if fn.startswith("shard-") and fn.endswith(".json") and fn not in live_shards:
+                os.remove(os.path.join(mdir, fn))
         removed_bytes = 0
         for rel in dead_files | dead_blooms:
             full = os.path.join(self.root, rel)

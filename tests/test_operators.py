@@ -192,3 +192,17 @@ def test_connected_components_known_graph(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """r3 scale fix: alternating large-star/small-star converges in
+    O(log n) rounds — a 200-vertex path graph (diameter 199) finishes
+    well inside the round budget where per-round min-label propagation
+    would need 199 rounds and raise."""
+    from image_deid_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    got = {(r["v"], r["label"]) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(201)}
