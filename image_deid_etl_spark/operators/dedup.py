@@ -170,68 +170,84 @@ def ngram_jaccard_pairs(
     )
 
 
+#: polynomial k-gram hash parameters, shared with the SQL oracle:
+#: H(gram) = Σ_j codepoint(gram[j]) · B^(k-1-j)  mod M. M is the Mersenne
+#: prime 2^31-1, so every value and SQL intermediate fits BIGINT exactly.
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647
+
+
+def winnowing_hash_sql(text_expr: str, k: int = 8) -> str:
+    """The oracle-side replica of the k-gram hash: plain BIGINT arithmetic
+    any SQL engine evaluates bit-identically to the numpy path."""
+    terms = " + ".join(
+        f"ord(substring({text_expr}, pos + {j}, 1))::BIGINT * {pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)}"
+        for j in range(k)
+    )
+    return f"({terms}) % {WINNOW_MOD}"
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
 ) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken) rolling-hash fingerprints.
 
-    Character k-gram md5 hashes; within every window of `window`
+    Polynomial character-k-gram hashes; within every window of `window`
     consecutive k-grams keep the minimum — the classic plagiarism/near-dup
     fingerprint with guaranteed match coverage for overlaps longer than
     k + window - 1.
 
     Computed per document inside an Arrow `mapInPandas` batch: one pass
-    over the text, numpy sliding-min, a per-doc distinct — NO k-gram
-    explode, NO shuffle (the round-1 columnar version shuffled one row per
-    character position into a per-doc window; at 100 TB of text that
-    shuffle IS the job). The result set (~2·len/window prints per doc) is
-    the only thing that leaves the stage. Output is identical to the SQL
-    formulation the DuckDB oracle runs: min is taken over the full 128-bit
-    digest (lowercase-hex order == byte order), texts shorter than
+    over the text, numpy end to end — codepoints via a utf-32 reinterpret
+    (no per-char Python), k shifted multiply-adds for all positions at
+    once, sliding-min, per-doc unique. NO k-gram explode, NO shuffle (the
+    round-1 columnar version shuffled one row per character position; at
+    100 TB of text that shuffle IS the job), and — new in r3 — no
+    per-k-gram ``hashlib.md5`` Python loop either (the r2 version's CPU
+    bottleneck; the vectorized polynomial hash moves this stage into the
+    same cost class as the rest of the pipeline). The result set
+    (~2·len/window prints per doc) is the only thing that leaves the
+    stage. The hash (`winnowing_hash_sql`) is plain modular arithmetic,
+    so the DuckDB oracle replays it bit-identically; texts shorter than
     k + window - 1 emit nothing (no phantom positions).
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
     id_field = df.schema[id_col]
-    out_schema = f"{id_col} {id_field.dataType.simpleString()}, fp string"
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, fp bigint"
+    weights = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
 
     def winnow(batches):
-        memo: dict[str, bytes] = {}
         for pdf in batches:
             ids: list = []
-            fps: list[str] = []
+            fps: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                n = len(text) - (k - 1)
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                n = len(codes) - (k - 1)
                 if n < window:  # not one full window of k-grams
                     continue
-                digs = bytearray()
-                for i in range(n):
-                    g = text[i : i + k]
-                    d = memo.get(g)
-                    if d is None:
-                        d = hashlib.md5(g.encode("utf-8")).digest()
-                        # bounded: 8 concurrent tasks each holding a large
-                        # dict is real Python-heap pressure on a shared box
-                        if len(memo) < 200_000:
-                            memo[g] = d
-                    digs += d
-                u = np.frombuffer(bytes(digs), dtype=">u8").reshape(n, 2)
-                hi, lo = u[:, 0], u[:, 1]
-                m_hi, m_lo = hi[window - 1 :].copy(), lo[window - 1 :].copy()
+                # max term: codepoint (<2^21) * weight (<2^31) * k → <2^57
+                h = np.zeros(n, dtype=np.uint64)
+                for j, w in enumerate(weights):
+                    h += codes[j : j + n] * np.uint64(w)
+                h %= np.uint64(WINNOW_MOD)
+                m = h[window - 1 :].copy()
                 for s in range(1, window):
-                    c_hi, c_lo = hi[window - 1 - s : n - s], lo[window - 1 - s : n - s]
-                    take = (c_hi < m_hi) | ((c_hi == m_hi) & (c_lo < m_lo))
-                    np.copyto(m_hi, c_hi, where=take)
-                    np.copyto(m_lo, c_lo, where=take)
-                uniq = np.unique(np.stack([m_hi, m_lo], axis=1), axis=0)
-                fps.extend(f"{h:016x}{l:016x}" for h, l in uniq)
+                    np.minimum(m, h[window - 1 - s : n - s], out=m)
+                uniq = np.unique(m)
+                fps.append(uniq.astype(np.int64))
                 ids.extend([doc_id] * len(uniq))
-            yield pd.DataFrame({id_col: ids, "fp": fps})
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fp": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(winnow, out_schema)
 

@@ -712,9 +712,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_WINNOW_SQL = """
+_WINNOW_SQL = f"""
   WITH g AS (
-    SELECT doc_id, pos, md5(substring(text, pos, 8)) AS ghash
+    SELECT doc_id, pos, {dedup.winnowing_hash_sql("text", 8)} AS ghash
     FROM (SELECT doc_id, text,
                  unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS pos
           FROM documents)
