@@ -3,8 +3,9 @@
 ``entry(spark)`` — flagship query smoke at sf0.001.
 ``queries()`` — every implemented operator/query from SURVEY.md §2 plus the
 training-data operator suite (dedup / ANN / text / multimodal).
-``oracle_sql()`` — matching DuckDB SQL per query (omitted only for the
-Python-stub multimodal decode, which is not SQL-expressible).
+``oracle_sql()`` — matching DuckDB SQL for EVERY query (as of r3 the
+stub multimodal decode's arithmetic is replayed by SQL too, so the
+catalog is 100% oracle-paired).
 """
 
 from __future__ import annotations

@@ -229,6 +229,26 @@ def lsh_bucket_banded(vec: Column, dim: int, n_planes: int, band: int) -> Column
     return F.concat(F.lit(f"{band}|"), *bits)
 
 
+def _hamming1_probes(bucket: Column, n_planes: int, band: int) -> Column:
+    """All Hamming-distance-1 variants of a band bucket string (multi-probe
+    LSH, Lv et al. 2007): flip each bit once, keep the band prefix. Pure
+    string expressions — evaluated inside codegen, no UDF."""
+    prefix_len = len(f"{band}|")
+    flips = []
+    for p in range(n_planes):
+        pos = prefix_len + p + 1  # 1-based substring position of bit p
+        ch = F.substring(bucket, pos, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(
+                F.substring(bucket, 1, pos - 1),
+                flipped,
+                bucket.substr(F.lit(pos + 1), F.length(bucket)),
+            )
+        )
+    return F.array(*flips)
+
+
 def lsh_bucketed_knn(
     items: DataFrame,
     id_col: str = "vec_id",
@@ -237,8 +257,20 @@ def lsh_bucketed_knn(
     n_planes: int = 12,
     k: int = 5,
     n_bands: int = 3,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs kNN with banded sign-bit LSH.
+
+    ``multiprobe=True`` additionally probes, on the QUERY side only,
+    every bucket at Hamming distance 1 from each band's home bucket
+    (multi-probe LSH, Lv et al. 2007). A near neighbor whose band
+    signature differs in exactly one bit is then still found, which
+    multiplies a band's collision probability by
+    ≈ 1 + n_planes·(1−p)/p (p = per-plane agreement = 1 − θ/π) at the
+    cost of an (n_planes+1)× wider probe fan-out — the probes stay
+    equi-join keys, so candidate generation remains bucket-bounded and
+    never degrades toward all-pairs. Use it to buy recall WITHOUT
+    coarsening buckets (fewer planes would square bucket occupancy).
 
     Scale shape (the standard LSH recall/cost dial, mirroring the MinHash
     band join in `dedup.py`):
@@ -269,7 +301,26 @@ def lsh_bucketed_knn(
             )
         ).alias("bucket"),
     )
-    a, c = banded.alias("a"), banded.alias("c")
+    if multiprobe:
+        # query side probes home + every Hamming-1 bucket; the candidate
+        # side stays home-only (probing both sides would double-count
+        # distance-2 pairs and square the fan-out)
+        probe_arrays = [
+            F.array_union(
+                F.array(lsh_bucket_banded(F.col(vec_col), dim, n_planes, b)),
+                _hamming1_probes(
+                    lsh_bucket_banded(F.col(vec_col), dim, n_planes, b), n_planes, b
+                ),
+            )
+            for b in range(n_bands)
+        ]
+        probes = items.select(
+            F.col(id_col),
+            F.explode(F.flatten(F.array(*probe_arrays))).alias("bucket"),
+        )
+        a, c = probes.alias("a"), banded.alias("c")
+    else:
+        a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(c, on="bucket")
         .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))

@@ -50,3 +50,40 @@ def test_ivf_full_probe_equals_exact(spark, sf_dir):
     full = ivf_knn(e, q, k=3, n_centroids=4, n_probe=4).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert exact.equals(full)
+
+
+def _recall_at_5(e, exact_sets, **kw):
+    from image_deid_etl_spark.operators.similarity import lsh_bucketed_knn
+
+    ap = lsh_bucketed_knn(e, k=5, **kw).toPandas()
+    aps = ap.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(exact_sets[q] & aps.get(q, set())) for q in exact_sets.index)
+    return hits / (5 * len(exact_sets))
+
+
+def test_lsh_knn_recall_on_clustered_corpus(spark):
+    """r3 recall evidence: on embeddings with real cluster structure (the
+    100 TB use case — model embeddings of near-dup corpora), the shipped
+    defaults (12 planes x 3 bands) with multi-probe reach recall@5 >= 0.6
+    vs exact cosine kNN, and multi-probe strictly improves on home-bucket
+    probing. The sf0.1 `embeddings` table is deliberately NOT used here:
+    it is isotropic noise (top-5 cosine ~= 0.37, i.e. theta ~= 68 deg),
+    where ANY sign-bit scheme's per-plane agreement is ~0.62 and banded
+    collision probability is irreducibly tiny — a data property, not an
+    implementation one; DESIGN.md documents the measured curve."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(40, 64)
+    vecs = np.repeat(centers, 50, axis=0) + 0.35 * rng.randn(2000, 64)
+    e = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = cosine_knn(e, e, k=5).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    home = _recall_at_5(e, exact_sets)  # shipped defaults, home bucket only
+    multi = _recall_at_5(e, exact_sets, multiprobe=True)
+    assert multi >= 0.6, f"multi-probe recall@5 = {multi}"
+    assert multi > home, f"multi-probe ({multi}) must beat home-only ({home})"
