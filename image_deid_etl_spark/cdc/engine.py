@@ -46,6 +46,7 @@ class IngestStats:
     events_per_sec: float = 0.0
     batch_events: list[int] = field(default_factory=list)
     batch_secs: list[float] = field(default_factory=list)
+    compactions: list[int] = field(default_factory=list)  # buckets compacted
 
 
 def open_or_create_table(
@@ -106,9 +107,17 @@ def run_ingest(
     max_batches: int | None = None,
     fail_before_commit_on_batch: int | None = None,
     target_file_rows: int | None = None,
+    auto_compact_files: int | None = 32,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
-    one snapshot per micro-batch. Safe to re-invoke after any crash."""
+    one snapshot per micro-batch. Safe to re-invoke after any crash.
+
+    ``auto_compact_files``: after each commit, if any TOUCHED bucket's
+    live file count reached this threshold, compact the single worst
+    such bucket (one bucket per commit — bounded maintenance riding the
+    ingest loop, so file counts plateau without a manual `compact`
+    call; None disables). Counting reads only the touched buckets'
+    manifest shards — O(batch), like the rest of the loop."""
     table = open_or_create_table(table_root, n_buckets, target_file_rows)
     off0 = table.offsets()
     if off0.get("last_epoch") is not None and off0.get("committed_feed_files", 0) == 0:
@@ -189,6 +198,20 @@ def run_ingest(
         stats.batch_events.append(n)
         stats.batch_secs.append(round(time.time() - tb0, 3))
         stats.snapshot_id = snap
+        if auto_compact_files:
+            counts: dict[int, int] = {}
+            for f in table.files_for_buckets(touched):
+                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+            over = [b for b, c in counts.items() if c >= auto_compact_files]
+            if over:
+                worst = max(over, key=lambda b: counts[b])
+                table.compact(
+                    spark,
+                    min_files_per_bucket=auto_compact_files,
+                    buckets=[worst],
+                )
+                stats.compactions.append(worst)
+                stats.snapshot_id = table.snapshot_id
     stats.duration_sec = time.time() - t0
     stats.events_per_sec = stats.events / stats.duration_sec if stats.duration_sec else 0.0
     return stats

@@ -438,3 +438,40 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
     )
     assert matched_rel == files2
     assert bloom_updates == {}  # ladder never ran -> no blooms built
+
+
+def test_auto_compaction_plateaus_file_count(spark, tmp_path):
+    """r3: run_ingest auto-compacts the worst over-threshold bucket after
+    a commit (one bucket per commit). Over a long multi-commit replay the
+    per-bucket live file count plateaus WITHOUT any explicit compact()
+    call, and the final state still matches the fold oracle exactly."""
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+    from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=4000, n_keys=200, n_files=24)
+    write_feed(feed, spec)
+    stats = run_ingest(
+        spark, root, feed, max_files_per_batch=1, n_buckets=2,
+        auto_compact_files=4,
+    )
+    assert stats.batches == 24
+    assert stats.compactions  # the hook actually fired
+    t = open_table(root)
+    counts: dict[int, int] = {}
+    for f in t.manifest()["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    # plateau: no bucket ends a 24-commit replay much above the threshold
+    assert max(counts.values()) <= 5, counts
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
