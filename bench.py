@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -78,7 +79,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
         raw_runs[name] = runs
-        med = sorted(runs)[len(runs) // 2]
+        med = round(statistics.median(runs), 3)
         per_query[name] = med
         total += med
 
@@ -100,14 +101,18 @@ def main() -> None:
         cdc_runs: list[float] = []
         n_events = 0
         for r in range(n_runs):
+            troot = os.path.join(work, f"table{r}")
             t0 = time.time()
             stats = run_ingest(
-                spark, os.path.join(work, f"table{r}"), feed_dir,
+                spark, troot, feed_dir,
                 max_files_per_batch=16, n_buckets=32,
             )
             cdc_runs.append(round(time.time() - t0, 3))
             n_events = stats.events
-        cdc_sec = sorted(cdc_runs)[len(cdc_runs) // 2]
+            # tmpfs is RAM on this host: drop each run's table before the
+            # next, or 3 table copies skew the very timings being medianed
+            shutil.rmtree(troot, ignore_errors=True)
+        cdc_sec = round(statistics.median(cdc_runs), 3)
         raw_runs["cdc_replay"] = cdc_runs
         per_query["cdc_replay"] = cdc_sec
         total += cdc_sec

@@ -149,29 +149,34 @@ def run_ingest(
         from ..lake.table import bucket_expr, key_expr
 
         kc = table.key_cols()
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.max("seq").alias("mx"),
+            # min/max over the SAME canonical key encoding the file
+            # stats use — tuple-order shortcuts would diverge for keys
+            # containing chars below the separator
+            F.min(key_expr(kc)).alias("lo"),
+            F.max(key_expr(kc)).alias("hi"),
+        ]
+        # approx distinct keys (HLL, same scan) feeds the MERGE
+        # prune-ladder short-circuit: dense-in-DISTINCT-KEYS batches skip
+        # bloom probe + exact scan (events alone would over-trigger on
+        # hot-key bursts). Only worth computing when the table HAS files
+        # to prune — an initial load pays the HLL for nothing.
+        top = table.manifest(with_files=False)
+        has_files = bool(top.get("file_shards") or top.get("files"))
+        if has_files:
+            aggs.append(F.approx_count_distinct(key_expr(kc)).alias("nk"))
         stats_rows = (
             batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("seq").alias("mx"),
-                # min/max over the SAME canonical key encoding the file
-                # stats use — tuple-order shortcuts would diverge for keys
-                # containing chars below the separator
-                F.min(key_expr(kc)).alias("lo"),
-                F.max(key_expr(kc)).alias("hi"),
-                # approx distinct keys (HLL, same scan) feeds the MERGE
-                # prune-ladder short-circuit: dense-in-DISTINCT-KEYS
-                # batches skip bloom probe + exact scan (events alone
-                # would over-trigger on hot-key bursts)
-                F.approx_count_distinct(key_expr(kc)).alias("nk"),
-            )
+            .agg(*aggs)
             .collect()
         )
         n = sum(r["n"] for r in stats_rows)
         mx = max((r["mx"] for r in stats_rows), default=0) or 0
         touched = {r["_b"] for r in stats_rows}
         key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
-        key_counts = {r["_b"]: r["nk"] for r in stats_rows}
+        key_counts = {r["_b"]: r["nk"] for r in stats_rows} if has_files else None
         # spread the existing dict: fields owned by other ingest modes
         # (e.g. the streaming epoch guard's last_epoch) must survive a
         # batch commit, or a later stream restart re-applies its epoch

@@ -23,21 +23,30 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import SnapshotTable
-
-#: Export completeness marker, installed via ``os.replace``. Consumers
-#: (`list_feed_files`) ignore chunks at indices >= ``n_chunks`` and refuse
-#: an ``in_progress`` feed — so a crash mid-export can never resurrect
-#: keys deleted between exports via a stale trailing chunk.
-FEED_MANIFEST = "_FEED_EXPORT.json"
+from .feed import FEED_MANIFEST
 
 
 def _write_feed_manifest(out_dir: str, payload: dict) -> None:
+    """Durable marker install: file fsync + rename + DIRECTORY fsync.
+
+    The directory fsync is what makes the rename itself crash-durable
+    (same standard as `lake.table._write_manifest`): without it, journal
+    reordering could persist the new-chunk renames while losing the
+    preceding ``in_progress`` marker — the exact crash the marker exists
+    to detect. Called at step (0) it makes in_progress durable BEFORE any
+    chunk install can be; at step (2) it makes the complete manifest AND
+    every installed chunk durable before stale deletion begins."""
     tmp = os.path.join(out_dir, FEED_MANIFEST + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_dir, FEED_MANIFEST))
+    fd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def export_feed(

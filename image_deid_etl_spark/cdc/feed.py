@@ -280,6 +280,35 @@ def write_feed(out_dir: str, spec: FeedSpec) -> list[str]:
     return paths
 
 
+#: Export completeness marker written by `cdc.export.export_feed`. ONE
+#: parser (`export_manifest_chunks`) serves both the batch and streaming
+#: consumers — they must agree on what a crashed/partially-cleaned export
+#: exposes, or one path could resurrect keys the other correctly ignores.
+FEED_MANIFEST = "_FEED_EXPORT.json"
+
+
+def export_manifest_chunks(feed_dir: str) -> set[str] | None:
+    """Chunk names covered by an exporter's marker, or None when the feed
+    has no marker (normal incremental producer — read everything). An
+    ``in_progress`` feed (exporter crashed mid-install) is refused."""
+    marker = os.path.join(feed_dir, FEED_MANIFEST)
+    if not os.path.exists(marker):
+        return None
+    import json
+
+    with open(marker, encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("in_progress"):
+        raise RuntimeError(
+            f"feed at {feed_dir} is marked in_progress: the exporter "
+            "crashed mid-install; re-run the export before consuming"
+        )
+    n = meta.get("n_chunks")
+    if n is None:
+        return None
+    return {f"feed-{i:05d}.parquet" for i in range(n)}
+
+
 def list_feed_files(feed_dir: str) -> list[str]:
     """Delivery chunks in arrival order.
 
@@ -288,37 +317,21 @@ def list_feed_files(feed_dir: str) -> list[str]:
     'feed-99999'), which at 10^10-event scale would silently shuffle the
     frontier — replaying committed chunks and skipping fresh ones.
 
-    Honors an exporter's ``_FEED_EXPORT.json`` marker when present: an
-    ``in_progress`` feed (exporter crashed mid-install) is refused, and
-    chunks at indices >= the recorded ``n_chunks`` (stale trailing chunks
-    of a larger previous export, not yet physically deleted) are ignored —
-    ingesting them could resurrect keys deleted between exports. Feeds
-    without a marker (normal incremental producers) read everything.
+    Honors an exporter's marker when present (`export_manifest_chunks`):
+    stale trailing chunks of a larger previous export are ignored —
+    ingesting them could resurrect keys deleted between exports.
     """
 
     def idx(name: str) -> int:
         return int(name[len("feed-"):].split(".")[0])
 
-    n_chunks: int | None = None
-    manifest = os.path.join(feed_dir, "_FEED_EXPORT.json")
-    if os.path.exists(manifest):
-        import json
-
-        with open(manifest, encoding="utf-8") as f:
-            meta = json.load(f)
-        if meta.get("in_progress"):
-            raise RuntimeError(
-                f"feed at {feed_dir} is marked in_progress: the exporter "
-                "crashed mid-install; re-run the export before consuming"
-            )
-        n_chunks = meta.get("n_chunks")
-
+    valid = export_manifest_chunks(feed_dir)
     names = [
         f
         for f in os.listdir(feed_dir)
         if f.startswith("feed-")
         and f.endswith(".parquet")
-        and (n_chunks is None or idx(f) < n_chunks)
+        and (valid is None or f in valid)
     ]
     return [os.path.join(feed_dir, f) for f in sorted(names, key=idx)]
 

@@ -138,7 +138,9 @@ def cmd_validate(args) -> None:
         if not _os.path.exists(table._shard_path(name)):
             fsck["missing_shards"] += 1
     if fsck["missing_shards"]:
-        sys.exit(json.dumps({"fsck": fsck, "error": "manifest shard(s) missing"}))
+        # same contract as every other fsck failure: JSON on stdout, exit 2
+        print(json.dumps({"fsck": fsck, "error": "manifest shard(s) missing"}))
+        sys.exit(2)
     for f in table.manifest()["files"]:
         full = _os.path.join(table.root, f["path"])
         if not _os.path.exists(full):

@@ -704,9 +704,17 @@ class SnapshotTable:
         physically dropped. Offsets are carried unchanged; the commit is
         data-movement only.
         """
-        m = self.manifest()
+        # scoped compaction loads ONLY the requested buckets' shards —
+        # the auto-compaction hook calls this per commit, so it must stay
+        # O(batch) like the rest of the ingest loop, not O(live files)
+        m = self.manifest(with_files=False)
+        files = (
+            self.files_for_buckets(set(buckets))
+            if buckets is not None
+            else self.manifest()["files"]
+        )
         per_bucket: dict[int, list[dict]] = {}
-        for f in m["files"]:
+        for f in files:
             per_bucket.setdefault(f["bucket"], []).append(f)
 
         def gc_candidate(f: dict) -> bool:

@@ -177,11 +177,13 @@ WINNOW_BASE = 257
 WINNOW_MOD = 2_147_483_647
 
 
-def winnowing_hash_sql(text_expr: str, k: int = 8) -> str:
+def winnowing_hash_sql(text_expr: str, k: int = 8, pos_expr: str = "pos") -> str:
     """The oracle-side replica of the k-gram hash: plain BIGINT arithmetic
-    any SQL engine evaluates bit-identically to the numpy path."""
+    any SQL engine evaluates bit-identically to the numpy path.
+    ``pos_expr`` is the 1-based gram-start position expression in the
+    caller's scope (a column named ``pos`` by default)."""
     terms = " + ".join(
-        f"ord(substring({text_expr}, pos + {j}, 1))::BIGINT * {pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)}"
+        f"ord(substring({text_expr}, {pos_expr} + {j}, 1))::BIGINT * {pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)}"
         for j in range(k)
     )
     return f"({terms}) % {WINNOW_MOD}"
@@ -455,6 +457,18 @@ def connected_components(
     roots = edges.select(F.col("v_").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
-    return edges.select(
+    labeled = edges.select(
         F.col("u_").alias("v"), F.col("v_").alias("label")
     ).unionByName(roots)
+    # contract: EVERY vertex appearing in a pair gets a label — including
+    # vertices whose only edges were self-pairs (dropped as u_ != v_
+    # before iteration); they are their own singleton components
+    all_verts = (
+        pairs.select(F.col(id_a).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("v")))
+        .distinct()
+    )
+    singletons = all_verts.join(labeled, "v", "left_anti").withColumn(
+        "label", F.col("v")
+    )
+    return labeled.unionByName(singletons)

@@ -304,19 +304,22 @@ def lsh_bucketed_knn(
     if multiprobe:
         # query side probes home + every Hamming-1 bucket; the candidate
         # side stays home-only (probing both sides would double-count
-        # distance-2 pairs and square the fan-out)
-        probe_arrays = [
-            F.array_union(
-                F.array(lsh_bucket_banded(F.col(vec_col), dim, n_planes, b)),
-                _hamming1_probes(
-                    lsh_bucket_banded(F.col(vec_col), dim, n_planes, b), n_planes, b
-                ),
-            )
-            for b in range(n_bands)
-        ]
-        probes = items.select(
+        # distance-2 pairs and square the fan-out). Probes are string
+        # surgery on banded's ALREADY-COMPUTED bucket column — never a
+        # re-derivation from the raw vectors (that would rescan the table
+        # and re-evaluate every hyperplane fold ~n_planes times per flip).
+        # Flip positions are band-independent because the "b|" prefix is
+        # one digit; guard the assumption rather than silently corrupting.
+        if n_bands > 10:
+            raise ValueError("multiprobe supports at most 10 bands (1-digit prefix)")
+        probes = banded.select(
             F.col(id_col),
-            F.explode(F.flatten(F.array(*probe_arrays))).alias("bucket"),
+            F.explode(
+                F.array_union(
+                    F.array(F.col("bucket")),
+                    _hamming1_probes(F.col("bucket"), n_planes, band=0),
+                )
+            ).alias("bucket"),
         )
         a, c = probes.alias("a"), banded.alias("c")
     else:

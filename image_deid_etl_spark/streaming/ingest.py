@@ -31,34 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..cdc.engine import open_or_create_table
-from ..cdc.feed import FEED_SCHEMA
+from ..cdc.feed import FEED_SCHEMA, export_manifest_chunks
 from ..cdc.merge import merge_into
-
-
-def _export_valid_chunks(feed_dir: str) -> set[str] | None:
-    """Chunk names covered by an exporter's ``_FEED_EXPORT.json``, or None
-    when the feed has no marker (normal incremental producer — read all).
-
-    Mirrors `cdc.feed.list_feed_files`: the batch and streaming consumers
-    must agree on what a crashed/partially-cleaned export exposes, or the
-    streaming path could resurrect keys the batch path correctly ignores.
-    """
-    import json
-
-    marker = os.path.join(feed_dir, "_FEED_EXPORT.json")
-    if not os.path.exists(marker):
-        return None
-    with open(marker, encoding="utf-8") as f:
-        meta = json.load(f)
-    if meta.get("in_progress"):
-        raise RuntimeError(
-            f"feed at {feed_dir} is marked in_progress: the exporter "
-            "crashed mid-install; re-run the export before consuming"
-        )
-    n = meta.get("n_chunks")
-    if n is None:
-        return None
-    return {f"feed-{i:05d}.parquet" for i in range(n)}
 
 
 def _checkpoint_stream_id(checkpoint_dir: str) -> str:
@@ -130,7 +104,7 @@ def stream_ingest(
     # recreating the same path mints a new id.
     ckpt_id = _checkpoint_stream_id(checkpoint_dir)
 
-    valid_chunks = _export_valid_chunks(feed_dir)
+    valid_chunks = export_manifest_chunks(feed_dir)
 
     src = (
         spark.readStream.schema(schema)

@@ -206,3 +206,15 @@ def test_connected_components_deep_chain_converges(spark):
     )
     got = {(r["v"], r["label"]) for r in connected_components(pairs).collect()}
     assert got == {(i, 0) for i in range(201)}
+
+
+def test_connected_components_self_pairs_survive(spark):
+    """Contract: every vertex appearing in a pair gets a label — including
+    one whose only pair is a self-pair (singleton component)."""
+    from image_deid_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "id_a long, id_b long"
+    )
+    got = {(r["v"], r["label"]) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (7, 7)}
