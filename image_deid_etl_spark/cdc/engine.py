@@ -50,13 +50,17 @@ class IngestStats:
 
 
 def open_or_create_table(
-    root: str, n_buckets: int | None = None, target_file_rows: int | None = None
+    root: str,
+    n_buckets: int | None = None,
+    target_file_rows: int | None = None,
+    merge_mode: str | None = None,
 ) -> SnapshotTable:
     """Open ``root``, creating it (n_buckets or 16) when absent.
 
     ``n_buckets=None`` means "unspecified" — only an EXPLICIT value that
     differs from an existing table's spec triggers the ignored-request
-    warning (the spec is fixed at creation).
+    warning (the spec is fixed at creation). ``merge_mode`` ("cow"
+    default, or "mor" for merge-on-read) is likewise fixed at creation.
     """
     import os
     import sys
@@ -70,12 +74,15 @@ def open_or_create_table(
                 file=sys.stderr,
             )
         return table
+    if merge_mode not in (None, "cow", "mor"):
+        raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
     return SnapshotTable.create(
         root,
         TABLE_SCHEMA,
         ["repo", "path"],
         n_buckets or 16,
         target_file_rows or (1 << 19),
+        properties={"merge_mode": merge_mode} if merge_mode else None,
     )
 
 
@@ -108,6 +115,7 @@ def run_ingest(
     fail_before_commit_on_batch: int | None = None,
     target_file_rows: int | None = None,
     auto_compact_files: int | None = 32,
+    merge_mode: str | None = None,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash.
@@ -118,7 +126,7 @@ def run_ingest(
     ingest loop, so file counts plateau without a manual `compact`
     call; None disables). Counting reads only the touched buckets'
     manifest shards — O(batch), like the rest of the loop."""
-    table = open_or_create_table(table_root, n_buckets, target_file_rows)
+    table = open_or_create_table(table_root, n_buckets, target_file_rows, merge_mode)
     off0 = table.offsets()
     if off0.get("last_epoch") is not None and off0.get("committed_feed_files", 0) == 0:
         # the table was fed by the STREAMING path, whose file tracking
@@ -149,34 +157,42 @@ def run_ingest(
         from ..lake.table import bucket_expr, key_expr
 
         kc = table.key_cols()
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.max("seq").alias("mx"),
-            # min/max over the SAME canonical key encoding the file
-            # stats use — tuple-order shortcuts would diverge for keys
-            # containing chars below the separator
-            F.min(key_expr(kc)).alias("lo"),
-            F.max(key_expr(kc)).alias("hi"),
-        ]
-        # approx distinct keys (HLL, same scan) feeds the MERGE
-        # prune-ladder short-circuit: dense-in-DISTINCT-KEYS batches skip
-        # bloom probe + exact scan (events alone would over-trigger on
-        # hot-key bursts). Only worth computing when the table HAS files
-        # to prune — an initial load pays the HLL for nothing.
         top = table.manifest(with_files=False)
         has_files = bool(top.get("file_shards") or top.get("files"))
         if has_files:
-            aggs.append(F.approx_count_distinct(key_expr(kc)).alias("nk"))
-        stats_rows = (
-            batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
-            .agg(*aggs)
-            .collect()
-        )
-        n = sum(r["n"] for r in stats_rows)
-        mx = max((r["mx"] for r in stats_rows), default=0) or 0
-        touched = {r["_b"] for r in stats_rows}
-        key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
-        key_counts = {r["_b"]: r["nk"] for r in stats_rows} if has_files else None
+            stats_rows = (
+                batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("seq").alias("mx"),
+                    # min/max over the SAME canonical key encoding the
+                    # file stats use — tuple-order shortcuts would diverge
+                    # for keys containing chars below the separator
+                    F.min(key_expr(kc)).alias("lo"),
+                    F.max(key_expr(kc)).alias("hi"),
+                    # approx distinct keys (HLL, same scan) feeds the
+                    # MERGE prune-ladder short-circuit: dense batches skip
+                    # bloom probe + exact scan (events alone would
+                    # over-trigger on hot-key bursts)
+                    F.approx_count_distinct(key_expr(kc)).alias("nk"),
+                )
+                .collect()
+            )
+            n = sum(r["n"] for r in stats_rows)
+            mx = max((r["mx"] for r in stats_rows), default=0) or 0
+            touched = {r["_b"] for r in stats_rows}
+            key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
+            key_counts = {r["_b"]: r["nk"] for r in stats_rows}
+        else:
+            # EMPTY table (bootstrap load): key ranges / buckets / HLL all
+            # feed a prune ladder with no files to prune — skip the
+            # groupBy entirely and scan ONE column (no key_expr eval, no
+            # shuffle) for the two values offsets actually need
+            row = batch.agg(
+                F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx")
+            ).collect()[0]
+            n, mx = row["n"], row["mx"] or 0
+            touched, key_ranges, key_counts = set(), {}, None
         # spread the existing dict: fields owned by other ingest modes
         # (e.g. the streaming epoch guard's last_epoch) must survive a
         # batch commit, or a later stream restart re-applies its epoch

@@ -402,10 +402,19 @@ def merge_into(
             for r in incoming.select(F.explode(F.collect_set("_bucket"))).collect()
         }
     # -- file-granular copy-on-write: only files holding a batch key ------
+    # merge-on-read tables skip the whole match phase: the commit appends
+    # the batch's LWW winners and REWRITES NOTHING — write cost is
+    # strictly O(batch) even when update keys spread uniformly over the
+    # table (the shape where no layout bounds a CoW rewrite set).
+    # Superseded versions stay on disk; `read` LWW-resolves at scan time
+    # and `compact(resolve_versions=True)` folds them down.
     t_match0 = time.time()
-    matched_abs, matched_rel, bloom_updates = _match_files(
-        spark, table, incoming, touched, key_ranges, key_counts
-    )
+    if table.merge_mode() == "mor":
+        matched_abs, matched_rel, bloom_updates = [], set(), {}
+    else:
+        matched_abs, matched_rel, bloom_updates = _match_files(
+            spark, table, incoming, touched, key_ranges, key_counts
+        )
     t_match = time.time() - t_match0
     # Every row carries a file-group tag so the rewrite PRESERVES file
     # cohorts (Iceberg-style): a matched file's rows are rewritten into
@@ -487,6 +496,7 @@ def merge_into(
             "match_sec": round(t_match, 3),
             "write_sec": round(t_write, 3),
             "files_replaced": len(matched_rel),
+            "merge_mode": table.merge_mode(),
         },
     )
     # a bloom built this commit for a file this same commit then REPLACED

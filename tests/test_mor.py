@@ -1,0 +1,114 @@
+"""Merge-on-read mode: O(batch) appends, read-time LWW resolution,
+version-folding compaction. The complement to the CoW path for
+uniformly-spread update keys (DESIGN.md 'known limits' #1, closed r3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.merge import SimulatedCrash
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+
+def _state(spark, t):
+    return (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_mor_replay_matches_oracle_and_never_rewrites(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=3000, n_keys=200, dup_frac=0.05, n_files=6)
+    write_feed(feed, spec)
+    run_ingest(
+        spark, root, feed, max_files_per_batch=2, merge_mode="mor",
+        auto_compact_files=None,
+    )
+    t = open_table(root)
+    assert t.merge_mode() == "mor"
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(_state(spark, t), expected, check_dtype=False)
+    # pure append: no commit ever replaced a file
+    assert all(e.get("files_replaced", 0) == 0 for e in t.lineage())
+    assert all(e.get("merge_mode") == "mor" for e in t.lineage())
+    # superseded versions really are retained on disk (multi-version)
+    raw_rows = t.read_raw(spark).count()
+    assert raw_rows > t.read(spark).count()
+
+
+def test_mor_crash_resume(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=2000, n_keys=150, n_files=4)
+    write_feed(feed, spec)
+    try:
+        run_ingest(
+            spark, root, feed, max_files_per_batch=1, merge_mode="mor",
+            fail_before_commit_on_batch=2, auto_compact_files=None,
+        )
+        raise AssertionError("crash did not fire")
+    except SimulatedCrash:
+        pass
+    run_ingest(spark, root, feed, max_files_per_batch=1, auto_compact_files=None)
+    t = open_table(root)
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(_state(spark, t), expected, check_dtype=False)
+
+
+def test_mor_compact_resolves_versions(spark, tmp_path):
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=3000, n_keys=100, n_files=6)  # heavy updates
+    write_feed(feed, spec)
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, merge_mode="mor",
+        auto_compact_files=None,
+    )
+    t = open_table(root)
+    before = _state(spark, t)
+    live = t.read(spark).count()
+    assert t.read_raw(spark).count() > live
+    res = t.compact(spark, min_files_per_bucket=2)  # resolve auto-on for mor
+    assert res["compacted_buckets"]
+    # versions folded: raw rows collapse to the live count (+ tombstones)
+    t = open_table(root)
+    raw_after = t.read_raw(spark).count()
+    tombstones = t.read_raw(spark).filter("_deleted").count()
+    assert raw_after == live + tombstones
+    pd.testing.assert_frame_equal(_state(spark, t), before, check_dtype=False)
+
+
+def test_mor_auto_compaction_bounds_versions(spark, tmp_path):
+    """The same auto-compaction hook bounds MoR version accumulation:
+    compaction resolves versions, so raw row count plateaus too."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=4000, n_keys=100, n_files=16)
+    write_feed(feed, spec)
+    stats = run_ingest(
+        spark, root, feed, max_files_per_batch=1, n_buckets=2,
+        merge_mode="mor", auto_compact_files=4,
+    )
+    assert stats.compactions
+    t = open_table(root)
+    counts: dict[int, int] = {}
+    for f in t.manifest()["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    assert max(counts.values()) <= 5, counts
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(_state(spark, t), expected, check_dtype=False)
+
+
+def test_cow_read_has_no_window(spark, tmp_path):
+    """CoW tables must NOT pay the MoR read-time window."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=500, n_keys=50, n_files=2))
+    run_ingest(spark, root, feed)
+    t = open_table(root)
+    assert t.merge_mode() == "cow"
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
