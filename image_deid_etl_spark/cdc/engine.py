@@ -65,6 +65,8 @@ def open_or_create_table(
     import os
     import sys
 
+    if merge_mode not in (None, "cow", "mor"):
+        raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
     if os.path.exists(os.path.join(root, "_current")):
         table = SnapshotTable(root)
         if n_buckets is not None and table.n_buckets() != n_buckets:
@@ -73,9 +75,13 @@ def open_or_create_table(
                 f"requested {n_buckets} is ignored (spec is fixed at create)",
                 file=sys.stderr,
             )
+        if merge_mode is not None and table.merge_mode() != merge_mode:
+            print(
+                f"warning: table {root} has merge_mode={table.merge_mode()}; "
+                f"requested {merge_mode} is ignored (spec is fixed at create)",
+                file=sys.stderr,
+            )
         return table
-    if merge_mode not in (None, "cow", "mor"):
-        raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
     return SnapshotTable.create(
         root,
         TABLE_SCHEMA,
@@ -159,7 +165,8 @@ def run_ingest(
         kc = table.key_cols()
         top = table.manifest(with_files=False)
         has_files = bool(top.get("file_shards") or top.get("files"))
-        if has_files:
+        is_mor = table.merge_mode() == "mor"
+        if has_files and not is_mor:
             stats_rows = (
                 batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
                 .agg(
@@ -183,6 +190,19 @@ def run_ingest(
             touched = {r["_b"] for r in stats_rows}
             key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
             key_counts = {r["_b"]: r["nk"] for r in stats_rows}
+        elif is_mor and has_files:
+            # merge-on-read: the match phase never runs, so key ranges
+            # and the HLL are dead weight — but auto-compaction still
+            # needs the touched buckets, so keep the cheap groupBy
+            stats_rows = (
+                batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
+                .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"))
+                .collect()
+            )
+            n = sum(r["n"] for r in stats_rows)
+            mx = max((r["mx"] for r in stats_rows), default=0) or 0
+            touched = {r["_b"] for r in stats_rows}
+            key_ranges, key_counts = {}, None
         else:
             # EMPTY table (bootstrap load): key ranges / buckets / HLL all
             # feed a prune ladder with no files to prune — skip the
@@ -217,7 +237,6 @@ def run_ingest(
         stats.batches += 1
         stats.events += n
         stats.batch_events.append(n)
-        stats.batch_secs.append(round(time.time() - tb0, 3))
         stats.snapshot_id = snap
         if auto_compact_files:
             counts: dict[int, int] = {}
@@ -233,6 +252,8 @@ def run_ingest(
                 )
                 stats.compactions.append(worst)
                 stats.snapshot_id = table.snapshot_id
+        # after auto-compaction so sum(batch_secs) ≈ duration_sec
+        stats.batch_secs.append(round(time.time() - tb0, 3))
     stats.duration_sec = time.time() - t0
     stats.events_per_sec = stats.events / stats.duration_sec if stats.duration_sec else 0.0
     return stats

@@ -352,12 +352,14 @@ def read_feed_files(spark: SparkSession, files: list[str]) -> DataFrame:
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql.pandas.types import from_arrow_schema
-
     def footer(path):
         return pq.ParquetFile(path).schema_arrow
 
     try:
+        # inside the try: this is pyspark-internal API — if an upgrade
+        # moves it, take the mergeSchema fallback instead of dying
+        from pyspark.sql.pandas.types import from_arrow_schema
+
         with ThreadPoolExecutor(max_workers=16) as ex:
             schemas = list(ex.map(footer, files))
         fields: dict[str, T.StructField] = {}

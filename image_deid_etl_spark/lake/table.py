@@ -87,6 +87,22 @@ ENGINE_COLS = [
 KEY_SEP = "\x1f"
 
 
+def _lww_latest_versions(df: DataFrame) -> DataFrame:
+    """Keep each ``_key``'s highest-``commit_seq`` row — the MERGE's own
+    LWW rule, applied at scan/compaction time for merge-on-read tables
+    (files may hold superseded versions). ONE definition serves both
+    `SnapshotTable.read` and `SnapshotTable.compact` so their results can
+    never diverge."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_key").orderBy(F.col("commit_seq").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced the table between apply and commit."""
 
@@ -398,14 +414,7 @@ class SnapshotTable:
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
         raw = self.read_raw(spark, snapshot_id)
         if self.merge_mode() == "mor":
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("_key").orderBy(F.col("commit_seq").desc())
-            raw = (
-                raw.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            raw = _lww_latest_versions(raw)
         return raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).select(*cols)
 
     # ------------------------------------------------------------------ #
@@ -782,14 +791,7 @@ class SnapshotTable:
         if resolve_versions is None:
             resolve_versions = self.merge_mode() == "mor"
         if resolve_versions:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("_key").orderBy(F.col("commit_seq").desc())
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            df = _lww_latest_versions(df)
         if drop_tombstones_below is not None:
             df = df.filter(
                 ~(

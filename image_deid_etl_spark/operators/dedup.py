@@ -462,13 +462,17 @@ def connected_components(
     ).unionByName(roots)
     # contract: EVERY vertex appearing in a pair gets a label — including
     # vertices whose only edges were self-pairs (dropped as u_ != v_
-    # before iteration); they are their own singleton components
-    all_verts = (
-        pairs.select(F.col(id_a).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("v")))
+    # before iteration); they are their own singleton components. Only
+    # self-pair endpoints can be missing from `labeled`, so the guard
+    # scans pairs ONCE with a cheap equality filter instead of
+    # re-evaluating the (possibly quadratic) pair plan over all
+    # endpoints.
+    self_verts = (
+        pairs.filter(F.col(id_a) == F.col(id_b))
+        .select(F.col(id_a).alias("v"))
         .distinct()
     )
-    singletons = all_verts.join(labeled, "v", "left_anti").withColumn(
+    singletons = self_verts.join(labeled, "v", "left_anti").withColumn(
         "label", F.col("v")
     )
     return labeled.unionByName(singletons)

@@ -229,21 +229,23 @@ def lsh_bucket_banded(vec: Column, dim: int, n_planes: int, band: int) -> Column
     return F.concat(F.lit(f"{band}|"), *bits)
 
 
-def _hamming1_probes(bucket: Column, n_planes: int, band: int) -> Column:
+def _hamming1_probes(bucket: Column, n_planes: int) -> Column:
     """All Hamming-distance-1 variants of a band bucket string (multi-probe
-    LSH, Lv et al. 2007): flip each bit once, keep the band prefix. Pure
-    string expressions — evaluated inside codegen, no UDF."""
-    prefix_len = len(f"{band}|")
+    LSH, Lv et al. 2007): flip each bit once, keep the band prefix. The
+    prefix length ("<band>|") is derived from the string itself
+    (``instr(bucket, '|')``), so any band count works. Pure string
+    expressions — evaluated inside codegen, no UDF."""
+    sep = F.instr(bucket, "|")  # 1-based position of the prefix separator
     flips = []
     for p in range(n_planes):
-        pos = prefix_len + p + 1  # 1-based substring position of bit p
-        ch = F.substring(bucket, pos, 1)
+        pos = sep + F.lit(p + 1)  # 1-based position of bit p
+        ch = bucket.substr(pos, F.lit(1))
         flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
         flips.append(
             F.concat(
-                F.substring(bucket, 1, pos - 1),
+                bucket.substr(F.lit(1), pos - 1),
                 flipped,
-                bucket.substr(F.lit(pos + 1), F.length(bucket)),
+                bucket.substr(pos + 1, F.length(bucket)),
             )
         )
     return F.array(*flips)
@@ -308,16 +310,12 @@ def lsh_bucketed_knn(
         # surgery on banded's ALREADY-COMPUTED bucket column — never a
         # re-derivation from the raw vectors (that would rescan the table
         # and re-evaluate every hyperplane fold ~n_planes times per flip).
-        # Flip positions are band-independent because the "b|" prefix is
-        # one digit; guard the assumption rather than silently corrupting.
-        if n_bands > 10:
-            raise ValueError("multiprobe supports at most 10 bands (1-digit prefix)")
         probes = banded.select(
             F.col(id_col),
             F.explode(
                 F.array_union(
                     F.array(F.col("bucket")),
-                    _hamming1_probes(F.col("bucket"), n_planes, band=0),
+                    _hamming1_probes(F.col("bucket"), n_planes),
                 )
             ).alias("bucket"),
         )
