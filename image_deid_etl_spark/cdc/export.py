@@ -34,8 +34,10 @@ def _write_feed_manifest(out_dir: str, payload: dict) -> None:
     reordering could persist the new-chunk renames while losing the
     preceding ``in_progress`` marker — the exact crash the marker exists
     to detect. Called at step (0) it makes in_progress durable BEFORE any
-    chunk install can be; at step (2) it makes the complete manifest AND
-    every installed chunk durable before stale deletion begins."""
+    chunk install can be; at step (2) it makes the complete manifest and
+    the chunk RENAMES durable (chunk data pages are fsynced separately by
+    the caller before this marker — directory fsync orders renames, not
+    file contents)."""
     tmp = os.path.join(out_dir, FEED_MANIFEST + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(payload, f)
@@ -93,8 +95,21 @@ def export_feed(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
     )
     _write_feed_manifest(out_dir, {"in_progress": True})
+    installed = []
     for i, p in enumerate(parts):
-        os.replace(os.path.join(tmp, p), os.path.join(out_dir, f"feed-{i:05d}.parquet"))
+        dst = os.path.join(out_dir, f"feed-{i:05d}.parquet")
+        os.replace(os.path.join(tmp, p), dst)
+        installed.append(dst)
+    # fsync chunk DATA before the complete marker: directory fsync (inside
+    # _write_feed_manifest) orders the renames, not the files' data pages.
+    # Without this, a power loss could persist the marker while losing
+    # chunk contents — an undetected corrupt feed.
+    for dst in installed:
+        fd = os.open(dst, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
     _write_feed_manifest(out_dir, {"n_chunks": len(parts)})
     for old in os.listdir(out_dir):
         if old.startswith("feed-") and old.endswith(".parquet"):

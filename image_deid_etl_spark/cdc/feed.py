@@ -19,6 +19,7 @@ what lets the pandas oracle (``cdc/oracle.py``) be an exact referee.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 
@@ -29,6 +30,8 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 # Event-feed schema (input_hint shape + CDC envelope). ``license`` only
 # appears in schema-evolution fixtures (added mid-feed, must propagate
@@ -372,6 +375,17 @@ def read_feed_files(spark: SparkSession, files: list[str]) -> DataFrame:
                 elif prev.dataType != f.dataType:
                     raise ValueError("footer type conflict")  # → mergeSchema
         union = T.StructType(list(fields.values()))
-    except Exception:
+    except (ImportError, AttributeError, ValueError) as exc:
+        # Expected fallback cases only: pyspark-internal API moved
+        # (ImportError/AttributeError) or a genuine footer type conflict
+        # (ValueError). NOTE pyarrow's ArrowInvalid subclasses ValueError,
+        # so a corrupt chunk footer also lands here — log it so the root
+        # cause isn't hidden behind an unrelated distributed mergeSchema
+        # failure. Anything else propagates.
+        _LOG.warning(
+            "feed footer fast path failed (%s: %s); falling back to mergeSchema",
+            type(exc).__name__,
+            exc,
+        )
         return spark.read.option("mergeSchema", "true").parquet(*files)
     return spark.read.schema(union).parquet(*files)

@@ -92,10 +92,30 @@ def _lww_latest_versions(df: DataFrame) -> DataFrame:
     LWW rule, applied at scan/compaction time for merge-on-read tables
     (files may hold superseded versions). ONE definition serves both
     `SnapshotTable.read` and `SnapshotTable.compact` so their results can
-    never diverge."""
+    never diverge.
+
+    Tie-break: if two appended versions of a key ever share a
+    ``commit_seq`` (producer bug, re-export), ``commit_seq`` alone makes
+    row_number nondeterministic ACROSS scans — reads could diverge from a
+    later compacted state. The secondary keys (``_deleted`` desc — a
+    tombstone beats a same-seq upsert — then a stable content hash over
+    the payload) give a total order, so scan-time and compaction-time
+    resolution always pick the same row."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_key").orderBy(F.col("commit_seq").desc())
+    hash_parts = []
+    for f in df.schema.fields:
+        if f.name in ("commit_seq", "_deleted"):
+            continue
+        # xxhash64 rejects MapType; serialize maps first (per-row entry
+        # order is the stored order — stable for a given row)
+        col = F.to_json(F.col(f.name)) if isinstance(f.dataType, T.MapType) else F.col(f.name)
+        hash_parts.append(col)
+    w = Window.partitionBy("_key").orderBy(
+        F.col("commit_seq").desc(),
+        F.col("_deleted").desc(),
+        F.xxhash64(*hash_parts).desc(),
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -369,7 +369,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-CLUSTER extraction from a near-dup pair list — the
     grouping stage a real dedup pipeline needs after LSH pair extraction
@@ -397,27 +401,46 @@ def connected_components(
     Returns (v, label) for every vertex that appears in a pair. The
     result frame reads the final round's checkpointed edge set; its
     storage is reclaimed automatically once the frame is dropped.
+
+    ``checkpoint_dir``: on a REAL multi-executor cluster pass a reliable
+    (shared/HDFS) path — each round is then persisted with
+    ``DataFrame.checkpoint`` so an executor loss mid-iteration recomputes
+    from the checkpoint, not from a lineage that ``localCheckpoint``
+    already discarded (localCheckpoint stores blocks on executors only;
+    losing one kills the job). Default ``None`` keeps the single-JVM-
+    appropriate ``localCheckpoint`` (no extra filesystem round-trip).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("u_"), F.col(id_b).alias("v_"))
-        .filter(F.col("u_") != F.col("v_"))
-        .distinct()
-        # eager localCheckpoint = materialize AND truncate lineage. Plain
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        # eager checkpoint = materialize AND truncate lineage. Plain
         # persist() caches the DATA but the logical plan still nests —
         # each star round references its input several times, so the
         # analyzed plan grows exponentially with rounds and OOMs the
         # driver around round ~15. Checkpointing resets every round's
-        # plan to a leaf. (On a real cluster prefer
-        # sparkContext.setCheckpointDir + .checkpoint() for executor-loss
-        # resilience; localCheckpoint is the single-JVM-appropriate
-        # variant. Freed storage is reclaimed by the ContextCleaner when
-        # the superseded round's frame is dropped.)
-        .localCheckpoint(eager=True)
+        # plan to a leaf. Freed storage is reclaimed by the
+        # ContextCleaner (local) / on setCheckpointDir cleanup (reliable)
+        # when the superseded round's frame is dropped.
+        if checkpoint_dir is not None:
+            sc = df.sparkSession.sparkContext
+            # setCheckpointDir appends a fresh UUID subdir each call, so
+            # set it once per invocation (the flag), not per round
+            if not _ckpt_set:
+                sc.setCheckpointDir(checkpoint_dir)
+                _ckpt_set.append(True)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    _ckpt_set: list[bool] = []
+
+    edges = _materialize(
+        pairs.select(F.col(id_a).alias("u_"), F.col(id_b).alias("v_"))
+        .filter(F.col("u_") != F.col("v_"))
+        .distinct()
     )
     prev_sig = (edges.count(), None)
     converged = False
     for _ in range(max_iter):
-        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        stepped = _materialize(_small_star(_large_star(edges)))
         sig_row = stepped.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: order-independent and cannot overflow under

@@ -259,9 +259,16 @@ def lsh_bucketed_knn(
     n_planes: int = 12,
     k: int = 5,
     n_bands: int = 3,
-    multiprobe: bool = False,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate all-pairs kNN with banded sign-bit LSH.
+
+    ``multiprobe`` defaults to True (r4): at the shipped plane/band
+    config, home-bucket-only recall@5 on a clustered corpus is 0.44 vs
+    0.78 with Hamming-1 probes (DESIGN.md table), for an (n_planes+1)x
+    probe fan-out that stays equi-join-bounded — the recall is worth far
+    more than the candidate-generation cost at every scale we measured.
+    Pass ``multiprobe=False`` for the ablation baseline.
 
     ``multiprobe=True`` additionally probes, on the QUERY side only,
     every bucket at Hamming distance 1 from each band's home bucket

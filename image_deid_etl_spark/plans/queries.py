@@ -818,8 +818,10 @@ def _lsh_knn_multiprobe_sql(dim: int = 64, n_planes: int = 8, n_bands: int = 2, 
         f"SELECT vec_id, {_band_bucket_sql(dim, n_planes, b)} AS bucket FROM e"
         for b in range(n_bands)
     )
-    # Hamming-1 probes, mirrored as string surgery on the bucket (band
-    # prefix "b|" is 2 chars for n_bands < 10, so bits live at 3..2+planes)
+    # Hamming-1 probes, mirrored as string surgery on the bucket. The
+    # Spark side derives the bit offset from the '|' separator (instr);
+    # mirror that here with strpos so the oracle stays correct for any
+    # band-prefix width (n_bands >= 10 would widen "b|" past 2 chars).
     return f"""
   WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
   banded AS (
@@ -829,10 +831,11 @@ def _lsh_knn_multiprobe_sql(dim: int = 64, n_planes: int = 8, n_bands: int = 2, 
     SELECT vec_id, bucket FROM banded
     UNION ALL
     SELECT vec_id,
-           substring(bucket, 1, pos::INT - 1)
-           || (CASE WHEN substring(bucket, pos::INT, 1) = '1' THEN '0' ELSE '1' END)
-           || substring(bucket, pos::INT + 1, {n_planes}) AS bucket
-    FROM banded, (SELECT unnest(range(3, {3 + n_planes})) AS pos) p
+           substring(bucket, 1, strpos(bucket, '|') + pos::INT - 1)
+           || (CASE WHEN substring(bucket, strpos(bucket, '|') + pos::INT, 1) = '1'
+                    THEN '0' ELSE '1' END)
+           || substring(bucket, strpos(bucket, '|') + pos::INT + 1, {n_planes}) AS bucket
+    FROM banded, (SELECT unnest(range(1, {1 + n_planes})) AS pos) p
   ),
   cand AS (
     SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -871,10 +874,16 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: banded sign-bit LSH (8 planes x 2 OR-amplified
     bands — 256 buckets per band bound the candidate fanout; any-band
-    agreement recovers recall); equi-join replaces cross join."""
+    agreement recovers recall); equi-join replaces cross join.
+
+    ``multiprobe=False`` here deliberately: this catalog entry is the
+    home-bucket-only ablation baseline paired with the probe-free SQL
+    oracle. The OPERATOR default is ``multiprobe=True`` (r4) — the
+    shipped-default path is the `knn_lsh_multiprobe` entry, and the
+    recall test pins the shipped config at >= 0.6 recall@5."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_knn(
-        e, "vec_id", "embedding", dim=64, n_planes=8, k=5, n_bands=2
+        e, "vec_id", "embedding", dim=64, n_planes=8, k=5, n_bands=2, multiprobe=False
     ).orderBy("query_id", "rank")
 
 

@@ -208,6 +208,31 @@ def test_connected_components_deep_chain_converges(spark):
     assert got == {(i, 0) for i in range(201)}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """r4: `checkpoint_dir` switches per-round materialization from
+    localCheckpoint (single-JVM) to reliable `checkpoint()` (survives
+    executor loss on a real cluster). Same labels either way."""
+    from image_deid_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["v"], r["label"])
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    import os
+
+    assert os.path.isdir(ckpt)  # reliable checkpoints actually landed there
+
+
 def test_connected_components_self_pairs_survive(spark):
     """Contract: every vertex appearing in a pair gets a label — including
     one whose only pair is a self-pair (singleton component)."""

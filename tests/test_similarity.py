@@ -83,7 +83,7 @@ def test_lsh_knn_recall_on_clustered_corpus(spark):
     exact = cosine_knn(e, e, k=5).toPandas()
     exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
 
-    home = _recall_at_5(e, exact_sets)  # shipped defaults, home bucket only
-    multi = _recall_at_5(e, exact_sets, multiprobe=True)
-    assert multi >= 0.6, f"multi-probe recall@5 = {multi}"
+    home = _recall_at_5(e, exact_sets, multiprobe=False)  # ablation baseline
+    multi = _recall_at_5(e, exact_sets)  # SHIPPED defaults (multiprobe=True, r4)
+    assert multi >= 0.6, f"shipped-default recall@5 = {multi}"
     assert multi > home, f"multi-probe ({multi}) must beat home-only ({home})"
