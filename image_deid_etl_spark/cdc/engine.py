@@ -37,6 +37,12 @@ TABLE_SCHEMA = T.StructType(
 )
 
 
+#: version-depth compaction trigger — a touched unresolved bucket whose
+#: live rows reach this multiple of its last-resolved rows (≈ mean
+#: versions per key) is resolve-compacted by the ingest-loop hook
+_MOR_MAX_VERSION_DEPTH = 4
+
+
 @dataclass
 class IngestStats:
     batches: int = 0
@@ -122,6 +128,7 @@ def run_ingest(
     target_file_rows: int | None = None,
     auto_compact_files: int | None = 32,
     merge_mode: str | None = None,
+    adaptive: bool = True,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash.
@@ -233,6 +240,7 @@ def run_ingest(
             touched=touched,
             key_ranges=key_ranges,
             key_counts=key_counts,
+            adaptive=adaptive,
         )
         stats.batches += 1
         stats.events += n
@@ -240,10 +248,43 @@ def run_ingest(
         stats.snapshot_id = snap
         if auto_compact_files:
             counts: dict[int, int] = {}
+            rows_by_b: dict[int, int] = {}
             for f in table.files_for_buckets(touched):
                 counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+                rows_by_b[f["bucket"]] = rows_by_b.get(f["bucket"], 0) + (
+                    f.get("rows", 0) or 0
+                )
+            # version-depth trigger (r4): a bucket accumulating appended
+            # key versions (MoR mode or an adaptive CoW append) pays one
+            # LWW window per scan until resolved — when its live rows
+            # reach ~_MOR_MAX_VERSION_DEPTH× its last-resolved row count
+            # (≈ mean versions per key), fold it NOW rather than waiting
+            # for the file-count trigger (few fat files can hold deep
+            # version stacks). Same bounded discipline as the file-count
+            # hook: manifest stats only, one worst bucket per commit.
+            top = table.manifest(with_files=False)
+            unres = set(top.get("unresolved_buckets") or [])
+            vbase = top.get("version_base_rows", {})
+            deep = [
+                b
+                for b in touched
+                if b in unres
+                and vbase.get(str(b), 0) > 0
+                and rows_by_b.get(b, 0)
+                >= _MOR_MAX_VERSION_DEPTH * vbase[str(b)]
+            ]
             over = [b for b, c in counts.items() if c >= auto_compact_files]
-            if over:
+            if deep:
+                worst = max(deep, key=lambda b: rows_by_b[b] / vbase[str(b)])
+                table.compact(
+                    spark,
+                    min_files_per_bucket=1,
+                    buckets=[worst],
+                    resolve_versions=True,
+                )
+                stats.compactions.append(worst)
+                stats.snapshot_id = table.snapshot_id
+            elif over:
                 worst = max(over, key=lambda b: counts[b])
                 table.compact(
                     spark,

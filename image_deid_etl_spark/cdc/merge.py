@@ -88,26 +88,30 @@ def _bloom_prune(
     numpy (both sides non-negative-mod). Bitmap tests are vectorized per
     Arrow batch; the output is file paths only. Files without blooms
     (pre-bloom manifests) always survive to the exact scan.
-    """
-    import numpy as np
 
-    #: driver/closure memory budget for loaded bitmaps; candidates beyond
-    #: it skip the bloom stage and fall through to the exact scan (still
-    #: correct, just less pruned)
-    budget = 256 << 20
-    blooms: dict[int, list[tuple[str, int, "object"]]] = {}
+    Probing is EXECUTOR-side (r4): the driver ships only the candidate
+    metadata — (bucket → [(path, sidecar path, m)]), a few strings per
+    file — and each probe task memory-maps the sidecars for the buckets
+    in ITS partition. The batch keys are pre-shuffled by ``_bucket``
+    (24 B/row — negligible next to the two wide MERGE shuffles), so
+    every sidecar is mapped by exactly one task and total bloom I/O is
+    one sequential read of each bitmap, spread across executors. No
+    bitmap bytes ever reside on the driver: the r3 256 MB driver budget
+    (and its skip-to-exact-scan degradation past it) is gone — the bloom
+    working set now scales with the CLUSTER, not the driver heap. A
+    sidecar a worker cannot read keeps its file a candidate (the exact
+    scan still guards correctness).
+    """
+    meta: dict[int, list[tuple[str, str, int]]] = {}
     out: list[dict] = []
     n_bloomed = 0
-    spent = 0
     for f in candidates:
-        lb = table.load_bloom(f) if spent < budget else None
-        if lb is None:
-            out.append(f)  # unknown / over budget — stays a candidate
+        bp = f.get("bloom_path")
+        if not bp:
+            out.append(f)  # no sidecar — stays a candidate
         else:
-            m, bmp = lb
-            spent += len(bmp)
-            blooms.setdefault(f["bucket"], []).append(
-                (f["path"], m, np.frombuffer(bmp, dtype=np.uint8))
+            meta.setdefault(f["bucket"], []).append(
+                (f["path"], os.path.join(table.root, bp), int(f["bloom_m"]))
             )
             n_bloomed += 1
     if not n_bloomed:
@@ -117,24 +121,37 @@ def _bloom_prune(
         import numpy as np
         import pandas as pd
 
-        hits: set[str] = set()
+        bitmaps: dict[str, "np.ndarray | None"] = {}
+        keep: set[str] = set()  # bloom hit OR unreadable sidecar
+        decided: set[str] = set()
         for pdf in batches:
             for b, grp in pdf.groupby("_bucket"):
-                flist = blooms.get(b)
+                flist = meta.get(int(b))
                 if not flist:
                     continue
                 h1 = grp["_h1"].to_numpy()
                 h2 = grp["_h2"].to_numpy()
-                for path, m, bits in flist:
-                    if path in hits:
+                for path, bpath, m in flist:
+                    if path in decided:
+                        continue
+                    if bpath not in bitmaps:
+                        try:
+                            bitmaps[bpath] = np.memmap(bpath, dtype=np.uint8, mode="r")
+                        except OSError:
+                            bitmaps[bpath] = None
+                    bits = bitmaps[bpath]
+                    if bits is None:
+                        keep.add(path)
+                        decided.add(path)
                         continue
                     i1 = (h1 % m).astype(np.int64)
                     i2 = (h2 % m).astype(np.int64)
                     ok = (bits[i1 >> 3] >> (i1 & 7).astype(np.uint8)) & 1
                     ok &= (bits[i2 >> 3] >> (i2 & 7).astype(np.uint8)) & 1
                     if ok.any():
-                        hits.add(path)
-        yield pd.DataFrame({"p": sorted(hits)})
+                        keep.add(path)
+                        decided.add(path)
+        yield pd.DataFrame({"p": sorted(keep)})
 
     probed = (
         incoming.select(
@@ -142,6 +159,8 @@ def _bloom_prune(
             F.xxhash64("_key").alias("_h1"),
             F.xxhash64("_key", F.lit(1)).alias("_h2"),
         )
+        # co-locate each bucket's keys so its sidecars are mapped once
+        .repartition("_bucket")
         .mapInPandas(probe, "p string")
         .distinct()
         .collect()
@@ -151,6 +170,15 @@ def _bloom_prune(
     out.extend(by_path[p] for p in positive if p in by_path)
     return out
 
+
+#: Adaptive CoW→MoR thresholds (see `merge_into`): a copy-on-write
+#: commit appends its winners MoR-style instead of rewriting when the
+#: matched files hold >= this fraction of the touched buckets' live rows
+#: AND the rewrite would move >= this multiple of the batch's distinct
+#: keys (write amplification). Fraction keeps locality feeds on CoW;
+#: amplification keeps small tables (cheap rewrites) on CoW.
+_ADAPTIVE_REWRITE_FRAC = 0.5
+_ADAPTIVE_MIN_AMPLIFICATION = 6.0
 
 #: Ladder short-circuit thresholds (see `_match_files`): a bucket skips
 #: blooms + exact scan when range-prune kept >= this fraction of its files
@@ -168,13 +196,30 @@ def _match_files(
     touched: set[int],
     key_ranges: dict[int, tuple[str, str]] | None,
     key_counts: dict[int, int] | None = None,
-) -> tuple[list[str], set[str], dict[str, dict]]:
+    adaptive_thresholds: tuple[float, float] | None = None,
+) -> tuple[list[str] | None, set[str] | None, dict[str, dict], int, int]:
     """The copy-on-write prune ladder (ranges → blooms → exact scan).
     Returns (matched absolute paths, matched manifest-relative paths,
-    bloom entry-updates for carried files) — the files a batch key
+    bloom entry-updates for carried files, matched rows, live rows of
+    the touched buckets — the last two feed `merge_into`'s adaptive
+    CoW/MoR decision) — the files a batch key
     actually lives in; everything else carries forward untouched. Files
     without key stats (pre-upgrade) are treated as always-matched (the
     exact scan cannot see their null _key).
+
+    ``adaptive_thresholds`` = (rewrite_frac, min_amplification): after
+    the FREE range prune, estimate the expected matched rows under a
+    uniform-keys model (per candidate file: hit probability
+    1 − (1 − file_rows/bucket_rows)^batch_distinct_keys) — when the
+    estimate already clears both adaptive legs, return
+    ``(None, None, {}, est, live)`` WITHOUT running blooms or the exact
+    scan: the caller will append MoR-style, so the ladder's entire cost
+    (the dominant per-batch cost on a dense uniform batch — measured
+    ~9 s/commit at the 1M-row worst case) would be pure waste. A
+    mis-estimate is benign either way: too low → the ladder runs and
+    `merge_into`'s post-ladder check still catches gross amplification;
+    too high → an unnecessary O(batch) append whose versions the depth
+    trigger folds later.
 
     Blooms are built HERE, lazily, the first time a file becomes a
     candidate — the build reads two int columns of files this phase
@@ -202,7 +247,13 @@ def _match_files(
     # not O(table); see lake/table.py manifest sharding)
     files = table.files_for_buckets(touched)
     if not files:
-        return [], set(), {}
+        return [], set(), {}, 0, 0
+    live_rows = sum(f.get("rows", 0) or 0 for f in files)
+    rows_by_rel = {f["path"]: f.get("rows", 0) or 0 for f in files}
+
+    def _rows_of(rel: set[str]) -> int:
+        return sum(rows_by_rel.get(p, 0) for p in rel)
+
     if key_ranges is None:
         key_ranges = {
             r["_bucket"]: (r["lo"], r["hi"])
@@ -217,7 +268,26 @@ def _match_files(
         and _ranges_overlap(f, *key_ranges[f["bucket"]])
     ]
     if not candidates:
-        return [], set(), {}
+        return [], set(), {}, 0, live_rows
+    if adaptive_thresholds and key_counts:
+        frac_t, amp_t = adaptive_thresholds
+        batch_keys = sum(key_counts.values()) or 1
+        rows_by_bucket: dict[int, int] = {}
+        for f in files:
+            rows_by_bucket[f["bucket"]] = rows_by_bucket.get(f["bucket"], 0) + (
+                f.get("rows") or 0
+            )
+        est = 0.0
+        for f in candidates:
+            b = f["bucket"]
+            nk = key_counts.get(b, 0)
+            fr = f.get("rows") or 0
+            brows = rows_by_bucket.get(b, 0)
+            if nk <= 0 or brows <= 0 or fr <= 0:
+                continue
+            est += fr * (1.0 - (1.0 - min(1.0, fr / brows)) ** nk)
+        if est >= frac_t * live_rows and est >= amp_t * batch_keys:
+            return None, None, {}, int(est), live_rows
     if key_counts:
         n_files_by_bucket: dict[int, int] = {}
         for f in files:
@@ -238,10 +308,13 @@ def _match_files(
             sc = [f for cands in short_circuited for f in cands]
             candidates = [f for cands in laddered for f in cands]
             if not candidates:
+                sc_rel = {f["path"] for f in sc}
                 return (
                     [os.path.join(table.root, f["path"]) for f in sc],
-                    {f["path"] for f in sc},
+                    sc_rel,
                     {},
+                    _rows_of(sc_rel),
+                    live_rows,
                 )
             # mixed: short-circuited buckets are matched outright; the
             # rest still run the ladder below
@@ -262,7 +335,7 @@ def _match_files(
     bloom_updates = table.build_blooms(spark, missing) if missing else {}
     candidates = _bloom_prune(table, incoming, candidates)
     if not candidates and not legacy:
-        return pre_abs, pre_rel, bloom_updates
+        return pre_abs, pre_rel, bloom_updates, _rows_of(pre_rel), live_rows
     # exact prune: one narrow scan of the candidates' _key column,
     # semi-joined against the batch keys. Collect is bounded by the
     # number of candidate FILES, never rows.
@@ -289,7 +362,7 @@ def _match_files(
             real = os.path.realpath(r["_file"].removeprefix("file:"))
             matched_abs.append(abs_by_real[real])
             matched_rel.add(rel_by_real[real])
-    return matched_abs, matched_rel, bloom_updates
+    return matched_abs, matched_rel, bloom_updates, _rows_of(matched_rel), live_rows
 
 
 class SimulatedCrash(RuntimeError):
@@ -340,6 +413,7 @@ def merge_into(
     touched: set[int] | None = None,
     key_ranges: dict[int, tuple[str, str]] | None = None,
     key_counts: dict[int, int] | None = None,
+    adaptive: bool = True,
 ) -> int:
     """Apply one change-event micro-batch; return the new snapshot id.
 
@@ -349,6 +423,9 @@ def merge_into(
     range-aggregation scan here. ``key_counts`` (bucket → approx distinct
     batch keys, same stats job) enables the prune-ladder short-circuit on
     dense no-locality batches; without it the full ladder always runs.
+    ``adaptive`` (default on) lets a copy-on-write commit fall back to a
+    merge-on-read append when the rewrite would be grossly amplified —
+    see the in-line decision and `_ADAPTIVE_REWRITE_FRAC`.
     """
     started = time.time()
     key_cols = table.key_cols()
@@ -409,12 +486,47 @@ def merge_into(
     # Superseded versions stay on disk; `read` LWW-resolves at scan time
     # and `compact(resolve_versions=True)` folds them down.
     t_match0 = time.time()
+    adaptive_fired = False
+    unresolved_add: set[int] = set()
     if table.merge_mode() == "mor":
         matched_abs, matched_rel, bloom_updates = [], set(), {}
+        unresolved_add = set(touched)
     else:
-        matched_abs, matched_rel, bloom_updates = _match_files(
-            spark, table, incoming, touched, key_ranges, key_counts
+        matched_abs, matched_rel, bloom_updates, m_rows, live_rows = _match_files(
+            spark, table, incoming, touched, key_ranges, key_counts,
+            adaptive_thresholds=(
+                (_ADAPTIVE_REWRITE_FRAC, _ADAPTIVE_MIN_AMPLIFICATION)
+                if adaptive
+                else None
+            ),
         )
+        if matched_abs is None:
+            # early adaptive exit: the ladder never ran (see _match_files)
+            matched_abs, matched_rel = [], set()
+            unresolved_add = set(touched)
+            adaptive_fired = True
+        # -- adaptive CoW→MoR (r4): when a batch's matched file set is
+        # most of the touched buckets' live rows AND the rewrite would be
+        # heavily amplified vs the batch itself (uniform update keys over
+        # a big table — the one shape where no file layout bounds a CoW
+        # rewrite set, measured 4.8x slower than appending), append the
+        # batch's LWW winners MoR-style instead: O(batch) write, versions
+        # folded later by the version-depth-triggered resolve-compaction.
+        # Reference analog: the skip-existing sink never rewrites what it
+        # can append (`__main__.py:308`). Both legs matter: the fraction
+        # leg keeps locality feeds (small matched cohort) on the CoW path
+        # that bounds THEIR cost, and the amplification leg keeps small
+        # tables rewriting (cheap, and reads stay window-free). Requires
+        # ``key_counts``; direct callers without stats always rewrite.
+        if adaptive and matched_abs and key_counts:
+            batch_keys = sum(key_counts.values()) or 1
+            if (
+                m_rows >= _ADAPTIVE_REWRITE_FRAC * live_rows
+                and m_rows >= _ADAPTIVE_MIN_AMPLIFICATION * batch_keys
+            ):
+                matched_abs, matched_rel = [], set()
+                unresolved_add = set(touched)
+                adaptive_fired = True
     t_match = time.time() - t_match0
     # Every row carries a file-group tag so the rewrite PRESERVES file
     # cohorts (Iceberg-style): a matched file's rows are rewritten into
@@ -497,7 +609,9 @@ def merge_into(
             "write_sec": round(t_write, 3),
             "files_replaced": len(matched_rel),
             "merge_mode": table.merge_mode(),
+            "adaptive_append": adaptive_fired,
         },
+        unresolved_add=unresolved_add or None,
     )
     # a bloom built this commit for a file this same commit then REPLACED
     # is referenced by no manifest — delete it now (crash-orphans are

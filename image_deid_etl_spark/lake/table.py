@@ -192,6 +192,15 @@ class SnapshotTable:
             "file_shards": {},
             "offsets": {"committed_feed_files": 0, "max_seq_seen": 0, "batch_id": -1},
             "properties": dict(properties or {}),
+            # version-resolution tracking (r4): buckets that may hold >1
+            # stored version of a key (merge-on-read appends — mode "mor"
+            # or a CoW commit's adaptive append). Readers LWW-resolve ONLY
+            # these buckets; resolve-compaction removes them.
+            "unresolved_buckets": [],
+            # bucket -> live rows at its last fully-resolved state
+            # (~ distinct keys) — the denominator for the version-depth
+            # compaction trigger (rows / base ~= mean versions per key)
+            "version_base_rows": {},
         }
         t._write_manifest(manifest)
         return t
@@ -333,6 +342,20 @@ class SnapshotTable:
         `compact(resolve_versions=True)` folds history back down."""
         return self.manifest(with_files=False)["properties"].get("merge_mode", "cow")
 
+    def unresolved_buckets(self, snapshot_id: int | None = None) -> set[int]:
+        """Buckets whose files may hold >1 version of a key (MoR appends
+        or a CoW commit's adaptive append) — the ONLY buckets a scan must
+        LWW-resolve. A legacy manifest without the field is treated
+        conservatively: all buckets for a merge-on-read table (its
+        appends predate the tracking), none for copy-on-write."""
+        m = self.manifest(snapshot_id, with_files=False)
+        u = m.get("unresolved_buckets")
+        if u is None:
+            if m["properties"].get("merge_mode", "cow") == "mor":
+                return set(range(m["partition_spec"]["n_buckets"]))
+            return set()
+        return set(u)
+
     def target_file_rows(self) -> int:
         return self.manifest(with_files=False)["partition_spec"].get(
             "target_file_rows", 1 << 19
@@ -426,15 +449,26 @@ class SnapshotTable:
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """User-facing scan: live rows, table schema + ``commit_seq``.
 
-        On a merge-on-read table the scan first LWW-resolves key versions
-        (files may hold superseded rows — one window over the merge key,
-        highest ``commit_seq`` wins, exactly the MERGE's own rule) and
-        then drops tombstone winners. CoW tables skip the window: their
-        files hold one live row per key by construction."""
+        Version resolution is BUCKET-scoped (r4): only buckets the
+        manifest marks unresolved (merge-on-read appends / adaptive CoW
+        appends since their last resolve-compaction) pay the LWW window
+        (one window over the merge key, highest ``commit_seq`` wins —
+        exactly the MERGE's own rule); every resolved bucket scans
+        straight through with no shuffle. A fully-compacted MoR table
+        therefore reads at CoW speed, and a long-running one pays the
+        window only for its recently-touched buckets — the r3 table-wide
+        window is gone. Tombstone winners are dropped last."""
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
-        raw = self.read_raw(spark, snapshot_id)
-        if self.merge_mode() == "mor":
-            raw = _lww_latest_versions(raw)
+        unres = self.unresolved_buckets(snapshot_id)
+        if not unres:
+            raw = self.read_raw(spark, snapshot_id)
+        else:
+            raw = _lww_latest_versions(
+                self.read_raw(spark, snapshot_id, buckets=sorted(unres))
+            )
+            resolved = sorted(set(range(self.n_buckets())) - unres)
+            if resolved:
+                raw = self.read_raw(spark, snapshot_id, buckets=resolved).unionByName(raw)
         return raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).select(*cols)
 
     # ------------------------------------------------------------------ #
@@ -639,6 +673,8 @@ class SnapshotTable:
         expected_parent: int | None = None,
         replaced_paths: set[str] | None = None,
         entry_updates: dict[str, dict] | None = None,
+        unresolved_add: set[int] | None = None,
+        unresolved_remove: set[int] | None = None,
     ) -> int:
         """Build + atomically publish the next manifest.
 
@@ -657,6 +693,16 @@ class SnapshotTable:
         check so a second writer fails loudly instead of silently
         clobbering the pointer (Iceberg-style compare-and-swap — here
         best-effort, since POSIX rename can't truly CAS).
+
+        ``unresolved_add`` marks buckets whose new files may hold
+        superseded key versions (MoR / adaptive appends);
+        ``unresolved_remove`` clears buckets a resolve-compaction just
+        folded. ``version_base_rows`` is maintained here: a changed
+        bucket that ends the commit RESOLVED records its live rows (≈
+        distinct keys) as the base; a bucket entering the unresolved set
+        keeps its last resolved base (or, for a brand-new bucket, its
+        first append's rows — MoR winners are one-per-key, so that IS
+        the key count).
         """
         cur = self.manifest(with_files=False)
         if expected_parent is not None and cur["snapshot_id"] != expected_parent:
@@ -698,6 +744,7 @@ class SnapshotTable:
         else:
             parent_by_bucket = {}
             shard_map = dict(cur["file_shards"])  # unchanged buckets: by NAME
+        final_rows_by_bucket: dict[int, int] = {}
         for b in sorted(changed):
             if legacy_files is not None:
                 parent_entries = parent_by_bucket.get(b, [])
@@ -709,10 +756,29 @@ class SnapshotTable:
                 for f in parent_entries
                 if f["path"] not in dropped and f["bucket"] not in buckets
             ] + new_by_bucket.get(b, [])
+            final_rows_by_bucket[b] = sum(e.get("rows", 0) or 0 for e in entries)
             if entries:
                 shard_map[str(b)] = self._write_shard(snap, b, entries)
             else:
                 shard_map.pop(str(b), None)
+        # -- version-resolution tracking --------------------------------
+        parent_unres = self.unresolved_buckets()  # legacy-mor-aware
+        new_unres = (parent_unres | set(unresolved_add or ())) - set(
+            unresolved_remove or ()
+        )
+        new_unres &= {int(k) for k in shard_map}  # empty bucket = resolved
+        base = {
+            k: v
+            for k, v in dict(cur.get("version_base_rows", {})).items()
+            if k in shard_map
+        }
+        for b, rows_b in final_rows_by_bucket.items():
+            if rows_b == 0:
+                base.pop(str(b), None)
+            elif b not in new_unres:
+                base[str(b)] = rows_b
+            elif str(b) not in base:
+                base[str(b)] = rows_b
         manifest = {
             "snapshot_id": snap,
             "parent_id": cur["snapshot_id"],
@@ -722,6 +788,8 @@ class SnapshotTable:
             "file_shards": shard_map,
             "offsets": offsets,
             "properties": cur["properties"],
+            "unresolved_buckets": sorted(new_unres),
+            "version_base_rows": base,
         }
         # lineage written before the pointer swap: an uncommitted snapshot's
         # lineage is orphaned (readers join lineage ↞ committed manifests)
@@ -809,7 +877,13 @@ class SnapshotTable:
         replaced = {f["path"] for fs in todo.values() for f in fs}
         df = self.read_raw(spark, buckets=sorted(todo))
         if resolve_versions is None:
-            resolve_versions = self.merge_mode() == "mor"
+            # automatic: fold versions whenever any compacted bucket may
+            # hold them — a whole-MoR table, or a CoW table's adaptive-
+            # append buckets (the unresolved set covers both)
+            resolve_versions = (
+                self.merge_mode() == "mor"
+                or bool(self.unresolved_buckets() & set(todo))
+            )
         if resolve_versions:
             df = _lww_latest_versions(df)
         if drop_tombstones_below is not None:
@@ -825,9 +899,13 @@ class SnapshotTable:
             new_files=entries,
             offsets=self.offsets(),
             replaced_paths=replaced,
-            lineage_extra={"compaction": True},
+            lineage_extra={"compaction": True, "resolved_versions": resolve_versions},
             started_at=started,
             expected_parent=m["snapshot_id"],
+            # a version-resolving rewrite leaves its buckets one-row-per-
+            # key: clear them from the unresolved set (base rows reset in
+            # commit_snapshot)
+            unresolved_remove=set(todo) if resolve_versions else None,
         )
         return {
             "compacted_buckets": sorted(todo),

@@ -410,7 +410,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
     # actually holding the keys (both here, one key each) -- and with keys
     # missing entirely, to NONE
     kr = {0: ("r\x1fa00", "r\x1fzzz")}
-    matched_abs, _, _ = M._match_files(
+    matched_abs, _, _, _, _ = M._match_files(
         spark, t,
         batch_df(spark, [(200, "add", "r", "a00", "y"), (201, "add", "r", "nope", "y")])
         .selectExpr("*").select(
@@ -433,7 +433,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
         M.bucket_expr(1, ["repo", "path"]).alias("_bucket"),
         M.key_expr(["repo", "path"]).alias("_key"),
     )
-    matched_abs, matched_rel, bloom_updates = M._match_files(
+    matched_abs, matched_rel, bloom_updates, _, _ = M._match_files(
         spark, t, dense, {0}, kr, key_counts={0: 100}
     )
     assert matched_rel == files2
@@ -475,3 +475,122 @@ def test_auto_compaction_plateaus_file_count(spark, tmp_path):
     )
     expected = sha256_state(fold_feed(make_events(spec)))
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_adaptive_cow_appends_on_amplified_uniform_updates(spark, tmp_path):
+    """r4 adaptive CoW→MoR: on a DEFAULT (cow) table, a batch whose
+    rewrite would move >= ~6x the batch's keys AND most of the touched
+    buckets' live rows appends its LWW winners MoR-style instead of
+    rewriting — the uniform-update worst case (BENCH/BASELINE.md: 4.8x
+    slower on CoW) stops costing O(table) per commit. Reads stay correct
+    via the bucket-scoped resolve window; resolve-compaction restores
+    window-free reads."""
+    t = make_table(spark, tmp_path, n_buckets=4)
+    # bootstrap: 4000 keys in one insert commit
+    boot = batch_df(
+        spark, [(i + 1, "add", "r", f"k{i:05d}", f"v{i}") for i in range(4000)]
+    )
+    merge_into(spark, t, boot, offsets(1), scrub=False)
+    files_before = paths(t)
+    # uniform update batch: 100 keys spread over the whole key space —
+    # every file holds one, so a CoW rewrite would move 4000 rows for a
+    # 100-key batch (40x amplification)
+    upd = batch_df(
+        spark,
+        [(10_000 + i, "add", "r", f"k{i * 40:05d}", "NEW") for i in range(100)],
+    )
+    from image_deid_etl_spark.lake.table import bucket_expr as _be
+
+    kc = (
+        upd.select(_be(4, ["repo", "path"]).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    merge_into(
+        spark, t, upd, offsets(2), scrub=False,
+        key_counts={r["b"]: r["count"] for r in kc},
+    )
+    lin = t.lineage()[-1]
+    assert lin["adaptive_append"] is True
+    assert lin["files_replaced"] == 0, "adaptive must not rewrite"
+    assert files_before <= paths(t), "bootstrap files carried forward"
+    assert t.unresolved_buckets(), "adaptive appends must mark their buckets"
+    got = {
+        (r["path"], r["content"]) for r in t.read(spark).collect()
+    }
+    expected = {
+        (f"k{i:05d}", "NEW" if i % 40 == 0 and i < 4000 else f"v{i}")
+        for i in range(4000)
+    }
+    assert got == expected
+    # resolve-compaction folds the appended versions and clears the marks;
+    # the read plan then drops the window again (CoW-speed reads)
+    t.compact(spark, min_files_per_bucket=1)
+    assert not t.unresolved_buckets()
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert {(r["path"], r["content"]) for r in t.read(spark).collect()} == expected
+
+
+def test_adaptive_does_not_fire_on_small_or_local_batches(spark, tmp_path):
+    """The amplification leg keeps small tables rewriting (no read-time
+    window creep for cheap rewrites): a table whose live rows never reach
+    8x the batch keys stays pure CoW."""
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=3000, n_keys=200, n_files=6)  # batch ~ table
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=2, auto_compact_files=None)
+    t = open_table(root)
+    assert not [e for e in t.lineage() if e.get("adaptive_append")]
+    assert not t.unresolved_buckets()
+
+
+def test_bloom_prune_is_executor_side(spark, tmp_path, monkeypatch):
+    """r4: bloom bitmaps are memory-mapped by probe TASKS, never loaded on
+    the driver — no driver-budget ceiling, no skip-to-exact-scan
+    degradation. Pruning results are identical to the driver-side r3
+    behavior on the same probes."""
+    from image_deid_etl_spark.cdc.merge import _bloom_prune
+    from image_deid_etl_spark.lake.table import bucket_expr, key_expr
+
+    t = make_table(spark, tmp_path, n_buckets=2)
+    rows = [(i + 1, "add", "r", f"a{i}", "x") for i in range(20)]
+    rows += [(100 + i, "add", "r", f"z{i}", "x") for i in range(20)]
+    merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    entries = [f for f in t.manifest()["files"]]
+    upd = t.build_blooms(spark, entries)
+    assert upd  # sidecars exist for every file
+    # the driver-side loader must never run during pruning
+    monkeypatch.setattr(
+        SnapshotTable,
+        "load_bloom",
+        lambda self, entry: (_ for _ in ()).throw(
+            AssertionError("driver loaded a bloom bitmap")
+        ),
+    )
+
+    def probe_df(*keys):
+        return spark.createDataFrame(
+            [("r", k) for k in keys], "repo string, path string"
+        ).select(
+            bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+            key_expr(["repo", "path"]).alias("_key"),
+        )
+
+    # a key no file holds: every bloomed candidate is rejected
+    assert _bloom_prune(t, probe_df("nope"), entries) == []
+    # a stored key: the files really holding it survive
+    survived = _bloom_prune(t, probe_df("a3"), entries)
+    key = "r\x1fa3"
+    assert survived and any(
+        f["key_min"] <= key <= f["key_max"] for f in survived
+    )
+    # all-buckets probe: pruning still file-accurate with multiple
+    # buckets' keys in one batch (each bucket pre-shuffled to one task)
+    survived = {f["path"] for f in _bloom_prune(t, probe_df("a3", "z7"), entries)}
+    assert survived <= {f["path"] for f in entries}
+    assert len(survived) >= 1

@@ -112,3 +112,37 @@ def test_cow_read_has_no_window(spark, tmp_path):
     assert t.merge_mode() == "cow"
     plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_mor_version_depth_trigger_bounds_read_window(spark, tmp_path):
+    """r4: the ingest-loop hook also fires on VERSION DEPTH — a touched
+    unresolved bucket whose live rows reach ~4x its last-resolved rows is
+    resolve-compacted even when its file count never crosses the
+    file-count threshold (few fat files can hold deep version stacks).
+    Raw rows therefore stay bounded without any manual `compact`."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    # 100 keys x 4000 events -> ~40 versions/key if never resolved;
+    # auto_compact_files=64 disables the file-count leg (16 batches max)
+    spec = FeedSpec(n_events=4000, n_keys=100, n_files=16)
+    write_feed(feed, spec)
+    stats = run_ingest(
+        spark, root, feed, max_files_per_batch=1, n_buckets=2,
+        merge_mode="mor", auto_compact_files=64,
+    )
+    assert stats.compactions, "version-depth trigger never fired"
+    t = open_table(root)
+    live = t.read(spark).count()
+    raw = t.read_raw(spark).count()
+    # without the trigger raw ~= n_events (4000); with it, bounded by the
+    # depth threshold plus the appends since the last resolve
+    assert raw < 0.6 * spec.n_events, (raw, live)
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(_state(spark, t), expected, check_dtype=False)
+    # resolved buckets leave the unresolved set; a full resolve clears it
+    # and the scan plan drops the LWW window entirely (CoW-speed reads)
+    t.compact(spark, min_files_per_bucket=1)
+    t = open_table(root)
+    assert not t.unresolved_buckets()
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    pd.testing.assert_frame_equal(_state(spark, t), expected, check_dtype=False)
