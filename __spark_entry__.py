@@ -43,9 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS files both capped at 50 rows for a larger catalog), in
     # iteration order.  Rotate the queries that have never appeared in a
     # driver CORRECTNESS file to the FRONT so they get driver-green rows
-    # this round; the long-green TPC-style / dedup headliners (2+ rounds
-    # of green history) cede the tail slots.
+    # this round (VERDICT r3 item 2), followed by every query whose code
+    # or oracle CHANGED this round — anything modified must stay inside
+    # the verified window; only long-green UNMODIFIED queries cede the
+    # tail slots.
     first = [
+        # never driver-verified (r2/r3 gap)
         "first_nonnull_minby",
         "ingest_gate_counts",
         "map_props_filtered",
@@ -57,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_dims",
         "media_frame_samples",
         "median_value_by_type",
+        # modified in r4 (multiprobe default + oracle strpos derivation)
+        "knn_lsh_multiprobe",
+        "knn_lsh_bucketed",
     ]
     ordered = [n for n in first if n in QUERIES]
     ordered += [n for n in QUERIES if n not in set(first)]

@@ -246,7 +246,17 @@ def run_ingest(
         stats.events += n
         stats.batch_events.append(n)
         stats.snapshot_id = snap
-        if auto_compact_files:
+        # maintenance hooks. For a COW table the version-depth trigger is
+        # NOT gated on auto_compact_files: adaptive appends are on by
+        # default, so the thing that bounds their read-time window cost
+        # must not be optional — auto_compact_files=None would otherwise
+        # silently turn a cow table into an unboundedly-versioned one. A
+        # mor table keeps the r3 contract: None = no maintenance at all
+        # (version accumulation is that mode's documented, opted-into
+        # trade until `compact`).
+        if auto_compact_files or (
+            table.merge_mode() == "cow" and table.unresolved_buckets() & touched
+        ):
             counts: dict[int, int] = {}
             rows_by_b: dict[int, int] = {}
             for f in table.files_for_buckets(touched):
@@ -262,9 +272,8 @@ def run_ingest(
             # for the file-count trigger (few fat files can hold deep
             # version stacks). Same bounded discipline as the file-count
             # hook: manifest stats only, one worst bucket per commit.
-            top = table.manifest(with_files=False)
-            unres = set(top.get("unresolved_buckets") or [])
-            vbase = top.get("version_base_rows", {})
+            unres = table.unresolved_buckets()
+            vbase = table.manifest(with_files=False).get("version_base_rows", {})
             deep = [
                 b
                 for b in touched
@@ -273,7 +282,11 @@ def run_ingest(
                 and rows_by_b.get(b, 0)
                 >= _MOR_MAX_VERSION_DEPTH * vbase[str(b)]
             ]
-            over = [b for b, c in counts.items() if c >= auto_compact_files]
+            over = (
+                [b for b, c in counts.items() if c >= auto_compact_files]
+                if auto_compact_files
+                else []
+            )
             if deep:
                 worst = max(deep, key=lambda b: rows_by_b[b] / vbase[str(b)])
                 table.compact(

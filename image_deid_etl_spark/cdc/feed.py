@@ -375,13 +375,16 @@ def read_feed_files(spark: SparkSession, files: list[str]) -> DataFrame:
                 elif prev.dataType != f.dataType:
                     raise ValueError("footer type conflict")  # → mergeSchema
         union = T.StructType(list(fields.values()))
-    except (ImportError, AttributeError, ValueError) as exc:
-        # Expected fallback cases only: pyspark-internal API moved
-        # (ImportError/AttributeError) or a genuine footer type conflict
-        # (ValueError). NOTE pyarrow's ArrowInvalid subclasses ValueError,
-        # so a corrupt chunk footer also lands here — log it so the root
-        # cause isn't hidden behind an unrelated distributed mergeSchema
-        # failure. Anything else propagates.
+    except Exception as exc:
+        # The fallback is a SAFETY NET, deliberately broad: expected
+        # cases are a moved pyspark-internal API (ImportError/
+        # AttributeError), a footer type conflict (ValueError), and
+        # pyarrow's exception zoo (ArrowInvalid→ValueError but also
+        # ArrowNotImplementedError etc.) — and Spark's own parquet reader
+        # under mergeSchema may still succeed where the pyarrow footer
+        # read did not. The logged warning is what keeps a genuinely
+        # corrupt chunk from being silently masked until it resurfaces
+        # as an unrelated distributed mergeSchema failure.
         _LOG.warning(
             "feed footer fast path failed (%s: %s); falling back to mergeSchema",
             type(exc).__name__,

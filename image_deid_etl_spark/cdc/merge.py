@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake.table import SnapshotTable, bucket_expr, key_expr
+from ..lake.table import SnapshotTable, bucket_expr, key_expr, lww_order_cols
 from .scrub import scrub_meta, scrubbed
 from .skew import salted_repartition
 
@@ -136,9 +136,17 @@ def _bloom_prune(
                         continue
                     if bpath not in bitmaps:
                         try:
-                            bitmaps[bpath] = np.memmap(bpath, dtype=np.uint8, mode="r")
-                        except OSError:
-                            bitmaps[bpath] = None
+                            bm = np.memmap(bpath, dtype=np.uint8, mode="r")
+                            # truncated/empty sidecar (e.g. crash between
+                            # sidecar write and manifest commit on a
+                            # non-fsynced filesystem): indexing it would
+                            # raise mid-job — treat as unreadable instead
+                            if len(bm) != m // 8:
+                                bm = None
+                        except (OSError, ValueError):
+                            # np.memmap raises ValueError on a 0-byte file
+                            bm = None
+                        bitmaps[bpath] = bm
                     bits = bitmaps[bpath]
                     if bits is None:
                         keep.add(path)
@@ -560,7 +568,13 @@ def merge_into(
     # serves both); keys with no stored row fall to the "new" cohort (-1).
     # Append-only commits (nothing matched) skip the cohort window — every
     # key is trivially new.
-    w_rank = Window.partitionBy(*key_cols).orderBy(F.col("commit_seq").desc())
+    # The order is `lww_order_cols` — the SAME total order the scan-time
+    # resolver uses, so a same-seq conflict (producer bug) resolves to the
+    # one winner no matter which path runs: CoW rewrite here, or adaptive
+    # append + read-time window + resolve-compaction.
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        *lww_order_cols(incoming_o.schema.fields)
+    )
     if not matched_abs:
         merged = (
             incoming_o.withColumn("_rn", F.row_number().over(w_rank))

@@ -87,35 +87,51 @@ ENGINE_COLS = [
 KEY_SEP = "\x1f"
 
 
-def _lww_latest_versions(df: DataFrame) -> DataFrame:
-    """Keep each ``_key``'s highest-``commit_seq`` row — the MERGE's own
-    LWW rule, applied at scan/compaction time for merge-on-read tables
-    (files may hold superseded versions). ONE definition serves both
-    `SnapshotTable.read` and `SnapshotTable.compact` so their results can
-    never diverge.
+#: engine-managed columns excluded from the LWW tie-break hash: they are
+#: either derivable from the key (identical across a key's versions) or
+#: placement metadata (``_fg`` can legitimately differ between an
+#: existing row and its re-delivered duplicate) — hashing PAYLOAD columns
+#: only is what makes the merge-time and scan-time picks agree
+_ENGINE_COLS = {"commit_seq", "_deleted", "_bucket", "_key", "_fg", "_bh1", "_bh2", "_rn"}
 
-    Tie-break: if two appended versions of a key ever share a
-    ``commit_seq`` (producer bug, re-export), ``commit_seq`` alone makes
-    row_number nondeterministic ACROSS scans — reads could diverge from a
-    later compacted state. The secondary keys (``_deleted`` desc — a
-    tombstone beats a same-seq upsert — then a stable content hash over
-    the payload) give a total order, so scan-time and compaction-time
-    resolution always pick the same row."""
-    from pyspark.sql import Window
 
+def lww_order_cols(fields) -> list:
+    """The ONE total order every LWW resolution uses — merge-time window,
+    scan-time resolution and compaction must all pick the same winner for
+    a given set of versions, or an adaptive append could converge to a
+    different state than the rewrite it replaced.
+
+    Order: ``commit_seq`` desc (the LWW rule), then — only for the
+    pathological same-seq conflict (producer bug, re-export) —
+    ``_deleted`` desc (a tombstone beats a same-seq upsert) and a stable
+    xxhash64 over the PAYLOAD columns (maps via to_json; engine columns
+    excluded so existing/incoming copies of the same logical row hash
+    identically). Identical-payload ties remain arbitrary — both picks
+    are the same row."""
     hash_parts = []
-    for f in df.schema.fields:
-        if f.name in ("commit_seq", "_deleted"):
+    for f in fields:
+        if f.name in _ENGINE_COLS:
             continue
         # xxhash64 rejects MapType; serialize maps first (per-row entry
         # order is the stored order — stable for a given row)
         col = F.to_json(F.col(f.name)) if isinstance(f.dataType, T.MapType) else F.col(f.name)
         hash_parts.append(col)
-    w = Window.partitionBy("_key").orderBy(
+    return [
         F.col("commit_seq").desc(),
         F.col("_deleted").desc(),
         F.xxhash64(*hash_parts).desc(),
-    )
+    ]
+
+
+def _lww_latest_versions(df: DataFrame) -> DataFrame:
+    """Keep each ``_key``'s highest-``commit_seq`` row — the MERGE's own
+    LWW rule (same `lww_order_cols` total order), applied at
+    scan/compaction time for unresolved buckets (files may hold
+    superseded versions). ONE definition serves both `SnapshotTable.read`
+    and `SnapshotTable.compact` so their results can never diverge."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_key").orderBy(*lww_order_cols(df.schema.fields))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -645,6 +661,11 @@ class SnapshotTable:
             name = f"bloom-{uuid.uuid4().hex}.bin"
             with open(os.path.join(bdir, name), "wb") as fh:
                 fh.write(bits.tobytes())
+                fh.flush()
+                # the manifest referencing this sidecar commits durably
+                # (fsync + rename in _write_manifest); fsync the bitmap
+                # too or a power loss can leave a referenced 0-byte file
+                os.fsync(fh.fileno())
             upd = {"bloom_path": os.path.join(BLOOMS, name), "bloom_m": m}
             e.update(upd)
             updates[e["path"]] = upd

@@ -409,6 +409,12 @@ def connected_components(
     already discarded (localCheckpoint stores blocks on executors only;
     losing one kills the job). Default ``None`` keeps the single-JVM-
     appropriate ``localCheckpoint`` (no extra filesystem round-trip).
+    NOTE on cleanup: superseded rounds' reliable checkpoint files are
+    GC'd by Spark's ContextCleaner only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+    this package's `build_session`; read once at session start). On a
+    session without it, sweep ``checkpoint_dir`` after the result frame
+    is no longer needed.
     """
 
     def _materialize(df: DataFrame) -> DataFrame:
