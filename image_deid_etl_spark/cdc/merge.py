@@ -229,6 +229,16 @@ def _match_files(
     too high → an unnecessary O(batch) append whose versions the depth
     trigger folds later.
 
+    Known over-estimate shape: the model assumes batch keys EXIST in the
+    table, so an INSERT-heavy batch of uniform new keys (random-id feeds)
+    also fires — the append itself is exactly what the ladder would have
+    produced (nothing matches), but the touched buckets get marked
+    unresolved and reads pay the LWW window until the version-depth hook
+    inspects them. That hook's exact count detects the no-duplicates case
+    and resolves it METADATA-ONLY (engine.py) — the total misfire cost is
+    one narrow count per 4x bucket growth plus windowed reads in between,
+    never a data rewrite.
+
     Blooms are built HERE, lazily, the first time a file becomes a
     candidate — the build reads two int columns of files this phase
     would otherwise exact-scan anyway, and the sidecar persists via the

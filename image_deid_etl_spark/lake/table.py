@@ -87,12 +87,13 @@ ENGINE_COLS = [
 KEY_SEP = "\x1f"
 
 
-#: engine-managed columns excluded from the LWW tie-break hash: they are
-#: either derivable from the key (identical across a key's versions) or
-#: placement metadata (``_fg`` can legitimately differ between an
-#: existing row and its re-delivered duplicate) — hashing PAYLOAD columns
-#: only is what makes the merge-time and scan-time picks agree
-_ENGINE_COLS = {"commit_seq", "_deleted", "_bucket", "_key", "_fg", "_bh1", "_bh2", "_rn"}
+#: columns excluded from the LWW tie-break hash: every ENGINE_COLS name
+#: (derived automatically so a future engine column cannot silently enter
+#: the hash and desync merge-time vs scan-time picks) plus the transient
+#: write-path columns — ``_fg`` can legitimately differ between an
+#: existing row and its re-delivered duplicate. Hashing PAYLOAD columns
+#: only is what makes the merge-time and scan-time picks agree.
+_LWW_HASH_EXCLUDE = {f.name for f in ENGINE_COLS} | {"_fg", "_bh1", "_bh2", "_rn"}
 
 
 def lww_order_cols(fields) -> list:
@@ -110,7 +111,7 @@ def lww_order_cols(fields) -> list:
     are the same row."""
     hash_parts = []
     for f in fields:
-        if f.name in _ENGINE_COLS:
+        if f.name in _LWW_HASH_EXCLUDE:
             continue
         # xxhash64 rejects MapType; serialize maps first (per-row entry
         # order is the stored order — stable for a given row)
@@ -671,18 +672,6 @@ class SnapshotTable:
             updates[e["path"]] = upd
         return updates
 
-    def load_bloom(self, entry: dict):
-        """The (m, bitmap) of a file entry, or None when absent (pre-bloom
-        manifests) — callers must treat None as 'always a candidate'."""
-        bp = entry.get("bloom_path")
-        if not bp:
-            return None
-        try:
-            with open(os.path.join(self.root, bp), "rb") as fh:
-                return entry["bloom_m"], fh.read()
-        except OSError:
-            return None
-
     def commit_snapshot(
         self,
         new_files: list[dict],
@@ -741,6 +730,11 @@ class SnapshotTable:
         # -- sharded carry-forward: rewrite ONLY changed buckets' shards --
         legacy_files = cur.get("files") if "file_shards" not in cur else None
         changed: set[int] = set(buckets)
+        # buckets leaving the unresolved set must recount their base rows
+        # even when no file changed (metadata-only resolve): routing them
+        # through the shard loop recomputes final rows; entries carry
+        # forward verbatim
+        changed |= set(unresolved_remove or ())
         for e in new_files:
             changed.add(e["bucket"])
         for p in dropped | set(upd):
@@ -988,8 +982,9 @@ class SnapshotTable:
         # orphan sweep: sidecars referenced by NO retained manifest (lazy
         # blooms built in a merge that crashed before its commit). Safe
         # under the single-writer contract; if an expire ever raced a
-        # merge, the merge's commit would reference a swept bloom and
-        # load_bloom degrades to the conservative no-bloom path.
+        # merge, the merge's commit would reference a swept bloom and the
+        # probe tasks' memmap fallback (cdc/merge._bloom_prune) keeps the
+        # file a conservative always-candidate.
         bdir = os.path.join(self.root, BLOOMS)
         if os.path.isdir(bdir):
             for fn in os.listdir(bdir):

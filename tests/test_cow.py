@@ -564,14 +564,19 @@ def test_bloom_prune_is_executor_side(spark, tmp_path, monkeypatch):
     entries = [f for f in t.manifest()["files"]]
     upd = t.build_blooms(spark, entries)
     assert upd  # sidecars exist for every file
-    # the driver-side loader must never run during pruning
-    monkeypatch.setattr(
-        SnapshotTable,
-        "load_bloom",
-        lambda self, entry: (_ for _ in ()).throw(
-            AssertionError("driver loaded a bloom bitmap")
-        ),
-    )
+    # no driver-side bitmap loading exists anymore: bitmaps are opened
+    # only inside the probe tasks (np.memmap in _bloom_prune's closure);
+    # guard against a driver-side reader being reintroduced
+    import builtins
+
+    real_open = builtins.open
+
+    def no_bloom_open(file, *a, **kw):
+        if isinstance(file, str) and "/_blooms/" in file:
+            raise AssertionError(f"driver opened a bloom bitmap: {file}")
+        return real_open(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", no_bloom_open)
 
     def probe_df(*keys):
         return spark.createDataFrame(
@@ -594,3 +599,65 @@ def test_bloom_prune_is_executor_side(spark, tmp_path, monkeypatch):
     survived = {f["path"] for f in _bloom_prune(t, probe_df("a3", "z7"), entries)}
     assert survived <= {f["path"] for f in entries}
     assert len(survived) >= 1
+
+
+def test_insert_heavy_adaptive_misfire_resolves_metadata_only(spark, tmp_path):
+    """r4 review fix: an INSERT-heavy uniform feed of strictly-new keys
+    can fire the adaptive append spuriously (the estimate cannot tell new
+    keys from existing). The version-depth hook must then detect that the
+    bucket holds NO duplicate versions (exact count) and resolve it
+    METADATA-ONLY — never an O(bucket) rewrite that would fold nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+
+    def chunk(idx, lo, hi):
+        n = hi - lo
+        df = pd.DataFrame(
+            {
+                "seq": np.arange(lo + 1, hi + 1, dtype=np.int64),
+                "op": "add",
+                "repo": "r",
+                # hash-scattered UNIQUE keys: an odd multiplier mod 2^31
+                # is a bijection, so keys never repeat but DO interleave
+                # lexically with every stored file's range (sequential ids
+                # would dodge the range prune and never reach the
+                # adaptive estimate)
+                "path": [f"k{(i * 2654435761) % 2**31:010d}" for i in range(lo, hi)],
+                "commit": "c",
+                "lang": "py",
+                "content": [f"v{i}" for i in range(lo, hi)],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        )
+        df.to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    # bootstrap: 1800 unique keys; then 20 chunks of 300 MORE unique keys
+    chunk(0, 0, 1800)
+    for i in range(20):
+        chunk(i + 1, 1800 + i * 300, 1800 + (i + 1) * 300)
+    root = str(tmp_path / "t")
+    stats = run_ingest(
+        spark, root, str(feed), max_files_per_batch=1, n_buckets=4,
+        auto_compact_files=None,
+    )
+    t = open_table(root)
+    lin = t.lineage()
+    assert any(e.get("adaptive_append") for e in lin), "misfire never happened"
+    meta_resolves = [e for e in lin if e.get("resolved_metadata_only") is not None]
+    assert meta_resolves, "depth trigger never resolved metadata-only"
+    # the whole run must be pure appends: no rewrite, no data-movement
+    # compaction (stats.compactions counts only real compactions)
+    assert all(e.get("files_replaced", 0) == 0 for e in lin)
+    assert not stats.compactions
+    got = t.read(spark)
+    assert got.count() == 1800 + 20 * 300
+    probe_ids = [0, 3000, 7799]
+    keys = [f"k{(i * 2654435761) % 2**31:010d}" for i in probe_ids]
+    sample = {r["path"]: r["content"] for r in got.filter(
+        F.col("path").isin(*keys)).collect()}
+    assert sample == {k: f"v{i}" for k, i in zip(keys, probe_ids)}
