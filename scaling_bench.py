@@ -78,6 +78,42 @@ print(json.dumps({{"cpus": cpus, "events": stats.events, "sec": dt,
 """
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def wait_for_quiet(max_wait_sec: int = 240, target: float = 0.8) -> float:
+    """Bounded per-RUN quiet gate: this host's CPU steal arrives in
+    minutes-long windows that hit wide (8-core) runs only (documented in
+    BENCH/BASELINE.md); a session-level gate decays before a multi-run
+    bench finishes. Probes per-core efficiency (8 busy procs vs best-of-3
+    single-proc) and waits briefly for >= target; proceeds either way and
+    returns the last ratio (recorded per run — noisy samples are
+    self-labelling, never silently discarded)."""
+    import multiprocessing as mp
+    import time as _time
+
+    deadline = _time.time() + max_wait_sec
+    ratio = 0.0
+    while True:
+        one = 0.0
+        for _ in range(3):
+            t0 = _time.time()
+            _burn(5_000_000)
+            one = max(one, 5_000_000 / (_time.time() - t0))
+        t0 = _time.time()
+        with mp.Pool(8) as pool:
+            pool.map(_burn, [5_000_000] * 8)
+        eight = 8 * 5_000_000 / (_time.time() - t0)
+        ratio = round((eight / 8) / one, 3)
+        if ratio >= target or _time.time() >= deadline:
+            return ratio
+        _time.sleep(20)
+
+
 def run_once(cpus: int, feed_dir: str) -> dict:
     work = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir="/dev/shm")
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -111,6 +147,11 @@ def main() -> None:
         help="local-cluster spawns real separate executor JVMs (N x 8 cores)",
     )
     ap.add_argument(
+        "--quiet-gate", action="store_true",
+        help="before each timed run, wait (bounded, 240s) for host per-core"
+        " efficiency >= 0.8; the probed ratio is recorded with the run",
+    )
+    ap.add_argument(
         "--write-md", action="store_true",
         help="overwrite BENCH/BASELINE.md with this run (it is hand-curated;"
         " default is JSON-only output)",
@@ -136,7 +177,11 @@ def main() -> None:
         results: dict[int, list[dict]] = {c: [] for c in args.levels}
         for _ in range(args.runs):
             for cpus in args.levels:  # alternate levels within each round
-                results[cpus].append(run_once(cpus, feed_dir))
+                quiet = wait_for_quiet() if args.quiet_gate else None
+                r = run_once(cpus, feed_dir)
+                if quiet is not None:
+                    r["host_quiet_ratio"] = quiet
+                results[cpus].append(r)
                 print(json.dumps(results[cpus][-1]), file=sys.stderr, flush=True)
 
         med = {c: statistics.median(r["eps"] for r in results[c]) for c in args.levels}
