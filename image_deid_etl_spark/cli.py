@@ -87,6 +87,8 @@ def cmd_ingest(args) -> None:
         max_files_per_batch=args.batch_files,
         n_buckets=args.buckets,
         max_batches=args.max_batches,
+        merge_mode=args.merge_mode,
+        adaptive=not args.no_adaptive,
     )
     print(
         json.dumps(
@@ -130,13 +132,21 @@ def cmd_validate(args) -> None:
     import os as _os
 
     fsck = {"missing_data_files": 0, "missing_blooms": 0, "bad_key_ranges": 0,
-            "row_mismatch_files": 0, "missing_shards": 0}
+            "row_mismatch_files": 0, "missing_shards": 0,
+            "dangling_unresolved_buckets": 0}
     # sharded manifests: verify every referenced bucket shard exists
     # before materializing the file list through them
     top = table.manifest(with_files=False)
     for name in top.get("file_shards", {}).values():
         if not _os.path.exists(table._shard_path(name)):
             fsck["missing_shards"] += 1
+    # version-tracking invariant: an unresolved bucket must have files
+    # (commit_snapshot intersects the set with live shards — a dangling
+    # mark means manifest corruption)
+    fsck["dangling_unresolved_buckets"] = len(
+        set(top.get("unresolved_buckets") or [])
+        - {int(b) for b in top.get("file_shards", {})}
+    )
     if fsck["missing_shards"]:
         # same contract as every other fsck failure: JSON on stdout, exit 2
         print(json.dumps({"fsck": fsck, "error": "manifest shard(s) missing"}))
@@ -282,6 +292,10 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--buckets", type=int, default=16)
     i.add_argument("--max-batches", type=int, default=None)
     i.add_argument("--streaming", action="store_true")
+    i.add_argument("--merge-mode", choices=["cow", "mor"], default=None,
+                   help="table merge mode at creation (fixed thereafter)")
+    i.add_argument("--no-adaptive", action="store_true",
+                   help="disable the per-batch adaptive CoW->MoR append")
     i.add_argument("--checkpoint", default=None)
     i.set_defaults(fn=cmd_ingest)
 
