@@ -42,6 +42,10 @@ HEADLINE = [
     # a result-size artifact, not an execution-plan cost
     "knn_bruteforce_cosine",
     "knn_lsh_bucketed",
+    # the SHIPPED default LSH path (multiprobe=True, r4) — benched
+    # alongside the home-bucket ablation so the probe fan-out cost is a
+    # recorded number, not a claim
+    "knn_lsh_multiprobe",
     "text_quality_scores",
     "media_binary_meta",
 ]

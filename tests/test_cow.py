@@ -661,3 +661,42 @@ def test_insert_heavy_adaptive_misfire_resolves_metadata_only(spark, tmp_path):
     sample = {r["path"]: r["content"] for r in got.filter(
         F.col("path").isin(*keys)).collect()}
     assert sample == {k: f"v{i}" for k, i in zip(keys, probe_ids)}
+
+
+def test_adaptive_append_with_schema_evolution(spark, tmp_path):
+    """Adaptive appends interleave files of DIFFERENT physical schemas in
+    one bucket (the evolved column is absent from older files); the
+    bucket-scoped LWW resolve must read them under the evolved schema
+    (nulls for old files) and still pick the right winners."""
+    t = make_table(spark, tmp_path, n_buckets=2)
+    boot = batch_df(
+        spark, [(i + 1, "add", "r", f"k{i:05d}", f"v{i}") for i in range(2000)]
+    )
+    merge_into(spark, t, boot, offsets(1), scrub=False)
+    # evolved batch: extra `license` column, uniform keys -> adaptive fires
+    evolved_schema = T.StructType(
+        BATCH_SCHEMA.fields + [T.StructField("license", T.StringType(), True)]
+    )
+    upd = spark.createDataFrame(
+        [(10_000 + i, "add", "r", f"k{i * 40:05d}", "NEW", "mit") for i in range(50)],
+        evolved_schema,
+    )
+    from image_deid_etl_spark.lake.table import bucket_expr as _be
+
+    kc = {
+        r["b"]: r["count"]
+        for r in upd.select(_be(2, ["repo", "path"]).alias("b")).groupBy("b").count().collect()
+    }
+    merge_into(spark, t, upd, offsets(2), scrub=False, key_counts=kc)
+    assert t.lineage()[-1]["adaptive_append"] is True
+    got = {(r["path"], r["content"], r["license"]) for r in t.read(spark).collect()}
+    expected = {
+        (f"k{i:05d}",
+         "NEW" if (i % 40 == 0 and i < 2000) else f"v{i}",
+         "mit" if (i % 40 == 0 and i < 2000) else None)
+        for i in range(2000)
+    }
+    assert got == expected
+    # resolve-compaction folds the mixed-schema versions identically
+    t.compact(spark, min_files_per_bucket=1)
+    assert {(r["path"], r["content"], r["license"]) for r in t.read(spark).collect()} == expected
