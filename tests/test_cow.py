@@ -700,3 +700,78 @@ def test_adaptive_append_with_schema_evolution(spark, tmp_path):
     # resolve-compaction folds the mixed-schema versions identically
     t.compact(spark, min_files_per_bucket=1)
     assert {(r["path"], r["content"], r["license"]) for r in t.read(spark).collect()} == expected
+
+
+def test_same_seq_conflict_converges_across_paths(spark, tmp_path):
+    """The unified `lww_order_cols` contract: a pathological same-seq
+    conflict (producer bug / re-export) must resolve to the SAME winner
+    whether the commit rewrote (CoW ladder) or adaptively appended and
+    was resolved at scan/compaction time."""
+    results = {}
+    for mode, root in [("rewrite", "t1"), ("append", "t2")]:
+        t = SnapshotTable.create(
+            str(tmp_path / root), SCHEMA, ["repo", "path"], 2
+        )
+        boot = batch_df(
+            spark, [(i + 1, "add", "r", f"k{i:04d}", f"v{i}") for i in range(400)]
+        )
+        merge_into(spark, t, boot, offsets(1), scrub=False)
+        # conflicting batch: every 8th key gets TWO events with the SAME
+        # seq and different payloads (50 distinct keys over the whole
+        # range -> est = 400 rows >= 6 x 50, so adaptive fires when
+        # allowed)
+        rows = []
+        for i in range(0, 400, 8):
+            rows.append((9000, "add", "r", f"k{i:04d}", f"A{i}"))
+            rows.append((9000, "add", "r", f"k{i:04d}", f"B{i}"))
+        conflict = batch_df(spark, rows)
+        from image_deid_etl_spark.lake.table import bucket_expr as _be
+
+        # key_counts semantics = approx DISTINCT batch keys per bucket
+        kc = {
+            r["b"]: r["nk"]
+            for r in conflict.select(
+                _be(2, ["repo", "path"]).alias("b"), "path"
+            ).groupBy("b").agg(F.count_distinct("path").alias("nk")).collect()
+        }
+        merge_into(
+            spark, t, conflict, offsets(2), scrub=False,
+            key_counts=kc, adaptive=(mode == "append"),
+        )
+        lin = t.lineage()[-1]
+        assert lin["adaptive_append"] is (mode == "append")
+        results[mode] = {
+            (r["path"], r["content"]) for r in t.read(spark).collect()
+        }
+        if mode == "append":
+            # compaction must agree with the scan-time pick too
+            t.compact(spark, min_files_per_bucket=1)
+            assert {
+                (r["path"], r["content"]) for r in t.read(spark).collect()
+            } == results[mode]
+    assert results["rewrite"] == results["append"]
+
+
+def test_adaptive_and_pure_cow_states_identical(spark, tmp_path):
+    """End-to-end: the adaptive default and adaptive-off runs of one
+    mixed add/update/delete feed must produce byte-identical live
+    states (the per-batch mode choice is invisible to readers)."""
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+
+    feed = str(tmp_path / "f")
+    spec = FeedSpec(n_events=9000, n_keys=3500, n_files=20)
+    write_feed(feed, spec)
+    states = {}
+    fired = {}
+    for label, adaptive in [("on", True), ("off", False)]:
+        root = str(tmp_path / f"t_{label}")
+        run_ingest(spark, root, feed, max_files_per_batch=1, adaptive=adaptive)
+        t = open_table(root)
+        fired[label] = any(e.get("adaptive_append") for e in t.lineage())
+        states[label] = sorted(
+            (r["repo"], r["path"], r["content"], r["commit_seq"])
+            for r in t.read(spark).collect()
+        )
+    assert fired["on"] and not fired["off"], fired
+    assert states["on"] == states["off"]
