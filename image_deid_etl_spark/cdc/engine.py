@@ -115,6 +115,163 @@ def plan_frontier(table: SnapshotTable, feed_dir: str) -> list[str]:
     return files[done:]
 
 
+def compute_batch_stats(
+    table: SnapshotTable, batch
+) -> tuple[int, int, set[int], dict, dict | None]:
+    """ONE small job per micro-batch: per-bucket event count, frontier seq
+    and key range together (column-pruned scan of the key columns only;
+    the result is ≤ n_buckets rows). Shared by the batch loop and the
+    streaming ``foreachBatch`` sink so both feed the MERGE's prune
+    ladder, short-circuit and adaptive decision identically.
+
+    Returns ``(n_events, max_seq, touched_buckets, key_ranges,
+    key_counts)``; ``key_counts`` is None when the ladder cannot use it
+    (empty table or merge-on-read)."""
+    from ..lake.table import bucket_expr, key_expr
+
+    kc = table.key_cols()
+    top = table.manifest(with_files=False)
+    has_files = bool(top.get("file_shards") or top.get("files"))
+    is_mor = table.merge_mode() == "mor"
+    if has_files and not is_mor:
+        stats_rows = (
+            batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("seq").alias("mx"),
+                # min/max over the SAME canonical key encoding the
+                # file stats use — tuple-order shortcuts would diverge
+                # for keys containing chars below the separator
+                F.min(key_expr(kc)).alias("lo"),
+                F.max(key_expr(kc)).alias("hi"),
+                # approx distinct keys (HLL, same scan) feeds the
+                # MERGE prune-ladder short-circuit AND the adaptive
+                # CoW→MoR estimate (events alone would over-trigger on
+                # hot-key bursts)
+                F.approx_count_distinct(key_expr(kc)).alias("nk"),
+            )
+            .collect()
+        )
+        n = sum(r["n"] for r in stats_rows)
+        mx = max((r["mx"] for r in stats_rows), default=0) or 0
+        touched = {r["_b"] for r in stats_rows}
+        key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
+        key_counts = {r["_b"]: r["nk"] for r in stats_rows}
+        return n, mx, touched, key_ranges, key_counts
+    if is_mor and has_files:
+        # merge-on-read: the match phase never runs, so key ranges and
+        # the HLL are dead weight — but the maintenance hook still needs
+        # the touched buckets, so keep the cheap groupBy
+        stats_rows = (
+            batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"))
+            .collect()
+        )
+        n = sum(r["n"] for r in stats_rows)
+        mx = max((r["mx"] for r in stats_rows), default=0) or 0
+        return n, mx, {r["_b"] for r in stats_rows}, {}, None
+    # EMPTY table (bootstrap load): key ranges / buckets / HLL all feed a
+    # prune ladder with no files to prune — skip the groupBy entirely and
+    # scan ONE column (no key_expr eval, no shuffle) for the two values
+    # offsets actually need
+    row = batch.agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx")).collect()[0]
+    return row["n"], row["mx"] or 0, set(), {}, None
+
+
+def run_maintenance(
+    spark: SparkSession,
+    table: SnapshotTable,
+    touched: set[int],
+    auto_compact_files: int | None,
+) -> int | None:
+    """Post-commit maintenance hook, shared by the batch loop and the
+    streaming sink (bounded: manifest stats only, at most ONE bucket
+    acted on per commit). Returns the bucket a real (data-movement)
+    compaction folded, else None.
+
+    For a COW table the version-depth trigger is NOT gated on
+    ``auto_compact_files``: adaptive appends are on by default, so the
+    thing that bounds their read-time window cost must not be optional —
+    ``auto_compact_files=None`` would otherwise silently turn a cow
+    table into an unboundedly-versioned one. A mor table keeps the r3
+    contract: None = no maintenance at all (version accumulation is that
+    mode's documented, opted-into trade until `compact`).
+
+    Version-depth trigger (r4): a bucket accumulating appended key
+    versions (MoR mode or an adaptive CoW append) pays one LWW window
+    per scan until resolved — when its live rows reach
+    ~`_MOR_MAX_VERSION_DEPTH`× its last-resolved row count (≈ mean
+    versions per key), fold it NOW rather than waiting for the
+    file-count trigger (few fat files can hold deep version stacks).
+    The trigger VERIFIES before rewriting: an INSERT-heavy uniform feed
+    can grow an adaptively-marked bucket 4x with genuinely new keys
+    (the early estimate cannot tell new from existing — see
+    `merge._match_files`); one exact narrow count distinguishes the
+    cases, and a no-duplicates bucket is resolved METADATA-ONLY (clear
+    the mark + reset the base, zero data movement) instead of an
+    O(bucket) rewrite that would fold nothing."""
+    if not (
+        auto_compact_files
+        or (table.merge_mode() == "cow" and table.unresolved_buckets() & touched)
+    ):
+        return None
+    counts: dict[int, int] = {}
+    rows_by_b: dict[int, int] = {}
+    for f in table.files_for_buckets(touched):
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        rows_by_b[f["bucket"]] = rows_by_b.get(f["bucket"], 0) + (
+            f.get("rows", 0) or 0
+        )
+    unres = table.unresolved_buckets()
+    vbase = table.manifest(with_files=False).get("version_base_rows", {})
+    deep = [
+        b
+        for b in touched
+        if b in unres
+        and vbase.get(str(b), 0) > 0
+        and rows_by_b.get(b, 0) >= _MOR_MAX_VERSION_DEPTH * vbase[str(b)]
+    ]
+    over = (
+        [b for b, c in counts.items() if c >= auto_compact_files]
+        if auto_compact_files
+        else []
+    )
+    if deep:
+        worst = max(deep, key=lambda b: rows_by_b[b] / vbase[str(b)])
+        agg = (
+            table.read_raw(spark, buckets=[worst])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("_key")).alias("nd"),
+            )
+            .collect()[0]
+        )
+        if agg["n"] == agg["nd"]:
+            table.commit_snapshot(
+                new_files=[],
+                offsets=table.offsets(),
+                unresolved_remove={worst},
+                lineage_extra={"resolved_metadata_only": worst},
+            )
+            return None
+        table.compact(
+            spark,
+            min_files_per_bucket=1,
+            buckets=[worst],
+            resolve_versions=True,
+        )
+        return worst
+    if over:
+        worst = max(over, key=lambda b: counts[b])
+        table.compact(
+            spark,
+            min_files_per_bucket=auto_compact_files,
+            buckets=[worst],
+        )
+        return worst
+    return None
+
+
 def run_ingest(
     spark: SparkSession,
     table_root: str,
@@ -163,63 +320,7 @@ def run_ingest(
         tb0 = time.time()
         off = table.offsets()
         batch = read_feed_files(spark, chunk)
-        # ONE small job per batch: per-bucket event count, frontier seq and
-        # key range together (column-pruned scan of key columns only; the
-        # result is ≤ n_buckets rows). The key ranges drive the MERGE's
-        # file-granular copy-on-write pruning.
-        from ..lake.table import bucket_expr, key_expr
-
-        kc = table.key_cols()
-        top = table.manifest(with_files=False)
-        has_files = bool(top.get("file_shards") or top.get("files"))
-        is_mor = table.merge_mode() == "mor"
-        if has_files and not is_mor:
-            stats_rows = (
-                batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("seq").alias("mx"),
-                    # min/max over the SAME canonical key encoding the
-                    # file stats use — tuple-order shortcuts would diverge
-                    # for keys containing chars below the separator
-                    F.min(key_expr(kc)).alias("lo"),
-                    F.max(key_expr(kc)).alias("hi"),
-                    # approx distinct keys (HLL, same scan) feeds the
-                    # MERGE prune-ladder short-circuit: dense batches skip
-                    # bloom probe + exact scan (events alone would
-                    # over-trigger on hot-key bursts)
-                    F.approx_count_distinct(key_expr(kc)).alias("nk"),
-                )
-                .collect()
-            )
-            n = sum(r["n"] for r in stats_rows)
-            mx = max((r["mx"] for r in stats_rows), default=0) or 0
-            touched = {r["_b"] for r in stats_rows}
-            key_ranges = {r["_b"]: (r["lo"], r["hi"]) for r in stats_rows}
-            key_counts = {r["_b"]: r["nk"] for r in stats_rows}
-        elif is_mor and has_files:
-            # merge-on-read: the match phase never runs, so key ranges
-            # and the HLL are dead weight — but auto-compaction still
-            # needs the touched buckets, so keep the cheap groupBy
-            stats_rows = (
-                batch.groupBy(bucket_expr(table.n_buckets(), kc).alias("_b"))
-                .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"))
-                .collect()
-            )
-            n = sum(r["n"] for r in stats_rows)
-            mx = max((r["mx"] for r in stats_rows), default=0) or 0
-            touched = {r["_b"] for r in stats_rows}
-            key_ranges, key_counts = {}, None
-        else:
-            # EMPTY table (bootstrap load): key ranges / buckets / HLL all
-            # feed a prune ladder with no files to prune — skip the
-            # groupBy entirely and scan ONE column (no key_expr eval, no
-            # shuffle) for the two values offsets actually need
-            row = batch.agg(
-                F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx")
-            ).collect()[0]
-            n, mx = row["n"], row["mx"] or 0
-            touched, key_ranges, key_counts = set(), {}, None
+        n, mx, touched, key_ranges, key_counts = compute_batch_stats(table, batch)
         # spread the existing dict: fields owned by other ingest modes
         # (e.g. the streaming epoch guard's last_epoch) must survive a
         # batch commit, or a later stream restart re-applies its epoch
@@ -246,90 +347,10 @@ def run_ingest(
         stats.events += n
         stats.batch_events.append(n)
         stats.snapshot_id = snap
-        # maintenance hooks. For a COW table the version-depth trigger is
-        # NOT gated on auto_compact_files: adaptive appends are on by
-        # default, so the thing that bounds their read-time window cost
-        # must not be optional — auto_compact_files=None would otherwise
-        # silently turn a cow table into an unboundedly-versioned one. A
-        # mor table keeps the r3 contract: None = no maintenance at all
-        # (version accumulation is that mode's documented, opted-into
-        # trade until `compact`).
-        if auto_compact_files or (
-            table.merge_mode() == "cow" and table.unresolved_buckets() & touched
-        ):
-            counts: dict[int, int] = {}
-            rows_by_b: dict[int, int] = {}
-            for f in table.files_for_buckets(touched):
-                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-                rows_by_b[f["bucket"]] = rows_by_b.get(f["bucket"], 0) + (
-                    f.get("rows", 0) or 0
-                )
-            # version-depth trigger (r4): a bucket accumulating appended
-            # key versions (MoR mode or an adaptive CoW append) pays one
-            # LWW window per scan until resolved — when its live rows
-            # reach ~_MOR_MAX_VERSION_DEPTH× its last-resolved row count
-            # (≈ mean versions per key), fold it NOW rather than waiting
-            # for the file-count trigger (few fat files can hold deep
-            # version stacks). Same bounded discipline as the file-count
-            # hook: manifest stats only, one worst bucket per commit.
-            unres = table.unresolved_buckets()
-            vbase = table.manifest(with_files=False).get("version_base_rows", {})
-            deep = [
-                b
-                for b in touched
-                if b in unres
-                and vbase.get(str(b), 0) > 0
-                and rows_by_b.get(b, 0)
-                >= _MOR_MAX_VERSION_DEPTH * vbase[str(b)]
-            ]
-            over = (
-                [b for b, c in counts.items() if c >= auto_compact_files]
-                if auto_compact_files
-                else []
-            )
-            if deep:
-                worst = max(deep, key=lambda b: rows_by_b[b] / vbase[str(b)])
-                # verify before rewriting: an INSERT-heavy uniform feed
-                # can grow an adaptively-marked bucket 4x with genuinely
-                # new keys (the early estimate cannot tell new from
-                # existing — see _match_files). One exact narrow count
-                # distinguishes the cases: no duplicate versions → a
-                # METADATA-ONLY resolve (clear the mark + reset the base,
-                # zero data movement) instead of an O(bucket) rewrite
-                # that would fold nothing.
-                agg = (
-                    table.read_raw(spark, buckets=[worst])
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.count_distinct(F.col("_key")).alias("nd"),
-                    )
-                    .collect()[0]
-                )
-                if agg["n"] == agg["nd"]:
-                    table.commit_snapshot(
-                        new_files=[],
-                        offsets=table.offsets(),
-                        unresolved_remove={worst},
-                        lineage_extra={"resolved_metadata_only": worst},
-                    )
-                else:
-                    table.compact(
-                        spark,
-                        min_files_per_bucket=1,
-                        buckets=[worst],
-                        resolve_versions=True,
-                    )
-                    stats.compactions.append(worst)
-                stats.snapshot_id = table.snapshot_id
-            elif over:
-                worst = max(over, key=lambda b: counts[b])
-                table.compact(
-                    spark,
-                    min_files_per_bucket=auto_compact_files,
-                    buckets=[worst],
-                )
-                stats.compactions.append(worst)
-                stats.snapshot_id = table.snapshot_id
+        compacted = run_maintenance(spark, table, touched, auto_compact_files)
+        if compacted is not None:
+            stats.compactions.append(compacted)
+        stats.snapshot_id = table.snapshot_id
         # after auto-compaction so sum(batch_secs) ≈ duration_sec
         stats.batch_secs.append(round(time.time() - tb0, 3))
     stats.duration_sec = time.time() - t0

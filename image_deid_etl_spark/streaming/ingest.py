@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..cdc.engine import open_or_create_table
+from ..cdc.engine import compute_batch_stats, open_or_create_table, run_maintenance
 from ..cdc.feed import FEED_SCHEMA, export_manifest_chunks
 from ..cdc.merge import merge_into
 
@@ -87,12 +87,15 @@ def stream_ingest(
     n_buckets: int = 16,
     scrub: bool = True,
     max_files_per_trigger: int = 4,
+    auto_compact_files: int | None = 32,
 ) -> None:
     """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch.
 
     ``schema=None`` (default) infers the evolved union schema from the
     feed's footers at start — restarting after a mid-feed column add
-    picks the new column up without replay."""
+    picks the new column up without replay. ``auto_compact_files``
+    mirrors `run_ingest`'s maintenance hook (file-count + version-depth
+    triggers ride each epoch's commit)."""
     open_or_create_table(table_root, n_buckets)
     if schema is None:
         schema = infer_feed_schema(spark, feed_dir)
@@ -133,7 +136,10 @@ def stream_ingest(
             return
         if bdf.isEmpty():
             return
-        mx = bdf.agg(F.max("seq")).collect()[0][0] or 0
+        # same per-batch stats job as the batch loop (r4 parity): the
+        # prune-ladder short-circuit and the adaptive CoW→MoR decision
+        # now apply to streamed micro-batches too
+        _, mx, touched, key_ranges, key_counts = compute_batch_stats(t, bdf)
         new_off = {
             **off,  # preserve batch-mode fields (committed_feed_files, ...)
             "max_seq_seen": max(off.get("max_seq_seen", 0), mx),
@@ -141,7 +147,14 @@ def stream_ingest(
             "last_epoch": epoch_id,
             "stream_id": ckpt_id,
         }
-        merge_into(bdf.sparkSession, t, bdf, offsets=new_off, scrub=scrub)
+        merge_into(
+            bdf.sparkSession, t, bdf, offsets=new_off, scrub=scrub,
+            touched=touched, key_ranges=key_ranges, key_counts=key_counts,
+        )
+        # bounded post-commit maintenance (file-count + version-depth
+        # triggers — the latter is what keeps adaptive appends' read-time
+        # window bounded on the streaming path too)
+        run_maintenance(bdf.sparkSession, t, touched, auto_compact_files)
 
     q = (
         src.writeStream.foreachBatch(apply_batch)
