@@ -197,18 +197,19 @@ def _wait_for_quiet_host(max_wait_sec: int = 120, target: float = 0.8) -> float:
         return 5_000_000 / (time.time() - t0)
 
     # one long-lived pool, warmed before any timed sample — spawn workers
-    # re-import the module (seconds); that startup must not be timed
-    pool = ctx.Pool(8)
-    pool.map(_burn, [1000] * 8)
+    # re-import the module (seconds); that startup must not be timed.
+    # `with` scopes the pool so a warmup failure can't leak 8 workers
+    # into the very benchmark the gate protects.
+    with ctx.Pool(8) as pool:
+        pool.map(_burn, [1000] * 8)
 
-    def eight_proc() -> float:
-        t0 = time.time()
-        pool.map(_burn, [5_000_000] * 8)
-        return 8 * 5_000_000 / (time.time() - t0)
+        def eight_proc() -> float:
+            t0 = time.time()
+            pool.map(_burn, [5_000_000] * 8)
+            return 8 * 5_000_000 / (time.time() - t0)
 
-    deadline = time.time() + max_wait_sec
-    ratio = 0.0
-    try:
+        deadline = time.time() + max_wait_sec
+        ratio = 0.0
         while True:
             one = best_of(3, one_proc)
             eight = best_of(2, eight_proc)
@@ -216,8 +217,6 @@ def _wait_for_quiet_host(max_wait_sec: int = 120, target: float = 0.8) -> float:
             if ratio >= target or time.time() >= deadline:
                 return ratio
             time.sleep(15)
-    finally:
-        pool.terminate()
 
 
 def _previous_round() -> dict | None:

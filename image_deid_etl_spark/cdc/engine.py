@@ -330,7 +330,7 @@ def run_ingest(
             "max_seq_seen": max(off["max_seq_seen"], mx),
             "batch_id": off["batch_id"] + 1,
         }
-        snap = merge_into(
+        merge_into(
             spark,
             table,
             batch,
@@ -346,7 +346,6 @@ def run_ingest(
         stats.batches += 1
         stats.events += n
         stats.batch_events.append(n)
-        stats.snapshot_id = snap
         compacted = run_maintenance(spark, table, touched, auto_compact_files)
         if compacted is not None:
             stats.compactions.append(compacted)

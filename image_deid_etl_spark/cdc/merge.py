@@ -345,7 +345,8 @@ def _match_files(
     # files with no key stats predate the _key column (or lost stats): the
     # exact scan below could NOT see their keys (null _key), so the only
     # conservative treatment is ALWAYS-MATCHED — rewrite them. Mirrors the
-    # None-handling in _ranges_overlap/load_bloom; keeps pre-upgrade
+    # None-handling in _ranges_overlap and _bloom_prune's missing-sidecar
+    # fallback; keeps pre-upgrade
     # tables correct at the cost of one full rewrite of legacy files.
     legacy = [f for f in candidates if f.get("key_min") is None]
     candidates = [f for f in candidates if f.get("key_min") is not None]

@@ -73,6 +73,8 @@ def cmd_ingest(args) -> None:
             checkpoint_dir=args.checkpoint or (args.table + "_stream_ckpt"),
             n_buckets=args.buckets,
             max_files_per_trigger=args.batch_files,
+            merge_mode=args.merge_mode,
+            adaptive=not args.no_adaptive,
         )
         if args.max_batches is not None:
             print("warning: --max-batches has no effect with --streaming", file=sys.stderr)

@@ -88,15 +88,17 @@ def stream_ingest(
     scrub: bool = True,
     max_files_per_trigger: int = 4,
     auto_compact_files: int | None = 32,
+    merge_mode: str | None = None,
+    adaptive: bool = True,
 ) -> None:
     """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch.
 
     ``schema=None`` (default) infers the evolved union schema from the
     feed's footers at start — restarting after a mid-feed column add
-    picks the new column up without replay. ``auto_compact_files``
-    mirrors `run_ingest`'s maintenance hook (file-count + version-depth
-    triggers ride each epoch's commit)."""
-    open_or_create_table(table_root, n_buckets)
+    picks the new column up without replay. ``auto_compact_files``,
+    ``merge_mode`` and ``adaptive`` mirror `run_ingest` (maintenance
+    hook, table mode at creation, per-batch adaptive CoW→MoR)."""
+    open_or_create_table(table_root, n_buckets, merge_mode=merge_mode)
     if schema is None:
         schema = infer_feed_schema(spark, feed_dir)
     # epoch ids are only meaningful within ONE checkpoint lineage: a fresh
@@ -150,6 +152,7 @@ def stream_ingest(
         merge_into(
             bdf.sparkSession, t, bdf, offsets=new_off, scrub=scrub,
             touched=touched, key_ranges=key_ranges, key_counts=key_counts,
+            adaptive=adaptive,
         )
         # bounded post-commit maintenance (file-count + version-depth
         # triggers — the latter is what keeps adaptive appends' read-time
