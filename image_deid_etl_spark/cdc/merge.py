@@ -179,6 +179,99 @@ def _bloom_prune(
     return out
 
 
+def _sampled_existing_fraction(
+    table: SnapshotTable,
+    incoming: DataFrame,
+    candidates: list[dict],
+    per_task_cap: int = 512,
+    min_coverage: float = 0.8,
+) -> dict[int, float] | None:
+    """Per-bucket fraction of a SAMPLE of batch keys that exist in the
+    candidates' bloom sidecars — the cheap new-vs-existing signal the
+    adaptive estimate needs (its uniform model assumes all keys exist).
+
+    Returns None when sidecars cover < ``min_coverage`` of the candidate
+    rows (a young table whose files never ran the ladder — no reliable
+    signal; the caller keeps the raw estimate). Each probe task examines
+    at most ``per_task_cap`` keys (one tiny narrow job, ~ms); a bloom
+    false positive inflates the fraction slightly, which only biases
+    TOWARD the append — the conservative direction (appends are what the
+    ladder would produce for new keys anyway). Buckets with no sampled
+    keys fall back to fraction 1.0 (raw model).
+    """
+    cand_rows = sum(f.get("rows") or 0 for f in candidates)
+    bloomed = [f for f in candidates if f.get("bloom_path")]
+    bloomed_rows = sum(f.get("rows") or 0 for f in bloomed)
+    if cand_rows <= 0 or bloomed_rows < min_coverage * cand_rows:
+        return None
+    meta: dict[int, list[tuple[str, int]]] = {}
+    for f in bloomed:
+        meta.setdefault(f["bucket"], []).append(
+            (os.path.join(table.root, f["bloom_path"]), int(f["bloom_m"]))
+        )
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        bitmaps: dict[str, "np.ndarray | None"] = {}
+        probed: dict[int, int] = {}
+        hit: dict[int, int] = {}
+        budget = per_task_cap
+        for pdf in batches:
+            if budget <= 0:
+                break
+            pdf = pdf.iloc[:budget]
+            budget -= len(pdf)
+            for b, grp in pdf.groupby("_bucket"):
+                flist = meta.get(int(b))
+                if not flist:
+                    continue
+                h1 = grp["_h1"].to_numpy()
+                h2 = grp["_h2"].to_numpy()
+                found = np.zeros(len(grp), dtype=bool)
+                for bpath, m in flist:
+                    if bpath not in bitmaps:
+                        try:
+                            bm = np.memmap(bpath, dtype=np.uint8, mode="r")
+                            if len(bm) != m // 8:
+                                bm = None
+                        except (OSError, ValueError):
+                            bm = None
+                        bitmaps[bpath] = bm
+                    bits = bitmaps[bpath]
+                    if bits is None:
+                        continue
+                    i1 = (h1 % m).astype(np.int64)
+                    i2 = (h2 % m).astype(np.int64)
+                    ok = (bits[i1 >> 3] >> (i1 & 7).astype(np.uint8)) & 1
+                    ok &= (bits[i2 >> 3] >> (i2 & 7).astype(np.uint8)) & 1
+                    found |= ok.astype(bool)
+                key = int(b)
+                probed[key] = probed.get(key, 0) + len(grp)
+                hit[key] = hit.get(key, 0) + int(found.sum())
+        yield pd.DataFrame(
+            {
+                "b": list(probed),
+                "probed": [probed[k] for k in probed],
+                "hit": [hit.get(k, 0) for k in probed],
+            }
+        )
+
+    rows = (
+        incoming.select(
+            F.col("_bucket"),
+            F.xxhash64("_key").alias("_h1"),
+            F.xxhash64("_key", F.lit(1)).alias("_h2"),
+        )
+        .mapInPandas(probe, "b int, probed long, hit long")
+        .groupBy("b")
+        .agg(F.sum("probed").alias("p"), F.sum("hit").alias("h"))
+        .collect()
+    )
+    return {r["b"]: (r["h"] / r["p"]) for r in rows if r["p"]}
+
+
 #: Adaptive CoW→MoR thresholds (see `merge_into`): a copy-on-write
 #: commit appends its winners MoR-style instead of rewriting when the
 #: matched files hold >= this fraction of the touched buckets' live rows
@@ -231,13 +324,19 @@ def _match_files(
 
     Known over-estimate shape: the model assumes batch keys EXIST in the
     table, so an INSERT-heavy batch of uniform new keys (random-id feeds)
-    also fires — the append itself is exactly what the ladder would have
-    produced (nothing matches), but the touched buckets get marked
-    unresolved and reads pay the LWW window until the version-depth hook
-    inspects them. That hook's exact count detects the no-duplicates case
-    and resolves it METADATA-ONLY (engine.py) — the total misfire cost is
-    one narrow count per 4x bucket growth plus windowed reads in between,
-    never a data rewrite.
+    could also fire. Two defenses, in order:
+
+    * on a MATURE table (bloom sidecars cover >= 80% of candidate rows)
+      a sampled probe (`_sampled_existing_fraction`, one tiny narrow
+      job) measures the per-bucket existing-key fraction and deflates
+      the estimate — all-new-key bursts fall through to the ladder,
+      which appends WITHOUT marking anything unresolved;
+    * on a young/bloomless table the misfire can still happen; the
+      append itself is exactly what the ladder would have produced
+      (nothing matches), and the version-depth hook's exact count later
+      detects the no-duplicates case and resolves it METADATA-ONLY
+      (engine.py) — total cost one narrow count per 4x bucket growth
+      plus windowed reads in between, never a data rewrite.
 
     Blooms are built HERE, lazily, the first time a file becomes a
     candidate — the build reads two int columns of files this phase
@@ -305,7 +404,26 @@ def _match_files(
                 continue
             est += fr * (1.0 - (1.0 - min(1.0, fr / brows)) ** nk)
         if est >= frac_t * live_rows and est >= amp_t * batch_keys:
-            return None, None, {}, int(est), live_rows
+            # the raw model assumes every batch key EXISTS; on a mature
+            # table (bloom sidecars cover the candidates) a tiny sampled
+            # probe measures the per-bucket existing-key fraction and
+            # deflates the estimate — an insert-heavy uniform burst of
+            # new keys then falls through to the ladder (which appends
+            # without marking anything unresolved) instead of misfiring
+            exist_frac = _sampled_existing_fraction(table, incoming, candidates)
+            if exist_frac is not None:
+                est2 = 0.0
+                for f in candidates:
+                    b = f["bucket"]
+                    nk = key_counts.get(b, 0) * exist_frac.get(b, 1.0)
+                    fr = f.get("rows") or 0
+                    brows = rows_by_bucket.get(b, 0)
+                    if nk <= 0 or brows <= 0 or fr <= 0:
+                        continue
+                    est2 += fr * (1.0 - (1.0 - min(1.0, fr / brows)) ** nk)
+                est = est2
+            if est >= frac_t * live_rows and est >= amp_t * batch_keys:
+                return None, None, {}, int(est), live_rows
     if key_counts:
         n_files_by_bucket: dict[int, int] = {}
         for f in files:

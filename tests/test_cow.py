@@ -775,3 +775,58 @@ def test_adaptive_and_pure_cow_states_identical(spark, tmp_path):
         )
     assert fired["on"] and not fired["off"], fired
     assert states["on"] == states["off"]
+
+
+def test_mature_table_insert_burst_does_not_misfire(spark, tmp_path):
+    """r4: on a table whose candidate files carry bloom sidecars, the
+    sampled existing-fraction probe deflates the adaptive estimate for
+    an all-new-key uniform burst — the ladder runs, appends cleanly, and
+    NOTHING is marked unresolved (contrast:
+    test_insert_heavy_adaptive_misfire_* covers the young bloomless
+    table, where the misfire is bounded by the metadata resolve)."""
+    import numpy as np
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
+
+    def chunk(idx, ids, seq0):
+        df = pd.DataFrame(
+            {
+                "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+                "op": "add",
+                "repo": "r",
+                "path": [scatter(i) for i in ids],
+                "commit": "c",
+                "lang": "py",
+                "content": [f"v{i}" for i in ids],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        )
+        df.to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    chunk(0, list(range(1800)), 1)
+    for i in range(10):
+        chunk(i + 1, list(range(1800 + i * 300, 1800 + (i + 1) * 300)), 20_000 + i * 300)
+    root = str(tmp_path / "t")
+    # bootstrap only, then make the table MATURE: sidecars for every
+    # file via the public build_blooms + a metadata commit (exactly what
+    # a ladder pass would have persisted via entry_updates)
+    run_ingest(spark, root, str(feed), max_files_per_batch=1, n_buckets=4,
+               auto_compact_files=None, max_batches=1)
+    t = open_table(root)
+    upd = t.build_blooms(spark, t.manifest()["files"])
+    assert upd
+    t.commit_snapshot(new_files=[], offsets=t.offsets(), entry_updates=upd)
+    # now the 10 all-new-key uniform bursts: raw estimate would fire,
+    # the sampled probe must veto every one
+    run_ingest(spark, root, str(feed), max_files_per_batch=1,
+               auto_compact_files=None)
+    t = open_table(root)
+    lin = t.lineage()
+    assert not any(e.get("adaptive_append") for e in lin), "sampled probe failed"
+    assert not t.unresolved_buckets()
+    assert t.read(spark).count() == 1800 + 10 * 300
