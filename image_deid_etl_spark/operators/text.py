@@ -2,7 +2,10 @@
 quality scoring, token counting, document fingerprinting.
 
 All native column expressions (codegen'd) — these run per-row over 100 TB
-of text, so nothing here may leave the JVM.
+of text, so nothing here may leave the JVM. The one exception is
+`pack_sequences`: packing is inherently sequential, so it runs one
+Arrow-batched `applyInPandas` per hash shard (n_shards independent
+sequential problems — the parallel decomposition, not a slow path).
 """
 
 from __future__ import annotations
@@ -110,3 +113,105 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
     return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
+def _hash_uniform(id_col: Column, salt: str) -> Column:
+    """md5-derived uniform in [0, 1) — the engine-portable randomness
+    primitive every deterministic sampling op here shares."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**8))
+
+
+def stratified_keep(
+    id_col: Column,
+    stratum_col: Column,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "strat-v1",
+) -> Column:
+    """Deterministic per-stratum subsampling — the corpus-curation staple
+    (downweight over-represented languages/sources without a shuffle or
+    any row-order dependence). Keep row iff md5-uniform(salt|id) < its
+    stratum's rate; reseedable via ``salt``, stable under repartitioning,
+    and engine-portable (the DuckDB oracle replays the identical
+    arithmetic). Unknown strata fall back to ``default_rate``."""
+    u = _hash_uniform(id_col, salt)
+    rate = None
+    for name, r in rates.items():
+        cond = stratum_col == F.lit(name)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    return u < rate
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens: Column | None = None,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Greedy fixed-token-budget SEQUENCE PACKING — the step an LLM
+    training pipeline runs between curation and batching: documents are
+    concatenated in order until the next one would overflow ``budget``
+    tokens, then a new bin starts (a document larger than the budget
+    occupies a bin alone). Returns (id, shard, n_tokens, bin).
+
+    Scale shape: packing is inherently sequential, so the corpus is first
+    split into ``n_shards`` independent streams by a DETERMINISTIC key
+    hash (md5 — portable to the SQL oracle, unlike xxhash) and each shard
+    packs independently inside one `applyInPandas` group — n_shards
+    parallel sequential problems, one shuffle, no driver involvement.
+    At 100 TB you size n_shards to the cluster (each shard's bin ids are
+    independent; downstream readers consume (shard, bin) pairs). Order
+    within a shard is ``id_col`` ascending — deterministic under any
+    input partitioning.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    toks = tokens if tokens is not None else token_count(F.col("text"))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    schema = T.StructType(
+        [
+            base.schema[id_col],
+            T.StructField("shard", T.LongType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("bin", T.LongType(), True),
+        ]
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        acc = 0
+        b = 0
+        for t in pdf["n_tokens"].astype("int64"):
+            if acc > 0 and acc + t > budget:
+                b += 1
+                acc = 0
+            acc += int(t)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(pack, schema)

@@ -2033,3 +2033,102 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TOKEN_SQL = (
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+
+def _seq_packing_sql(budget: int = 512, n_shards: int = 4) -> str:
+    # replays pack_sequences' greedy loop as a recursive CTE: per shard,
+    # rows in doc_id order fold (acc, bin) with the identical
+    # overflow-starts-new-bin rule
+    shard = (
+        "('0x' || substring(md5('shard-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {n_shards}"
+    )
+    return f"""
+  WITH RECURSIVE d AS (
+    SELECT doc_id, {shard} AS shard, {_TOKEN_SQL} AS n_tokens,
+           row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS rn
+    FROM documents
+  ),
+  pack AS (
+    SELECT doc_id, shard, n_tokens, rn, n_tokens AS acc, CAST(0 AS BIGINT) AS bin
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+           CASE WHEN p.acc + d.n_tokens > {budget} THEN d.n_tokens
+                ELSE p.acc + d.n_tokens END,
+           CASE WHEN p.acc + d.n_tokens > {budget} THEN p.bin + 1 ELSE p.bin END
+    FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1
+  )
+  SELECT shard, bin, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         min(doc_id) AS first_doc
+  FROM pack GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
+@register("seq_packing", _seq_packing_sql())
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training sequence packing: greedy fixed-token-budget bin
+    packing of the corpus, parallelized as n_shards independent
+    sequential streams (deterministic md5 shard hash; one shuffle, one
+    applyInPandas per shard — see `text.pack_sequences`). The oracle
+    replays the greedy fold as a recursive CTE. Summarized per
+    (shard, bin) so the result pins every bin boundary."""
+    d = _t(spark, sf_dir, "documents")
+    packed = text.pack_sequences(d, budget=512, n_shards=4)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+_STRAT_RATES = {"en": 0.25, "fr": 0.5, "de": 0.5}
+
+
+def _stratified_sample_sql() -> str:
+    u = "('0x' || substring(md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
+    )
+    return f"""
+  WITH kept AS (
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {u} < (CASE {cases} ELSE 1.0 END)
+  )
+  SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("corpus_stratified_sample", _stratified_sample_sql())
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: deterministic per-language subsampling
+    (downweight over-represented languages) via the md5-uniform keep
+    rule — stable under repartitioning, no Bernoulli row-order
+    dependence; rare languages pass through at rate 1.0."""
+    d = _t(spark, sf_dir, "documents")
+    keep = text.stratified_keep(
+        F.col("doc_id"), F.col("lang"), _STRAT_RATES, default_rate=1.0
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

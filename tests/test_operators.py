@@ -243,3 +243,52 @@ def test_connected_components_self_pairs_survive(spark):
     )
     got = {(r["v"], r["label"]) for r in connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (7, 7)}
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy packing contract: per shard, bins are contiguous from 0,
+    every bin's token sum fits the budget unless it is a single oversized
+    document, and docs within a shard are assigned in id order."""
+    import numpy as np
+
+    from image_deid_etl_spark.operators.text import pack_sequences
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), "w " * int(t)) for i, t in enumerate(rng.randint(1, 300, 400))]
+    rows.append((400, "w " * 900))  # oversized doc: must sit alone in a bin
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=512, n_shards=3, id_col="doc_id").toPandas()
+    assert len(out) == 401
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        # bin ids: contiguous, non-decreasing in doc order, starting at 0
+        bins = grp["bin"].to_numpy()
+        assert bins[0] == 0
+        assert ((np.diff(bins) == 0) | (np.diff(bins) == 1)).all()
+        for b, g in grp.groupby("bin"):
+            assert g["n_tokens"].sum() <= 512 or len(g) == 1, (shard, b)
+    big = out[out["doc_id"] == 400]
+    shard_of_big = int(big["shard"].iloc[0])
+    same_bin = out[(out["shard"] == shard_of_big) & (out["bin"] == int(big["bin"].iloc[0]))]
+    assert len(same_bin) == 1, "oversized doc must occupy its bin alone"
+
+
+def test_stratified_keep_deterministic_and_rate(spark):
+    """The keep rule is a pure function of (salt, id): identical across
+    repartitionings, and the empirical keep rate tracks the stratum
+    rate."""
+    from image_deid_etl_spark.operators.text import stratified_keep
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(4000)],
+        "doc_id long, lang string",
+    )
+    keep = stratified_keep(F.col("doc_id"), F.col("lang"), {"en": 0.25, "fr": 1.0})
+    a = {r["doc_id"] for r in df.filter(keep).collect()}
+    b = {r["doc_id"] for r in df.repartition(17).filter(keep).collect()}
+    assert a == b, "must be repartition-invariant"
+    n_en = sum(1 for i in a if i % 2 == 0)
+    assert 0.2 < n_en / 2000 < 0.3  # ~25% of the 2000 en docs
+    assert sum(1 for i in a if i % 2 == 1) == 2000  # fr passes through
