@@ -2050,7 +2050,10 @@ def _seq_packing_sql(budget: int = 512, n_shards: int = 4) -> str:
         f" % {n_shards}"
     )
     return f"""
-  WITH RECURSIVE d AS (
+  WITH RECURSIVE d AS MATERIALIZED (
+    -- MATERIALIZED is load-bearing: without it DuckDB re-evaluates the
+    -- md5 + regexp_split tokenization once per recursion step (36.7 s at
+    -- sf0.1 vs ~1 s materialized)
     SELECT doc_id, {shard} AS shard, {_TOKEN_SQL} AS n_tokens,
            row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS rn
     FROM documents
