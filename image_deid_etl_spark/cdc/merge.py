@@ -298,12 +298,16 @@ def _match_files(
     key_ranges: dict[int, tuple[str, str]] | None,
     key_counts: dict[int, int] | None = None,
     adaptive_thresholds: tuple[float, float] | None = None,
-) -> tuple[list[str] | None, set[str] | None, dict[str, dict], int, int]:
+) -> tuple[list[str] | None, set[str] | None, dict[str, dict], int, int, bool]:
     """The copy-on-write prune ladder (ranges → blooms → exact scan).
     Returns (matched absolute paths, matched manifest-relative paths,
     bloom entry-updates for carried files, matched rows, live rows of
-    the touched buckets — the last two feed `merge_into`'s adaptive
-    CoW/MoR decision) — the files a batch key
+    the touched buckets — those two feed `merge_into`'s adaptive
+    CoW/MoR decision — and ``has_legacy``: whether any candidate file
+    lacks key stats, which VETOES the adaptive append so the ladder's
+    always-rewrite guarantee upgrades legacy files on first touch
+    instead of stranding their null-``_key`` rows behind a MoR
+    append) — the files a batch key
     actually lives in; everything else carries forward untouched. Files
     without key stats (pre-upgrade) are treated as always-matched (the
     exact scan cannot see their null _key).
@@ -364,7 +368,7 @@ def _match_files(
     # not O(table); see lake/table.py manifest sharding)
     files = table.files_for_buckets(touched)
     if not files:
-        return [], set(), {}, 0, 0
+        return [], set(), {}, 0, 0, False
     live_rows = sum(f.get("rows", 0) or 0 for f in files)
     rows_by_rel = {f["path"]: f.get("rows", 0) or 0 for f in files}
 
@@ -385,8 +389,14 @@ def _match_files(
         and _ranges_overlap(f, *key_ranges[f["bucket"]])
     ]
     if not candidates:
-        return [], set(), {}, 0, live_rows
-    if adaptive_thresholds and key_counts:
+        return [], set(), {}, 0, live_rows, False
+    # Legacy files (no key stats → null stored _key) must be REWRITTEN,
+    # never appended-around: the adaptive MoR append would leave them in
+    # an unresolved bucket where the scan-time LWW window cannot see
+    # their keys. Their presence vetoes the adaptive path entirely (both
+    # the early exit here and merge_into's post-ladder flip).
+    has_legacy = any(f.get("key_min") is None for f in candidates)
+    if adaptive_thresholds and key_counts and not has_legacy:
         frac_t, amp_t = adaptive_thresholds
         batch_keys = sum(key_counts.values()) or 1
         rows_by_bucket: dict[int, int] = {}
@@ -423,7 +433,7 @@ def _match_files(
                     est2 += fr * (1.0 - (1.0 - min(1.0, fr / brows)) ** nk)
                 est = est2
             if est >= frac_t * live_rows and est >= amp_t * batch_keys:
-                return None, None, {}, int(est), live_rows
+                return None, None, {}, int(est), live_rows, False
     if key_counts:
         n_files_by_bucket: dict[int, int] = {}
         for f in files:
@@ -451,6 +461,7 @@ def _match_files(
                     {},
                     _rows_of(sc_rel),
                     live_rows,
+                    has_legacy,
                 )
             # mixed: short-circuited buckets are matched outright; the
             # rest still run the ladder below
@@ -472,7 +483,7 @@ def _match_files(
     bloom_updates = table.build_blooms(spark, missing) if missing else {}
     candidates = _bloom_prune(table, incoming, candidates)
     if not candidates and not legacy:
-        return pre_abs, pre_rel, bloom_updates, _rows_of(pre_rel), live_rows
+        return pre_abs, pre_rel, bloom_updates, _rows_of(pre_rel), live_rows, has_legacy
     # exact prune: one narrow scan of the candidates' _key column,
     # semi-joined against the batch keys. Collect is bounded by the
     # number of candidate FILES, never rows.
@@ -499,7 +510,7 @@ def _match_files(
             real = os.path.realpath(r["_file"].removeprefix("file:"))
             matched_abs.append(abs_by_real[real])
             matched_rel.add(rel_by_real[real])
-    return matched_abs, matched_rel, bloom_updates, _rows_of(matched_rel), live_rows
+    return matched_abs, matched_rel, bloom_updates, _rows_of(matched_rel), live_rows, has_legacy
 
 
 class SimulatedCrash(RuntimeError):
@@ -629,7 +640,7 @@ def merge_into(
         matched_abs, matched_rel, bloom_updates = [], set(), {}
         unresolved_add = set(touched)
     else:
-        matched_abs, matched_rel, bloom_updates, m_rows, live_rows = _match_files(
+        matched_abs, matched_rel, bloom_updates, m_rows, live_rows, has_legacy = _match_files(
             spark, table, incoming, touched, key_ranges, key_counts,
             adaptive_thresholds=(
                 (_ADAPTIVE_REWRITE_FRAC, _ADAPTIVE_MIN_AMPLIFICATION)
@@ -655,7 +666,7 @@ def merge_into(
         # that bounds THEIR cost, and the amplification leg keeps small
         # tables rewriting (cheap, and reads stay window-free). Requires
         # ``key_counts``; direct callers without stats always rewrite.
-        if adaptive and matched_abs and key_counts:
+        if adaptive and matched_abs and key_counts and not has_legacy:
             batch_keys = sum(key_counts.values()) or 1
             if (
                 m_rows >= _ADAPTIVE_REWRITE_FRAC * live_rows

@@ -105,17 +105,24 @@ def lww_order_cols(fields) -> list:
     Order: ``commit_seq`` desc (the LWW rule), then — only for the
     pathological same-seq conflict (producer bug, re-export) —
     ``_deleted`` desc (a tombstone beats a same-seq upsert) and a stable
-    xxhash64 over the PAYLOAD columns (maps via to_json; engine columns
-    excluded so existing/incoming copies of the same logical row hash
-    identically). Identical-payload ties remain arbitrary — both picks
-    are the same row."""
+    xxhash64 over the PAYLOAD columns (maps via key-sorted entry
+    serialization; engine columns excluded so existing/incoming copies of
+    the same logical row hash identically). Identical-payload ties remain
+    arbitrary — both picks are the same row."""
     hash_parts = []
     for f in fields:
         if f.name in _LWW_HASH_EXCLUDE:
             continue
-        # xxhash64 rejects MapType; serialize maps first (per-row entry
-        # order is the stored order — stable for a given row)
-        col = F.to_json(F.col(f.name)) if isinstance(f.dataType, T.MapType) else F.col(f.name)
+        if isinstance(f.dataType, T.MapType):
+            # xxhash64 rejects MapType; serialize entries SORTED BY KEY so
+            # a re-delivered duplicate whose map was built in a different
+            # producer order still hashes identically (map keys are unique,
+            # so the struct sort is total) — the tie-break must be
+            # order-insensitive or merge-time and scan-time same-seq picks
+            # could disagree
+            col = F.to_json(F.array_sort(F.map_entries(F.col(f.name))))
+        else:
+            col = F.col(f.name)
         hash_parts.append(col)
     return [
         F.col("commit_seq").desc(),
@@ -124,14 +131,26 @@ def lww_order_cols(fields) -> list:
     ]
 
 
-def _lww_latest_versions(df: DataFrame) -> DataFrame:
+def _lww_latest_versions(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Keep each ``_key``'s highest-``commit_seq`` row — the MERGE's own
     LWW rule (same `lww_order_cols` total order), applied at
     scan/compaction time for unresolved buckets (files may hold
     superseded versions). ONE definition serves both `SnapshotTable.read`
-    and `SnapshotTable.compact` so their results can never diverge."""
+    and `SnapshotTable.compact` so their results can never diverge.
+
+    ``key_cols``: when given, rows whose STORED ``_key`` is null (legacy
+    files written before the engine columns existed) get their key
+    recomputed from the key columns — which any data file carries — so
+    they participate in LWW under their TRUE key instead of collapsing
+    into one all-null window partition (which would keep a single row of
+    the whole legacy set: silent data loss). Merge-path writes always
+    populate ``_key``, so the coalesce is a no-op on modern files."""
     from pyspark.sql import Window
 
+    if key_cols:
+        df = df.withColumn(
+            "_key", F.coalesce(F.col("_key"), key_expr(key_cols))
+        )
     w = Window.partitionBy("_key").orderBy(*lww_order_cols(df.schema.fields))
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -481,7 +500,8 @@ class SnapshotTable:
             raw = self.read_raw(spark, snapshot_id)
         else:
             raw = _lww_latest_versions(
-                self.read_raw(spark, snapshot_id, buckets=sorted(unres))
+                self.read_raw(spark, snapshot_id, buckets=sorted(unres)),
+                key_cols=self.key_cols(),
             )
             resolved = sorted(set(range(self.n_buckets())) - unres)
             if resolved:
@@ -900,7 +920,7 @@ class SnapshotTable:
                 or bool(self.unresolved_buckets() & set(todo))
             )
         if resolve_versions:
-            df = _lww_latest_versions(df)
+            df = _lww_latest_versions(df, key_cols=self.key_cols())
         if drop_tombstones_below is not None:
             df = df.filter(
                 ~(

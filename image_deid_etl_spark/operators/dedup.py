@@ -18,6 +18,8 @@ stays bounded by band selectivity, the standard MinHash-LSH argument.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -415,6 +417,11 @@ def connected_components(
     this package's `build_session`; read once at session start). On a
     session without it, sweep ``checkpoint_dir`` after the result frame
     is no longer needed.
+    ``setCheckpointDir`` is SparkContext-GLOBAL; this call scopes the
+    side effect: it skips the set when the session's current dir already
+    lives under ``checkpoint_dir`` and restores the previous setting on
+    exit. Two *concurrent* invocations with different dirs still race on
+    the shared context setting — serialize such calls.
     """
 
     def _materialize(df: DataFrame) -> DataFrame:
@@ -429,79 +436,107 @@ def connected_components(
         if checkpoint_dir is not None:
             sc = df.sparkSession.sparkContext
             # setCheckpointDir appends a fresh UUID subdir each call, so
-            # set it once per invocation (the flag), not per round
+            # set it once per invocation (the flag), not per round.
+            # setCheckpointDir mutates SPARK-CONTEXT-WIDE state; to keep
+            # that side effect scoped to this call we (a) skip the set
+            # when the session's current dir already lives under the
+            # requested one (idempotent re-invocation), and (b) record
+            # the previous dir so the caller-visible setting is restored
+            # on exit (see the finally below). Two CONCURRENT invocations
+            # with different dirs still race on the shared setting —
+            # inherent to SparkContext; serialize such calls.
             if not _ckpt_set:
-                sc.setCheckpointDir(checkpoint_dir)
+                prev = sc.getCheckpointDir()
+                # local paths come back scheme-qualified ("file:/...")
+                prev_plain = (
+                    prev.removeprefix("file:") if prev is not None else None
+                )
+                if prev_plain is None or not prev_plain.lstrip("/").startswith(
+                    os.path.abspath(checkpoint_dir).lstrip("/")
+                ):
+                    _prev_dir.append(prev)
+                    sc.setCheckpointDir(checkpoint_dir)
                 _ckpt_set.append(True)
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
     _ckpt_set: list[bool] = []
+    _prev_dir: list[str | None] = []
 
-    edges = _materialize(
-        pairs.select(F.col(id_a).alias("u_"), F.col(id_b).alias("v_"))
-        .filter(F.col("u_") != F.col("v_"))
-        .distinct()
-    )
-    prev_sig = (edges.count(), None)
-    converged = False
-    for _ in range(max_iter):
-        stepped = _materialize(_small_star(_large_star(edges)))
-        sig_row = stepped.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: order-independent and cannot overflow under
-            # ANSI (long sum of 64-bit hashes would)
-            F.sum(F.xxhash64("u_", "v_").cast("decimal(38,0)")).alias("chk"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["chk"])
-        edges = stepped
-        if sig == prev_sig:
-            # structural fixpoint verification: a star forest has no
-            # vertex that is both a child and a parent, and every child
-            # has exactly one parent. Two bounded jobs; guards against
-            # the (astronomically unlikely) checksum tie.
-            child_is_parent = (
-                edges.select("u_")
-                .join(
-                    edges.select(F.col("v_").alias("u_")), "u_", "left_semi"
-                )
-                .limit(1)
-                .count()
-            )
-            multi_parent = (
-                edges.groupBy("u_")
-                .agg(F.count_distinct("v_").alias("_np"))
-                .filter(F.col("_np") > 1)
-                .limit(1)
-                .count()
-            )
-            if child_is_parent == 0 and multi_parent == 0:
-                converged = True
-                break
-        prev_sig = sig
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+    try:
+        edges = _materialize(
+            pairs.select(F.col(id_a).alias("u_"), F.col(id_b).alias("v_"))
+            .filter(F.col("u_") != F.col("v_"))
+            .distinct()
         )
-    roots = edges.select(F.col("v_").alias("v")).distinct().withColumn(
-        "label", F.col("v")
-    )
-    labeled = edges.select(
-        F.col("u_").alias("v"), F.col("v_").alias("label")
-    ).unionByName(roots)
-    # contract: EVERY vertex appearing in a pair gets a label — including
-    # vertices whose only edges were self-pairs (dropped as u_ != v_
-    # before iteration); they are their own singleton components. Only
-    # self-pair endpoints can be missing from `labeled`, so the guard
-    # scans pairs ONCE with a cheap equality filter instead of
-    # re-evaluating the (possibly quadratic) pair plan over all
-    # endpoints.
-    self_verts = (
-        pairs.filter(F.col(id_a) == F.col(id_b))
-        .select(F.col(id_a).alias("v"))
-        .distinct()
-    )
-    singletons = self_verts.join(labeled, "v", "left_anti").withColumn(
-        "label", F.col("v")
-    )
-    return labeled.unionByName(singletons)
+        prev_sig = (edges.count(), None)
+        converged = False
+        for _ in range(max_iter):
+            stepped = _materialize(_small_star(_large_star(edges)))
+            sig_row = stepped.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: order-independent and cannot overflow under
+                # ANSI (long sum of 64-bit hashes would)
+                F.sum(F.xxhash64("u_", "v_").cast("decimal(38,0)")).alias("chk"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["chk"])
+            edges = stepped
+            if sig == prev_sig:
+                # structural fixpoint verification: a star forest has no
+                # vertex that is both a child and a parent, and every child
+                # has exactly one parent. Two bounded jobs; guards against
+                # the (astronomically unlikely) checksum tie.
+                child_is_parent = (
+                    edges.select("u_")
+                    .join(
+                        edges.select(F.col("v_").alias("u_")), "u_", "left_semi"
+                    )
+                    .limit(1)
+                    .count()
+                )
+                multi_parent = (
+                    edges.groupBy("u_")
+                    .agg(F.count_distinct("v_").alias("_np"))
+                    .filter(F.col("_np") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if child_is_parent == 0 and multi_parent == 0:
+                    converged = True
+                    break
+            prev_sig = sig
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        roots = edges.select(F.col("v_").alias("v")).distinct().withColumn(
+            "label", F.col("v")
+        )
+        labeled = edges.select(
+            F.col("u_").alias("v"), F.col("v_").alias("label")
+        ).unionByName(roots)
+        # contract: EVERY vertex appearing in a pair gets a label — including
+        # vertices whose only edges were self-pairs (dropped as u_ != v_
+        # before iteration); they are their own singleton components. Only
+        # self-pair endpoints can be missing from `labeled`, so the guard
+        # scans pairs ONCE with a cheap equality filter instead of
+        # re-evaluating the (possibly quadratic) pair plan over all
+        # endpoints.
+        self_verts = (
+            pairs.filter(F.col(id_a) == F.col(id_b))
+            .select(F.col(id_a).alias("v"))
+            .distinct()
+        )
+        singletons = self_verts.join(labeled, "v", "left_anti").withColumn(
+            "label", F.col("v")
+        )
+        return labeled.unionByName(singletons)
+    finally:
+        # restore the caller-visible checkpoint dir if this call
+        # changed it — all our checkpoints are materialized by now,
+        # and later .checkpoint() users should not silently inherit
+        # this invocation's directory. (If no dir was set before, there
+        # is no unset API; ours remains, which is strictly the prior
+        # behavior.) Runs on the error paths too.
+        if _prev_dir and _prev_dir[0] is not None:
+            pairs.sparkSession.sparkContext.setCheckpointDir(_prev_dir[0])

@@ -410,7 +410,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
     # actually holding the keys (both here, one key each) -- and with keys
     # missing entirely, to NONE
     kr = {0: ("r\x1fa00", "r\x1fzzz")}
-    matched_abs, _, _, _, _ = M._match_files(
+    matched_abs, _, _, _, _, _ = M._match_files(
         spark, t,
         batch_df(spark, [(200, "add", "r", "a00", "y"), (201, "add", "r", "nope", "y")])
         .selectExpr("*").select(
@@ -433,7 +433,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
         M.bucket_expr(1, ["repo", "path"]).alias("_bucket"),
         M.key_expr(["repo", "path"]).alias("_key"),
     )
-    matched_abs, matched_rel, bloom_updates, _, _ = M._match_files(
+    matched_abs, matched_rel, bloom_updates, _, _, _ = M._match_files(
         spark, t, dense, {0}, kr, key_counts={0: 100}
     )
     assert matched_rel == files2
@@ -830,3 +830,160 @@ def test_mature_table_insert_burst_does_not_misfire(spark, tmp_path):
     assert not any(e.get("adaptive_append") for e in lin), "sampled probe failed"
     assert not t.unresolved_buckets()
     assert t.read(spark).count() == 1800 + 10 * 300
+
+
+# --------------------------------------------------------------------- #
+# legacy (pre-engine-column) files × adaptive / MoR appends (r5 ADVICE): #
+# a file without key stats stores null _key; appending around it and    #
+# LWW-resolving at scan time must neither lose its rows (the all-null   #
+# window partition kept ONE row) nor strand it un-upgraded.             #
+# --------------------------------------------------------------------- #
+
+
+def _commit_legacy_file(t, rows, unresolved=False):
+    """Hand-write a pre-upgrade data file: table columns + the old engine
+    trio (commit_seq/_deleted/_bucket) but NO ``_key`` column, registered
+    with ``key_min``/``key_max`` None — the exact shape `write_snapshot_files`
+    produced before the _key upgrade. ``rows``: list of (repo, path, content,
+    commit_seq)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = os.path.join(t.root, "data", "snap-0001", "_pb=0")
+    os.makedirs(d, exist_ok=True)
+    full = os.path.join(d, "part-legacy-00000.parquet")
+    tbl = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "content": pa.array([r[2] for r in rows], pa.string()),
+            "commit_seq": pa.array([r[3] for r in rows], pa.int64()),
+            "_deleted": pa.array([False] * len(rows), pa.bool_()),
+            "_bucket": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq_.write_table(tbl, full)
+    seqs = [r[3] for r in rows]
+    entry = {
+        "path": os.path.relpath(full, t.root),
+        "bucket": 0,
+        "rows": len(rows),
+        "bytes": os.path.getsize(full),
+        "seq_min": min(seqs),
+        "seq_max": max(seqs),
+        "key_min": None,
+        "key_max": None,
+        "has_deletes": False,
+    }
+    t.commit_snapshot(
+        new_files=[entry],
+        offsets=offsets(1),
+        unresolved_add={0} if unresolved else None,
+    )
+    return entry["path"]
+
+
+def test_legacy_rows_resolve_by_true_key_on_read(spark, tmp_path):
+    """MoR append over a legacy file: scan-time LWW must recompute null
+    _key from the key columns — every legacy row keeps its identity, the
+    one updated key surfaces the new version."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=1,
+        properties={"merge_mode": "mor"},
+    )
+    _commit_legacy_file(
+        t, [("r", f"p{i:03d}", "v1", 1) for i in range(100)], unresolved=True
+    )
+    upd = batch_df(spark, [(200, "add", "r", "p005", "v2")])
+    merge_into(spark, t, upd, offsets(2), scrub=False)
+    got = {(r["path"], r["content"]) for r in t.read(spark).collect()}
+    assert len(got) == 100, "legacy rows must not collapse into one null-_key partition"
+    assert ("p005", "v2") in got and ("p005", "v1") not in got
+    assert ("p099", "v1") in got
+
+
+def test_legacy_rows_resolve_in_compaction(spark, tmp_path):
+    """compact(resolve_versions) over a bucket holding legacy rows must
+    keep them all (and upgrade them: post-compaction files carry _key)."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=1,
+        properties={"merge_mode": "mor"},
+    )
+    _commit_legacy_file(
+        t, [("r", f"p{i:03d}", "v1", 1) for i in range(50)], unresolved=True
+    )
+    merge_into(
+        spark, t, batch_df(spark, [(200, "add", "r", "p010", "v2")]),
+        offsets(2), scrub=False,
+    )
+    t.compact(spark, buckets=[0])
+    assert not t.unresolved_buckets()
+    assert all(f["key_min"] is not None for f in t.manifest()["files"])
+    got = {(r["path"], r["content"]) for r in t.read(spark).collect()}
+    assert len(got) == 50 and ("p010", "v2") in got
+
+
+def test_adaptive_append_vetoed_by_legacy_candidates(spark, tmp_path):
+    """A uniform-update batch that clears both adaptive legs must still
+    take the ladder when a candidate file lacks key stats: the ladder's
+    always-rewrite upgrades the legacy file; nothing is left unresolved."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=1
+    )
+    legacy_path = _commit_legacy_file(
+        t, [("r", f"p{i:04d}", "v1", 1) for i in range(2000)]
+    )
+    upd = batch_df(
+        spark, [(200 + i, "add", "r", f"p{i * 20:04d}", "v2") for i in range(100)]
+    )
+    merge_into(
+        spark, t, upd, offsets(2), scrub=False,
+        touched={0},
+        key_ranges={0: ("r\x1fp0000", "r\x1fp1980")},
+        key_counts={0: 100},
+    )
+    lin = t.lineage()
+    assert not any(e.get("adaptive_append") for e in lin), "legacy veto failed"
+    assert not t.unresolved_buckets()
+    files = t.manifest()["files"]
+    assert legacy_path not in {f["path"] for f in files}, "legacy file must be rewritten"
+    assert all(f["key_min"] is not None for f in files)
+    got = {(r["path"], r["content"]) for r in t.read(spark).collect()}
+    assert len(got) == 2000
+    assert ("p0000", "v2") in got and ("p0001", "v1") in got
+
+
+def test_lww_tiebreak_map_hash_is_entry_order_insensitive(spark):
+    """r5 ADVICE: the same-seq tie-break hashes map payloads via
+    key-SORTED entries, so a re-delivered duplicate whose map was built
+    in a different producer order still ties with its original — the
+    winner between it and a genuinely different payload cannot flip with
+    map entry order."""
+    from image_deid_etl_spark.lake.table import _lww_latest_versions
+
+    def df(order_ab: bool):
+        keys = F.array(F.lit("a"), F.lit("b")) if order_ab else F.array(F.lit("b"), F.lit("a"))
+        vals = F.array(F.lit("1"), F.lit("2")) if order_ab else F.array(F.lit("2"), F.lit("1"))
+        p = spark.range(1).select(
+            F.lit("k").alias("_key"),
+            F.lit(9000).cast("long").alias("commit_seq"),
+            F.lit(False).alias("_deleted"),
+            F.map_from_arrays(keys, vals).alias("meta"),
+            F.lit("P").alias("content"),
+        )
+        q = spark.range(1).select(
+            F.lit("k").alias("_key"),
+            F.lit(9000).cast("long").alias("commit_seq"),
+            F.lit(False).alias("_deleted"),
+            F.map_from_arrays(
+                F.array(F.lit("a"), F.lit("b")), F.array(F.lit("9"), F.lit("9"))
+            ).alias("meta"),
+            F.lit("Q").alias("content"),
+        )
+        return p.unionByName(q)
+
+    w1 = _lww_latest_versions(df(True)).collect()
+    w2 = _lww_latest_versions(df(False)).collect()
+    assert len(w1) == len(w2) == 1
+    assert w1[0]["content"] == w2[0]["content"]
+    assert dict(w1[0]["meta"]) == dict(w2[0]["meta"])

@@ -292,3 +292,37 @@ def test_stratified_keep_deterministic_and_rate(spark):
     n_en = sum(1 for i in a if i % 2 == 0)
     assert 0.2 < n_en / 2000 < 0.3  # ~25% of the 2000 en docs
     assert sum(1 for i in a if i % 2 == 1) == 2000  # fr passes through
+
+
+def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
+    """r5 ADVICE: setCheckpointDir is SparkContext-global; the call must
+    restore the previous setting on exit so later .checkpoint() users do
+    not silently inherit this invocation's directory — and skip the set
+    entirely when the current dir already lives under the requested one."""
+    from image_deid_etl_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ckpt")
+    sc.setCheckpointDir(prior)
+    before = sc.getCheckpointDir()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ours = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["v"], r["label"])
+        for r in connected_components(pairs, checkpoint_dir=ours).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+    assert sc.getCheckpointDir() is not None
+    assert sc.getCheckpointDir().split("://")[-1].startswith(
+        before.split("://")[-1].rsplit("/", 1)[0]
+    ), "previous checkpoint dir must be restored"
+    # idempotent re-invocation with the SAME dir: current dir already
+    # under it -> no new set, result unchanged
+    sc.setCheckpointDir(ours)
+    cur = sc.getCheckpointDir()
+    got2 = {
+        (r["v"], r["label"])
+        for r in connected_components(pairs, checkpoint_dir=ours).collect()
+    }
+    assert got2 == got
+    assert sc.getCheckpointDir() == cur, "matching dir must be left untouched"
