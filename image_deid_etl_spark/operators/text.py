@@ -3,9 +3,10 @@ quality scoring, token counting, document fingerprinting.
 
 All native column expressions (codegen'd) — these run per-row over 100 TB
 of text, so nothing here may leave the JVM. The one exception is
-`pack_sequences`: packing is inherently sequential, so it runs one
-Arrow-batched `applyInPandas` per hash shard (n_shards independent
-sequential problems — the parallel decomposition, not a slow path).
+`pack_sequences`: packing is inherently sequential, so it runs a
+STREAMING Arrow-batched `mapInPandas` fold over hash shards (n_shards
+independent sequential problems, O(arrow batch) task memory — the
+parallel decomposition, not a slow path).
 """
 
 from __future__ import annotations
@@ -147,10 +148,17 @@ def stratified_keep(
     return u < rate
 
 
+#: auto-sizing target for `pack_sequences`: keep every shard's sequential
+#: stream under this many rows (a shard is one task's worth of work, but
+#: streamed — the cap bounds per-shard WALL TIME, not memory)
+_PACK_ROWS_PER_SHARD = 50_000_000
+_PACK_MIN_SHARDS = 8
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     tokens: Column | None = None,
     salt: str = "shard-v1",
@@ -159,22 +167,40 @@ def pack_sequences(
     training pipeline runs between curation and batching: documents are
     concatenated in order until the next one would overflow ``budget``
     tokens, then a new bin starts (a document larger than the budget
-    occupies a bin alone). Returns (id, shard, n_tokens, bin).
+    occupies a bin alone; null token counts pack as 0). Returns
+    (id, shard, n_tokens, bin).
 
     Scale shape: packing is inherently sequential, so the corpus is first
     split into ``n_shards`` independent streams by a DETERMINISTIC key
-    hash (md5 — portable to the SQL oracle, unlike xxhash) and each shard
-    packs independently inside one `applyInPandas` group — n_shards
-    parallel sequential problems, one shuffle, no driver involvement.
-    At 100 TB you size n_shards to the cluster (each shard's bin ids are
-    independent; downstream readers consume (shard, bin) pairs). Order
-    within a shard is ``id_col`` ascending — deterministic under any
-    input partitioning.
+    hash (md5 — portable to the SQL oracle, unlike xxhash). Each shard is
+    hash-routed to one partition (`repartition` on the shard id), sorted
+    by ``id_col`` within it, and folded by a STREAMING `mapInPandas`
+    that carries (shard, acc, bin) across the iterator's Arrow batches —
+    task memory is O(arrow batch), never O(shard), so a shard of 10^9
+    rows packs in bounded memory (the r4 `applyInPandas` shape
+    materialized the whole shard in one pandas frame). ``n_shards`` left
+    ``None`` is auto-sized from a cheap corpus count
+    (≥ `_PACK_MIN_SHARDS`, and enough that no shard expects more than
+    `_PACK_ROWS_PER_SHARD` rows); note the shard hash — and therefore
+    bin assignment — depends on the shard count, so pass it explicitly
+    for reproducible output across growing corpora. Each shard's bin ids
+    are independent; downstream readers consume (shard, bin) pairs.
+    Order within a shard is ``id_col`` ascending — deterministic under
+    any input partitioning.
+
+    The greedy rule matches the SQL oracle's recursive fold exactly: the
+    first row of a shard anchors bin 0 with acc = its tokens; every later
+    row starts a new bin iff acc + tokens > budget (UNCONDITIONAL — a
+    zero-token document leaves acc untouched but never suppresses the
+    overflow check).
     """
-    import pandas as pd
+    import math
 
     from pyspark.sql import types as T
 
+    if n_shards is None:
+        n_rows = df.count()  # narrow count — no shuffle
+        n_shards = max(_PACK_MIN_SHARDS, math.ceil(n_rows / _PACK_ROWS_PER_SHARD))
     toks = tokens if tokens is not None else token_count(F.col("text"))
     shard = (
         F.conv(
@@ -189,7 +215,9 @@ def pack_sequences(
     base = df.select(
         F.col(id_col),
         shard.alias("shard"),
-        toks.cast("long").alias("n_tokens"),
+        # null-safe: a null text yields a null token count; packing treats
+        # it as an empty document (and the int64 fold would raise on NaN)
+        F.coalesce(toks.cast("long"), F.lit(0)).alias("n_tokens"),
     )
     schema = T.StructType(
         [
@@ -199,19 +227,43 @@ def pack_sequences(
             T.StructField("bin", T.LongType(), True),
         ]
     )
+    out_cols = [id_col, "shard", "n_tokens", "bin"]
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        bins = []
+    def pack_stream(batches):
+        import numpy as np
+
+        # fold state carried ACROSS Arrow batches: rows arrive grouped by
+        # shard (hash-routed to this partition) and id-sorted within it,
+        # so per-shard state is just the current (shard, acc, bin) triple
+        cur_shard = None
         acc = 0
         b = 0
-        for t in pdf["n_tokens"].astype("int64"):
-            if acc > 0 and acc + t > budget:
-                b += 1
-                acc = 0
-            acc += int(t)
-            bins.append(b)
-        pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            shards = pdf["shard"].tolist()
+            toks_l = pdf["n_tokens"].tolist()
+            bins = np.empty(n, dtype="int64")
+            for i in range(n):
+                s = shards[i]
+                t = toks_l[i]
+                if s != cur_shard:
+                    cur_shard = s
+                    b = 0
+                    acc = t
+                elif acc + t > budget:
+                    b += 1
+                    acc = t
+                else:
+                    acc += t
+                bins[i] = b
+            out = pdf[out_cols[:3]].copy()
+            out["bin"] = bins
+            yield out
 
-    return base.groupBy("shard").applyInPandas(pack, schema)
+    return (
+        base.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .mapInPandas(pack_stream, schema)
+    )

@@ -2054,7 +2054,7 @@ def _seq_packing_sql(budget: int = 512, n_shards: int = 4) -> str:
     -- MATERIALIZED is load-bearing: without it DuckDB re-evaluates the
     -- md5 + regexp_split tokenization once per recursion step (36.7 s at
     -- sf0.1 vs ~1 s materialized)
-    SELECT doc_id, {shard} AS shard, {_TOKEN_SQL} AS n_tokens,
+    SELECT doc_id, {shard} AS shard, COALESCE({_TOKEN_SQL}, 0) AS n_tokens,
            row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS rn
     FROM documents
   ),
@@ -2079,8 +2079,8 @@ def _seq_packing_sql(budget: int = 512, n_shards: int = 4) -> str:
 def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-training sequence packing: greedy fixed-token-budget bin
     packing of the corpus, parallelized as n_shards independent
-    sequential streams (deterministic md5 shard hash; one shuffle, one
-    applyInPandas per shard — see `text.pack_sequences`). The oracle
+    sequential streams (deterministic md5 shard hash; one shuffle, a
+    streaming mapInPandas fold per shard — see `text.pack_sequences`). The oracle
     replays the greedy fold as a recursive CTE. Summarized per
     (shard, bin) so the result pins every bin boundary."""
     d = _t(spark, sf_dir, "documents")

@@ -326,3 +326,100 @@ def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
     }
     assert got2 == got
     assert sc.getCheckpointDir() == cur, "matching dir must be left untouched"
+
+
+def test_pack_sequences_streams_across_arrow_batches(spark):
+    """r5: packing must NOT materialize a shard in one pandas frame — the
+    mapInPandas fold carries state across Arrow batches. Force tiny
+    batches so one shard spans many of them, and pin the result against
+    an in-memory replay of the same greedy rule."""
+    import pandas as pd
+
+    from image_deid_etl_spark.operators.text import pack_sequences
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        rows = [(int(i), "w " * ((i * 37) % 200 + 1)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = (
+            pack_sequences(df, budget=256, n_shards=2, id_col="doc_id")
+            .toPandas()
+            .sort_values(["shard", "doc_id"])
+            .reset_index(drop=True)
+        )
+        # every shard spans >> 64 rows, so the fold necessarily crossed
+        # Arrow batch boundaries
+        assert (out.groupby("shard").size() > 64).all()
+        # replay the greedy rule per shard on the driver
+        for shard, grp in out.groupby("shard"):
+            acc, b = None, 0
+            for _, r in grp.iterrows():
+                t = int(r["n_tokens"])
+                if acc is None:
+                    acc, b = t, 0
+                elif acc + t > 256:
+                    b += 1
+                    acc = t
+                else:
+                    acc += t
+                assert int(r["bin"]) == b, (shard, int(r["doc_id"]))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_pack_sequences_zero_and_null_token_docs(spark):
+    """r5 ADVICE: zero-token docs must not suppress the overflow check
+    (oracle parity — the recursive CTE tests acc + t > budget
+    unconditionally), and null text packs as 0 tokens instead of raising
+    in the executor."""
+    from image_deid_etl_spark.operators.text import pack_sequences
+
+    rows = [
+        (1, "w " * 100),   # acc=100
+        (2, ""),           # zero tokens: acc stays 100
+        (3, None),         # null text -> 0 tokens
+        (4, "w " * 500),   # 100+500 > 512 -> NEW bin (guardless rule)
+        (5, "w " * 10),    # 500+10 <= 512 -> same bin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        pack_sequences(df, budget=512, n_shards=1, id_col="doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[3, "n_tokens"] == 0
+    assert out.loc[1, "bin"] == out.loc[2, "bin"] == out.loc[3, "bin"] == 0
+    assert out.loc[4, "bin"] == 1 and out.loc[5, "bin"] == 1
+    # the pathological ADVICE case: empty bin accumulation then an
+    # over-budget doc — oracle and operator must agree it opens bin N+1
+    rows2 = [(1, ""), (2, "w " * 600), (3, "w " * 10)]
+    out2 = (
+        pack_sequences(
+            spark.createDataFrame(rows2, "doc_id long, text string"),
+            budget=512, n_shards=1, id_col="doc_id",
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[1, "bin"] == 0
+    assert out2.loc[2, "bin"] == 1  # 0 + 600 > 512 starts a new bin
+    assert out2.loc[3, "bin"] == 2  # 600 + 10 > 512 again
+
+
+def test_pack_sequences_auto_shards(spark):
+    """n_shards=None derives the shard count from a corpus count (floor
+    `_PACK_MIN_SHARDS` at test scale) and still packs correctly."""
+    from image_deid_etl_spark.operators.text import _PACK_MIN_SHARDS, pack_sequences
+
+    rows = [(int(i), "w " * 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=512, id_col="doc_id").toPandas()
+    assert len(out) == 300
+    assert out["shard"].nunique() <= _PACK_MIN_SHARDS
+    assert (out["shard"] < _PACK_MIN_SHARDS).all()
+    for _, g in out.groupby(["shard", "bin"]):
+        assert g["n_tokens"].sum() <= 512
