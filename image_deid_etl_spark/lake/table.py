@@ -525,8 +525,8 @@ class SnapshotTable:
         ``overwrite`` would destroy the eventual winner's files before the
         optimistic-concurrency check in `commit_snapshot` could fire. The
         loser's uuid directory is merely orphaned (referenced by no
-        manifest; an orphan-sweep comparing data/ against retained
-        manifests can reclaim it offline).
+        manifest; `expire_snapshots`' orphan sweep reclaims it once a
+        commit has advanced past the attempt's target snapshot).
         """
         rel = os.path.join(DATA, f"snap-{snapshot_id:010d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel)
@@ -1013,9 +1013,49 @@ class SnapshotTable:
                     full = os.path.join(bdir, fn)
                     removed_bytes += os.path.getsize(full)
                     os.remove(full)
+        # orphan DATA-file sweep: attempt directories referenced by NO
+        # manifest at all — a crash between `write_snapshot_files` and
+        # `commit_snapshot`, or an optimistic-concurrency loser, leaves a
+        # fully-written per-attempt uuid dir that no dead_files pass can
+        # ever see (it was never in a manifest). The embedded snapshot id
+        # guards the single in-flight writer: an attempt targeting
+        # current+1 may be a commit in progress, so only attempts whose
+        # target is <= the CURRENT snapshot are provably dead (their
+        # commit either lost the race or was superseded by a resume with
+        # a fresh uuid). Retained-manifest files survive by the per-file
+        # live check, so pinned time-travel reads are unaffected.
+        import re
+        import shutil
+
+        orphan_files = 0
+        ddir = os.path.join(self.root, DATA)
+        if os.path.isdir(ddir):
+            for dname in sorted(os.listdir(ddir)):
+                m = re.match(r"snap-(\d{10})-", dname)
+                if not m or int(m.group(1)) > current:
+                    continue
+                droot = os.path.join(ddir, dname)
+                if not os.path.isdir(droot):
+                    continue
+                kept_any = False
+                for dirpath, _dirs, fnames in os.walk(droot):
+                    for fn in fnames:
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, self.root)
+                        if rel in live_files:
+                            kept_any = True
+                        elif fn.endswith(".parquet"):
+                            removed_bytes += os.path.getsize(full)
+                            os.remove(full)
+                            orphan_files += 1
+                if not kept_any:
+                    # nothing live left — drop writer markers (_SUCCESS)
+                    # and the empty partition tree in one go
+                    shutil.rmtree(droot, ignore_errors=True)
         return {
             "expired_snapshots": expired,
             "removed_files": len(dead_files),
+            "removed_orphan_files": orphan_files,
             "removed_bytes": removed_bytes,
         }
 

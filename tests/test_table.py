@@ -212,3 +212,80 @@ def test_expire_snapshots_sweeps_unreferenced_shards(tmp_path):
     # retained snapshots still fully readable through their shards
     for s in t.snapshots():
         assert isinstance(t.manifest(s)["files"], list)
+
+
+def test_expire_sweeps_orphan_attempt_dirs(spark, tmp_path):
+    """r5: a crash between write_snapshot_files and commit_snapshot (or an
+    optimistic-concurrency loser) leaves a per-attempt uuid data dir that
+    no manifest ever references — expire_snapshots must reclaim it, while
+    leaving every retained snapshot's files (incl. pinned time-travel
+    reads) untouched and sparing a possibly in-flight attempt targeting
+    current+1."""
+    import pytest
+
+    from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+    from image_deid_etl_spark.cdc.merge import SimulatedCrash, merge_into
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=400, n_keys=60, n_files=4))
+    # batch 2 crashes AFTER writing its attempt dir, BEFORE its commit
+    with pytest.raises(SimulatedCrash):
+        run_ingest(spark, root, feed, max_files_per_batch=2,
+                   fail_before_commit_on_batch=1, auto_compact_files=None)
+    t = open_or_create_table(root)
+    data_dir = os.path.join(root, "data")
+    dirs_after_crash = set(os.listdir(data_dir))
+    # resume commits the same batch under a FRESH attempt uuid
+    run_ingest(spark, root, feed, max_files_per_batch=2, auto_compact_files=None)
+    t = open_or_create_table(root)
+    rows = t.read(spark).count()
+    snap_rows_1 = t.read(spark, snapshot_id=1).count()
+    referenced = {
+        f["path"].split(os.sep)[1]
+        for s_ in t.snapshots()
+        for f in t.manifest(s_)["files"]
+    }
+    orphans = {
+        d for d in dirs_after_crash
+        if d not in referenced and os.path.isdir(os.path.join(data_dir, d))
+    }
+    assert orphans, "crash must have left an unreferenced attempt dir"
+
+    # a second orphan shape: a LOSING writer's attempt targeting what is
+    # now a committed snapshot (ConcurrentCommitError path)
+    import pandas as pd
+    loser = spark.createDataFrame(
+        pd.DataFrame({
+            "seq": [999999], "op": ["add"], "repo": ["r"], "path": ["loser.py"],
+            "commit": ["c"], "lang": ["py"], "content": ["x"],
+        })
+    )
+    with pytest.raises(SimulatedCrash):
+        merge_into(spark, t, loser, t.offsets(), scrub=False, fail_before_commit=True)
+    # winner takes that snapshot id
+    merge_into(spark, t, loser, t.offsets(), scrub=False)
+    t = open_or_create_table(root)
+
+    # in-flight guard probe: an attempt dir targeting current+1 must survive
+    inflight = os.path.join(data_dir, f"snap-{t.snapshot_id + 1:010d}-deadbeef")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-fake.parquet"), "w") as f:
+        f.write("not yet committed")
+
+    res = t.expire_snapshots(keep_last=100)  # retain ALL snapshots
+    assert res["expired_snapshots"] == []
+    assert res["removed_files"] == 0
+    assert res["removed_orphan_files"] > 0
+    assert res["removed_bytes"] > 0
+    for d in orphans:
+        assert not os.path.exists(os.path.join(data_dir, d)), d
+    assert os.path.exists(os.path.join(inflight, "part-fake.parquet"))
+    # every retained manifest's files still on disk; reads unaffected
+    for s in t.snapshots():
+        for f in t.manifest(s)["files"]:
+            assert os.path.exists(os.path.join(root, f["path"]))
+    assert t.read(spark).count() == rows + 1  # + the loser row
+    assert t.read(spark, snapshot_id=1).count() == snap_rows_1
+    os.remove(os.path.join(inflight, "part-fake.parquet"))
+    os.rmdir(inflight)
