@@ -46,8 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the verified window, (1) least-recently driver-
     # verified (never-verified first), (2) registration order. Over
     # successive rounds every query cycles through the verified window;
-    # no hand-picked sampling.
-    modified_this_round = {"knn_lsh_multiprobe", "knn_lsh_bucketed", "dedup_components"}
+    # no hand-picked sampling. The modified set is DERIVED (r4 VERDICT
+    # item 4): per-query fingerprints (oracle SQL + query source +
+    # referenced operator-module hashes) of the working tree are compared
+    # against the same fingerprints computed on the last driver-round
+    # commit — no hand-maintained list to go stale.
+    modified_this_round = _modified_since_last_round()
     last_verified = _last_driver_verified_round()
     names = list(QUERIES)
     reg_idx = {n: i for i, n in enumerate(names)}
@@ -59,6 +63,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     return {name: wrap(QUERIES[name]) for name in names}
+
+
+#: per-query fingerprint logic, shared verbatim between the in-process
+#: run (working tree) and the subprocess run (the last round's commit,
+#: extracted via `git archive`): md5 over the query's oracle SQL, its
+#: registered function source, and the content hash of every operator
+#: module the source references (by `module.` prefix OR by any of the
+#: module's public function names — relational ops are imported by name).
+_FP_CODE = r'''
+import hashlib, importlib, inspect, os, re
+
+
+def compute(QUERIES, ORACLES, root):
+    opdir = os.path.join(root, "image_deid_etl_spark", "operators")
+    mod_hash = {}
+    mod_words = {}
+    for fn_ in sorted(os.listdir(opdir)):
+        if not fn_.endswith(".py") or fn_ == "__init__.py":
+            continue
+        modname = fn_[:-3]
+        with open(os.path.join(opdir, fn_), "rb") as fh:
+            mod_hash[modname] = hashlib.md5(fh.read()).hexdigest()
+        mod = importlib.import_module("image_deid_etl_spark.operators." + modname)
+        mod_words[modname] = {
+            n for n in dir(mod)
+            if not n.startswith("_")
+            and callable(getattr(mod, n))
+            # only names DEFINED here — dir() also surfaces imports
+            # (F, DataFrame, ...) that appear in every query source
+            and getattr(getattr(mod, n), "__module__", None) == mod.__name__
+        }
+    # the scrub UDF family lives outside operators/ but backs queries too
+    scrub_path = os.path.join(root, "image_deid_etl_spark", "cdc", "scrub.py")
+    with open(scrub_path, "rb") as fh:
+        mod_hash["scrub"] = hashlib.md5(fh.read()).hexdigest()
+    mod_words["scrub"] = {"scrubbed", "scrubbed_native", "scrub_meta", "duckdb_scrub_expr"}
+    out = {}
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+        words = set(re.findall(r"\b\w+\b", src))
+        parts = [ORACLES.get(name, ""), src]
+        for m in sorted(mod_hash):
+            if (m + ".") in src or (mod_words[m] & words):
+                parts.append(m + ":" + mod_hash[m])
+        out[name] = hashlib.md5("\x00".join(parts).encode()).hexdigest()
+    return out
+'''
+
+
+def _modified_since_last_round() -> set[str]:
+    """Queries whose fingerprint differs from the last driver-round
+    commit (`round N: ...`). Any failure degrades to the recency-only
+    rotation with a loud stderr warning — never a stale hardcoded set."""
+    import json
+    import re
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s"],
+            capture_output=True, text=True, cwd=here, timeout=30, check=True,
+        ).stdout
+        base = None
+        for line in log.splitlines():
+            sha, _, subject = line.partition(" ")
+            if re.match(r"round \d+:", subject):
+                base = sha
+                break
+        if base is None:
+            return set()
+        ns: dict = {}
+        exec(_FP_CODE, ns)
+        current = ns["compute"](QUERIES, ORACLES, here)
+        with tempfile.TemporaryDirectory() as td:
+            subprocess.run(
+                f"git archive {base} | tar -x -C {td}",
+                shell=True, cwd=here, timeout=120, check=True,
+            )
+            code = (
+                "import sys, json, os\n"
+                f"sys.path.insert(0, {td!r})\n"
+                "from image_deid_etl_spark.plans import ORACLES, QUERIES\n"
+                + _FP_CODE
+                + f"\nprint(json.dumps(compute(QUERIES, ORACLES, {td!r})))\n"
+            )
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=300, check=True,
+            )
+            base_fp = json.loads(r.stdout.strip().splitlines()[-1])
+        return {n for n, h in current.items() if base_fp.get(n) != h}
+    except Exception as e:  # noqa: BLE001 — degrade, never break the driver
+        print(
+            f"warning: modified-query derivation failed ({e!r}); "
+            "rotation falls back to least-recently-verified order",
+            file=sys.stderr,
+        )
+        return set()
 
 
 def _last_driver_verified_round() -> dict[str, int]:
