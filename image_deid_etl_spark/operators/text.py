@@ -75,11 +75,62 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(text: Column) -> Column:
-    """Heuristic language ID: stopword-ratio over a threshold → 'en',
-    ascii-heavy otherwise → 'unk' (deterministic, oracle-expressible).
-    A real fastText/CLD model would slot in as a pandas UDF."""
-    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+#: per-language stopword sets for the multi-language classifier. Small,
+#: ascii-only, deliberately overlapping where the languages genuinely do
+#: ("de"/"la" live in both French and Spanish) — the RATIO comparison,
+#: not set membership, decides. Order of LANG_PRIORITY is the
+#: deterministic tie-break (first match at the max ratio wins).
+STOPWORDS_BY_LANG = {
+    "en": STOPWORDS,
+    "fr": [
+        "le", "la", "les", "de", "des", "du", "un", "une", "et", "ou",
+        "est", "que", "qui", "dans", "pour", "sur", "avec", "ne", "pas", "ce",
+    ],
+    "de": [
+        "der", "die", "das", "und", "oder", "ist", "nicht", "ein", "eine", "zu",
+        "mit", "auf", "von", "im", "den", "dem", "als", "auch", "sich", "wird",
+    ],
+    "es": [
+        "el", "los", "las", "de", "del", "un", "una", "y", "o", "es",
+        "que", "en", "por", "para", "con", "no", "se", "su", "al", "la",
+    ],
+}
+LANG_PRIORITY = ["en", "fr", "de", "es"]
+
+
+def lang_id(text: Column, threshold: float = 0.05) -> Column:
+    """Heuristic multi-language ID: per-language stopword ratio, argmax
+    over `STOPWORDS_BY_LANG` with `LANG_PRIORITY` as the deterministic
+    tie-break; below ``threshold`` → 'unk'. Pure codegen (one split +
+    one array-filter per language — no shuffle, no Python) and
+    oracle-expressible: the DuckDB side replays the identical
+    ratio/CASE arithmetic, so predictions are engine-portable.
+    A real fastText/CLD model would slot in as a pandas UDF.
+
+    NOTE the bundled test fixtures' document text is synthetic and
+    carries only English stopwords regardless of the `lang` label, so
+    on THOSE tables every prediction is en/unk (data-bounded, like the
+    isotropic-embedding LSH recall case) — genuinely multilingual text
+    classifies correctly, as pinned by unit tests on fr/de/es samples.
+    """
+    words = F.split(F.lower(F.trim(text)), _WORD_RE)
+    n = F.greatest(F.size(words), F.lit(1))
+
+    def member(sw):
+        # NB: a two-arg lambda would make F.filter pass the element INDEX
+        # as the second argument — capture via closure, not default arg
+        return lambda w: w.isin(sw)
+
+    ratios = {
+        lang: F.size(F.filter(words, member(sw))) / n
+        for lang, sw in STOPWORDS_BY_LANG.items()
+    }
+    best = F.greatest(*ratios.values())
+    pred = None
+    for lang in LANG_PRIORITY:
+        cond = ratios[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return F.when(best < F.lit(threshold), F.lit("unk")).otherwise(pred)
 
 
 def fingerprint(text: Column) -> Column:

@@ -1037,18 +1037,53 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_LANG_WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _lang_ratio_sql(lang: str) -> str:
+    """DuckDB replica of one language's stopword ratio (same int/int →
+    double division as Spark)."""
+    from ..operators.text import STOPWORDS_BY_LANG
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_BY_LANG[lang])
+    return (
+        f"len(list_filter({_LANG_WORDS_SQL}, w -> w IN ({sw})))"
+        f" / greatest(len({_LANG_WORDS_SQL}), 1)"
+    )
+
+
+def _lang_ratio_cte(extra_cols: str = "") -> str:
+    """CTE computing every language's ratio per document (`r_en`...)."""
+    from ..operators.text import LANG_PRIORITY
+
+    ratios = ", ".join(f"{_lang_ratio_sql(l)} AS r_{l}" for l in LANG_PRIORITY)
+    return f"SELECT doc_id{extra_cols}, text, {ratios} FROM documents"
+
+
+def _lang_pred_case(threshold: float = 0.05) -> str:
+    """Argmax-with-priority CASE over the CTE's ratio columns — the
+    byte-for-byte DuckDB replica of `text.lang_id`."""
+    from ..operators.text import LANG_PRIORITY
+
+    best = "greatest(" + ", ".join(f"r_{l}" for l in LANG_PRIORITY) + ")"
+    whens = " ".join(
+        f"WHEN r_{l} = {best} THEN '{l}'" for l in LANG_PRIORITY[:-1]
+    )
+    return (
+        f"CASE WHEN {best} < {threshold} THEN 'unk' "
+        f"{whens} ELSE '{LANG_PRIORITY[-1]}' END"
+    )
+
+
 @register(
     "text_lang_fingerprint",
-    """
+    f"""
+    WITH r AS ({_lang_ratio_cte()})
     SELECT doc_id,
-           CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                     w -> w IN ('the','a','an','and','or','of','to','in','is','it',
-                                                'on','for','as','at','by','with','that','this','be','are')))
-                     / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) >= 0.05
-                THEN 'en' ELSE 'unk' END AS lang_pred,
+           {_lang_pred_case()} AS lang_pred,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-    FROM documents ORDER BY doc_id
+    FROM r ORDER BY doc_id
     """,
 )
 def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2134,4 +2169,71 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "lang_confusion",
+    f"""
+    WITH r AS ({_lang_ratio_cte(", lang")})
+    SELECT lang, {_lang_pred_case()} AS lang_pred, count(*) AS n
+    FROM r GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation QA: confusion counts of TEXT-derived language vs the
+    trusted `lang` column. On the synthetic fixtures every text carries
+    only English stopwords, so the matrix collapses to en/unk per label —
+    data-bounded, documented in `text.lang_id`; genuinely multilingual
+    text fills the diagonal (pinned by unit tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _stratified_derived_sql() -> str:
+    u = "('0x' || substring(md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+    cases = " ".join(
+        f"WHEN lang_pred = '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
+    )
+    return f"""
+  WITH r AS ({_lang_ratio_cte()}),
+  pred AS (
+    SELECT doc_id, {_lang_pred_case()} AS lang_pred FROM r
+  ),
+  kept AS (
+    SELECT doc_id, lang_pred FROM pred
+    WHERE {u} < (CASE {cases} ELSE 1.0 END)
+  )
+  SELECT lang_pred, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM kept GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+@register("corpus_stratified_sample_derived", _stratified_derived_sql())
+def corpus_stratified_sample_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling composed with TEXT-derived language instead of
+    the trusted `lang` column — the shape a curation pipeline without
+    label metadata runs (classify, then downweight). Same deterministic
+    md5-uniform keep rule; strata come from `text.lang_id`."""
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang_pred")
+    )
+    keep = text.stratified_keep(
+        F.col("doc_id"), F.col("lang_pred"), _STRAT_RATES, default_rate=1.0
+    )
+    return (
+        pred.filter(keep)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang_pred")
     )

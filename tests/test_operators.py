@@ -423,3 +423,25 @@ def test_pack_sequences_auto_shards(spark):
     assert (out["shard"] < _PACK_MIN_SHARDS).all()
     for _, g in out.groupby(["shard", "bin"]):
         assert g["n_tokens"].sum() <= 512
+
+
+def test_lang_id_multilanguage(spark):
+    """r5: the classifier distinguishes genuinely multilingual text —
+    en/fr/de/es stopword-bearing sentences land on their language, mixed
+    ties break by LANG_PRIORITY, no-stopword text is 'unk'."""
+    from image_deid_etl_spark.operators.text import lang_id
+
+    rows = [
+        (1, "the cat is on the mat and it is warm"),
+        (2, "le chat est dans la maison et il dort pas mal"),
+        (3, "der hund ist nicht im haus und die katze auch"),
+        (4, "el perro es grande y la casa es de madera"),
+        (5, "lorem ipsum dolor sit amet consectetur adipiscing"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()
+    }
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "unk", 6: "unk"}
