@@ -138,6 +138,16 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # --- adaptive worst case: uniform updates, default vs MoR control ----
+    uni = _bench_uniform_update(spark, runs=n_runs)
+    cow_med = round(statistics.median(uni["cow"]), 3)
+    mor_med = round(statistics.median(uni["mor"]), 3)
+    per_query["cdc_replay_uniform"] = cow_med
+    per_query["cdc_replay_uniform_mor"] = mor_med
+    raw_runs["cdc_replay_uniform"] = uni["cow"]
+    raw_runs["cdc_replay_uniform_mor"] = uni["mor"]
+    total += cow_med + mor_med
+
     out = {
         "metric": "headline_suite_plus_cdc_replay",
         "value": round(total, 3),
@@ -147,6 +157,9 @@ def main() -> None:
         "sf": sf,
         "cdc_events": n_cdc,
         "cdc_events_per_sec": round(eps, 1),
+        "cdc_uniform_update_events": uni["events"],
+        "cdc_uniform_update_events_per_sec": round(uni["events"] / cow_med, 1) if cow_med else 0.0,
+        "cdc_uniform_default_vs_mor": round(cow_med / mor_med, 3) if mor_med else None,
         "host_quiet_ratio_at_replay": quiet_ratio,
         "cpus": cpus,
     }
@@ -163,6 +176,73 @@ def main() -> None:
             "cdc_eps_delta": round(eps - prev.get("cdc_events_per_sec", 0.0), 1),
         }
     print(json.dumps(out))
+
+
+
+
+def _bench_uniform_update(spark, runs: int) -> dict:
+    """The adaptive-merge worst case as a recorded bench entry (r4
+    VERDICT item 3): bootstrap a keyed table, then replay uniform-random
+    update batches (no locality — the shape where no file layout bounds
+    a CoW rewrite) on (a) the DEFAULT table (adaptive CoW→MoR) and (b) a
+    dedicated merge_mode='mor' control. Returns raw update-phase seconds
+    per mode; the default must stay within ~1.5x of the control
+    (BENCH/BASELINE.md, measured 1.16x at quarter scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import run_ingest
+
+    n_keys = int(os.environ.get("BENCH_UNIFORM_KEYS", "200000"))
+    n_upd = 4
+    upd_size = n_keys // 8
+    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_uni_", dir=bench_tmp)
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
+
+        def chunk(idx, ids, seq0):
+            df = pd.DataFrame(
+                {
+                    "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+                    "op": "add",
+                    "repo": "r",
+                    "path": [scatter(i) for i in ids],
+                    "commit": "c",
+                    "lang": "py",
+                    "content": [f"v{i}" for i in ids],
+                    "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+                }
+            )
+            df.to_parquet(os.path.join(feed, f"feed-{idx:05d}.parquet"), index=False)
+
+        chunk(0, list(range(n_keys)), 1)
+        rng = np.random.RandomState(7)
+        for u in range(n_upd):
+            chunk(u + 1, list(rng.randint(0, n_keys, upd_size)), 10_000_000 + u * upd_size)
+        out: dict[str, list[float]] = {}
+        for mode in ("cow", "mor"):
+            times: list[float] = []
+            for r in range(runs):
+                root = os.path.join(work, f"t-{mode}-{r}")
+                run_ingest(
+                    spark, root, feed, max_files_per_batch=1, n_buckets=32,
+                    max_batches=1, merge_mode=mode, auto_compact_files=None,
+                )
+                t0 = time.time()
+                run_ingest(
+                    spark, root, feed, max_files_per_batch=1,
+                    auto_compact_files=None,
+                )
+                times.append(round(time.time() - t0, 3))
+                shutil.rmtree(root, ignore_errors=True)
+            out[mode] = times
+        out["events"] = n_upd * upd_size
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _burn(n: int) -> int:

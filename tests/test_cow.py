@@ -987,3 +987,47 @@ def test_lww_tiebreak_map_hash_is_entry_order_insensitive(spark):
     assert len(w1) == len(w2) == 1
     assert w1[0]["content"] == w2[0]["content"]
     assert dict(w1[0]["meta"]) == dict(w2[0]["meta"])
+
+
+def test_sampled_probe_cost_flat_across_partitionings(spark, tmp_path):
+    """r5: the existing-key probe samples BEFORE the scan (seeded hash
+    thinning per bucket), so its cost is ~target_per_bucket keys per
+    bucket regardless of how many partitions the batch arrives in — not
+    n_partitions x per-task-cap."""
+    import image_deid_etl_spark.cdc.merge as M
+
+    t = make_table(spark, tmp_path, n_buckets=2)
+    boot = batch_df(
+        spark, [(i + 1, "add", "r", f"k{i:05d}", "v") for i in range(4000)]
+    )
+    merge_into(spark, t, boot, offsets(1), scrub=False)
+    upd = t.build_blooms(spark, t.manifest()["files"])
+    t.commit_snapshot(new_files=[], offsets=t.offsets(), entry_updates=upd)
+
+    incoming = batch_df(
+        spark, [(9000 + i, "add", "r", f"k{i:05d}", "w") for i in range(4000)]
+    ).select(
+        "*",
+        M.bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+        M.key_expr(["repo", "path"]).alias("_key"),
+    )
+    candidates = t.manifest()["files"]
+    kc = {0: 2000, 1: 2000}
+    probed = {}
+    fracs = {}
+    for nparts in (4, 64):
+        stats: dict = {}
+        fr = M._sampled_existing_fraction(
+            t, incoming.repartition(nparts), candidates,
+            key_counts=kc, stats_out=stats,
+        )
+        probed[nparts] = stats["probed"]
+        fracs[nparts] = fr
+    # expected sample: ~512 per bucket x 2 buckets; binomial noise only.
+    # Pre-fix, 64 partitions probed ~min(4000, 64 x 512) = 4000 keys.
+    for nparts, p in probed.items():
+        assert p <= 2 * 2 * 512, (nparts, p)
+    assert abs(probed[4] - probed[64]) <= 0.25 * max(probed.values()) + 50
+    # every batch key exists -> fractions ~1.0 at both partitionings
+    for fr in fracs.values():
+        assert fr and all(v > 0.9 for v in fr.values())

@@ -62,3 +62,98 @@ def test_everything_at_once(spark, tmp_path):
     # lineage covers every committed snapshot; offsets consumed the feed
     assert [e["snapshot_id"] for e in t.lineage()] == t.snapshots()[1:]
     assert t.offsets()["committed_feed_files"] == 8
+
+
+def test_adaptive_torture_crash_resume_interleavings(spark, tmp_path, monkeypatch):
+    """r5: random-ish feed interleaving adaptive MoR appends, a version-
+    depth resolve-compaction (real duplicates), an insert-heavy misfire
+    resolved METADATA-ONLY, and TWO crash/resume points — the sha256
+    state invariant and unresolved-bucket consistency must hold through
+    every recovery. Depth threshold is lowered to 2x so both resolve
+    kinds fire at test scale."""
+    import numpy as np
+
+    import image_deid_etl_spark.cdc.engine as E
+    from image_deid_etl_spark.cdc.engine import open_table
+
+    monkeypatch.setattr(E, "_MOR_MAX_VERSION_DEPTH", 2)
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
+    all_events = []
+
+    def chunk(idx, ids, seq0):
+        rows = {
+            "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+            "op": "add",
+            "repo": "r",
+            "path": [scatter(i) for i in ids],
+            "commit": "c",
+            "lang": "py",
+            "content": [f"v{i}s{seq0 + j}" for j, i in enumerate(ids)],
+            "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+        }
+        df = pd.DataFrame(rows)
+        df.to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+        all_events.append(df)
+
+    rng = np.random.RandomState(23)
+    n_boot = 1200
+    chunk(0, list(range(n_boot)), 1)
+    # uniform-UPDATE chunks: small vs live -> adaptive append fires;
+    # version stacks deepen until the 2x depth trigger resolve-compacts
+    for u in range(8):
+        ids = rng.choice(n_boot, 150, replace=False)
+        chunk(1 + u, list(ids), 10_000 + u * 150)
+    # uniform-INSERT chunks of strictly-new keys: the young/bloomless
+    # estimate misfires, the depth check then finds no duplicates and
+    # resolves metadata-only
+    for v in range(8):
+        ids = range(n_boot + v * 150, n_boot + (v + 1) * 150)
+        chunk(9 + v, list(ids), 50_000 + v * 150)
+
+    root = str(tmp_path / "t")
+    # crash #1 mid-update-phase
+    with pytest.raises(SimulatedCrash):
+        run_ingest(spark, root, feed, max_files_per_batch=1, n_buckets=2,
+                   auto_compact_files=None, fail_before_commit_on_batch=3)
+    t = open_table(root)
+    unres_after_crash = t.unresolved_buckets()
+    assert unres_after_crash <= {0, 1}
+    # crash #2 mid-insert-phase of the resumed run
+    with pytest.raises(SimulatedCrash):
+        run_ingest(spark, root, feed, max_files_per_batch=1,
+                   auto_compact_files=None, fail_before_commit_on_batch=8)
+    run_ingest(spark, root, feed, max_files_per_batch=1, auto_compact_files=None)
+
+    t = open_table(root)
+    lin = t.lineage()
+    assert any(e.get("adaptive_append") for e in lin), "no adaptive fire"
+    assert any(
+        e.get("resolved_metadata_only") is not None for e in lin
+    ), "no metadata-only resolve"
+    events = pd.concat(all_events, ignore_index=True)
+    expected = sha256_state(fold_feed(events))
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    assert t.offsets()["committed_feed_files"] == 17
+
+    # unresolved-bucket consistency: resolving everything is a no-op on
+    # the visible state and clears every mark
+    t.compact(spark, min_files_per_bucket=1, resolve_versions=True)
+    assert not t.unresolved_buckets()
+    got2 = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, expected, check_dtype=False)
