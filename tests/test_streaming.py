@@ -249,3 +249,76 @@ def test_stream_wiped_checkpoint_same_path_does_not_drop_batches(spark, tmp_path
     all_events = pd.concat([make_events(spec), new], ignore_index=True)
     expected = sha256_state(fold_feed(all_events))
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_stream_restart_preserves_adaptive_state(spark, tmp_path):
+    """r5: an adaptive CoW→MoR append inside foreachBatch, then a stream
+    RESTART from the same checkpoint over newly-arrived chunks — the
+    epoch guard and the unresolved-bucket marks must survive, and the
+    final state must equal a batch-path replay of the identical feed."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.engine import run_ingest
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
+
+    def chunk(idx, ids, seq0):
+        pd.DataFrame(
+            {
+                "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+                "op": "add",
+                "repo": "r",
+                "path": [scatter(i) for i in ids],
+                "commit": "c",
+                "lang": "py",
+                "content": [f"v{i}s{seq0 + j}" for j, i in enumerate(ids)],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    rng = np.random.RandomState(5)
+    chunk(0, list(range(1200)), 1)
+    # uniform-update chunks: dense vs live -> the adaptive decision fires
+    # inside the streaming sink's foreachBatch
+    for u in range(2):
+        chunk(1 + u, list(rng.choice(1200, 150, replace=False)), 10_000 + u * 150)
+
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    stream_ingest(spark, root, str(feed), ckpt, n_buckets=2,
+                  max_files_per_trigger=1, auto_compact_files=None, scrub=False)
+    t = open_or_create_table(root)
+    lin1 = t.lineage()
+    assert any(e.get("adaptive_append") for e in lin1), "no adaptive fire on stream"
+    unres1 = t.unresolved_buckets()
+    assert unres1, "adaptive append must have marked buckets unresolved"
+    epoch1 = t.offsets()["last_epoch"]
+
+    # more update chunks arrive; RESTART from the same checkpoint
+    for u in range(2, 4):
+        chunk(1 + u, list(rng.choice(1200, 150, replace=False)), 10_000 + u * 150)
+    stream_ingest(spark, root, str(feed), ckpt, n_buckets=2,
+                  max_files_per_trigger=1, auto_compact_files=None, scrub=False)
+    t = open_or_create_table(root)
+    assert t.offsets()["last_epoch"] > epoch1  # guard advanced, not reset
+    # unresolved marks survive the restart (a depth-trigger resolve may
+    # legally shrink the set; none fires at this scale)
+    assert t.unresolved_buckets() >= unres1
+
+    # batch-path replay of the SAME feed into a fresh table
+    root2 = str(tmp_path / "t2")
+    run_ingest(spark, root2, str(feed), max_files_per_batch=1, n_buckets=2,
+               auto_compact_files=None, scrub=False)
+    t2 = open_or_create_table(root2)
+
+    def state(tbl):
+        return (
+            tbl.read(spark)
+            .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+            .orderBy("repo", "path")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(state(t), state(t2), check_dtype=False)
