@@ -94,11 +94,29 @@ def compute(QUERIES, ORACLES, root):
             # (F, DataFrame, ...) that appear in every query source
             and getattr(getattr(mod, n), "__module__", None) == mod.__name__
         }
-    # the scrub UDF family lives outside operators/ but backs queries too
-    scrub_path = os.path.join(root, "image_deid_etl_spark", "cdc", "scrub.py")
-    with open(scrub_path, "rb") as fh:
-        mod_hash["scrub"] = hashlib.md5(fh.read()).hexdigest()
-    mod_words["scrub"] = {"scrubbed", "scrubbed_native", "scrub_meta", "duckdb_scrub_expr"}
+    # query-backing modules OUTSIDE operators/: the scrub UDF family, the
+    # scalar-function package and the source readers — all referenced by
+    # registered queries, so their edits must flag those queries modified
+    extras = {
+        "scrub": os.path.join(root, "image_deid_etl_spark", "cdc", "scrub.py"),
+        "functions": os.path.join(root, "image_deid_etl_spark", "functions", "__init__.py"),
+        "readers": os.path.join(root, "image_deid_etl_spark", "sources", "readers.py"),
+    }
+    extra_pkgs = {
+        "scrub": "image_deid_etl_spark.cdc.scrub",
+        "functions": "image_deid_etl_spark.functions",
+        "readers": "image_deid_etl_spark.sources.readers",
+    }
+    for name, path in extras.items():
+        with open(path, "rb") as fh:
+            mod_hash[name] = hashlib.md5(fh.read()).hexdigest()
+        mod = importlib.import_module(extra_pkgs[name])
+        mod_words[name] = {
+            n for n in dir(mod)
+            if not n.startswith("_")
+            and callable(getattr(mod, n))
+            and getattr(getattr(mod, n), "__module__", None) == mod.__name__
+        }
     out = {}
     for name, fn in QUERIES.items():
         try:

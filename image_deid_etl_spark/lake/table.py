@@ -117,10 +117,20 @@ def lww_order_cols(fields) -> list:
             # xxhash64 rejects MapType; serialize entries SORTED BY KEY so
             # a re-delivered duplicate whose map was built in a different
             # producer order still hashes identically (map keys are unique,
-            # so the struct sort is total) — the tie-break must be
+            # so the key sort is total) — the tie-break must be
             # order-insensitive or merge-time and scan-time same-seq picks
-            # could disagree
-            col = F.to_json(F.array_sort(F.map_entries(F.col(f.name))))
+            # could disagree. The comparator sorts by KEY ONLY: a default
+            # struct sort would demand the VALUE type be orderable too and
+            # raise on map<_, map<...>> payloads.
+            ent = F.map_entries(F.col(f.name))
+            col = F.to_json(
+                F.array_sort(
+                    ent,
+                    lambda a, b: F.when(a["key"] < b["key"], -1)
+                    .when(a["key"] > b["key"], 1)
+                    .otherwise(0),
+                )
+            )
         else:
             col = F.col(f.name)
         hash_parts.append(col)

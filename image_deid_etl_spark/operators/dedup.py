@@ -447,14 +447,27 @@ def connected_components(
             # inherent to SparkContext; serialize such calls.
             if not _ckpt_set:
                 prev = sc.getCheckpointDir()
-                # local paths come back scheme-qualified ("file:/...")
+                # local paths come back scheme-qualified ("file:/...");
+                # the current effective dir is the caller's argument plus
+                # one Spark-appended uuid component
                 prev_plain = (
-                    prev.removeprefix("file:") if prev is not None else None
+                    os.path.normpath(prev.removeprefix("file:"))
+                    if prev is not None
+                    else None
                 )
-                if prev_plain is None or not prev_plain.lstrip("/").startswith(
-                    os.path.abspath(checkpoint_dir).lstrip("/")
-                ):
-                    _prev_dir.append(prev)
+                want = os.path.normpath(os.path.abspath(checkpoint_dir))
+                # component-boundary match: "/a/ckpt2/<uuid>" must NOT
+                # count as already-under "/a/ckpt"
+                already = prev_plain is not None and (
+                    prev_plain == want or prev_plain.startswith(want + os.sep)
+                )
+                if not already:
+                    # remember the caller's ARGUMENT (strip the uuid
+                    # component Spark appended): restoring the full path
+                    # would nest a fresh uuid one level deeper every call
+                    _prev_dir.append(
+                        os.path.dirname(prev_plain) if prev_plain else None
+                    )
                     sc.setCheckpointDir(checkpoint_dir)
                 _ckpt_set.append(True)
             return df.checkpoint(eager=True)

@@ -113,7 +113,9 @@ def lang_id(text: Column, threshold: float = 0.05) -> Column:
     isotropic-embedding LSH recall case) — genuinely multilingual text
     classifies correctly, as pinned by unit tests on fr/de/es samples.
     """
-    words = F.split(F.lower(F.trim(text)), _WORD_RE)
+    # null text → empty word list (ratio 0 → 'unk'), matching the
+    # oracle's COALESCE — without this the when-chain would return NULL
+    words = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), _WORD_RE)
     n = F.greatest(F.size(words), F.lit(1))
 
     def member(sw):
@@ -250,7 +252,10 @@ def pack_sequences(
     from pyspark.sql import types as T
 
     if n_shards is None:
-        n_rows = df.count()  # narrow count — no shuffle
+        # NOTE: auto-sizing executes the input plan once for the count —
+        # cheap for a raw scan, but a derived/filtered input pays a full
+        # extra pass; pass n_shards explicitly for expensive pipelines
+        n_rows = df.count()
         n_shards = max(_PACK_MIN_SHARDS, math.ceil(n_rows / _PACK_ROWS_PER_SHARD))
     toks = tokens if tokens is not None else token_count(F.col("text"))
     shard = (

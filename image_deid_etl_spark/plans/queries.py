@@ -1037,27 +1037,34 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_LANG_WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+#: null text → empty word list on BOTH engines (Spark coalesces too);
+#: without the COALESCE the oracle's all-NULL ratios would fall through
+#: the CASE to the last language while Spark returns NULL
+_LANG_WORDS_SQL = "regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\\s+')"
 
 
 def _lang_ratio_sql(lang: str) -> str:
     """DuckDB replica of one language's stopword ratio (same int/int →
-    double division as Spark)."""
+    double division as Spark), over the pre-computed ``words`` column."""
     from ..operators.text import STOPWORDS_BY_LANG
 
     sw = ", ".join(f"'{w}'" for w in STOPWORDS_BY_LANG[lang])
-    return (
-        f"len(list_filter({_LANG_WORDS_SQL}, w -> w IN ({sw})))"
-        f" / greatest(len({_LANG_WORDS_SQL}), 1)"
-    )
+    return f"len(list_filter(words, w -> w IN ({sw}))) / greatest(len(words), 1)"
 
 
 def _lang_ratio_cte(extra_cols: str = "") -> str:
-    """CTE computing every language's ratio per document (`r_en`...)."""
+    """Per-document language ratios (`r_en`...). Tokenizes ONCE into a
+    MATERIALIZED `words` CTE — the same DuckDB re-evaluation trap the
+    packing oracle documents (a non-materialized CTE re-runs the regex
+    split once per reference: 8× here)."""
     from ..operators.text import LANG_PRIORITY
 
     ratios = ", ".join(f"{_lang_ratio_sql(l)} AS r_{l}" for l in LANG_PRIORITY)
-    return f"SELECT doc_id{extra_cols}, text, {ratios} FROM documents"
+    return (
+        f"WITH w AS MATERIALIZED ("
+        f"SELECT doc_id{extra_cols}, text, {_LANG_WORDS_SQL} AS words FROM documents"
+        f") SELECT doc_id{extra_cols}, text, {ratios} FROM w"
+    )
 
 
 def _lang_pred_case(threshold: float = 0.05) -> str:
@@ -2134,8 +2141,17 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRAT_RATES = {"en": 0.25, "fr": 0.5, "de": 0.5}
 
 
+#: DuckDB replica of `text._hash_uniform(doc_id, "strat-v1")` — ONE
+#: definition for every stratified-sampling oracle so a reseed cannot
+#: desynchronize them
+_STRAT_UNIFORM_SQL = (
+    "('0x' || substring(md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT / 4294967296.0"
+)
+
+
 def _stratified_sample_sql() -> str:
-    u = "('0x' || substring(md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+    u = _STRAT_UNIFORM_SQL
     cases = " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
     )
@@ -2196,7 +2212,7 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stratified_derived_sql() -> str:
-    u = "('0x' || substring(md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+    u = _STRAT_UNIFORM_SQL
     cases = " ".join(
         f"WHEN lang_pred = '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
     )

@@ -1031,3 +1031,21 @@ def test_sampled_probe_cost_flat_across_partitionings(spark, tmp_path):
     # every batch key exists -> fractions ~1.0 at both partitionings
     for fr in fracs.values():
         assert fr and all(v > 0.9 for v in fr.values())
+
+
+def test_lww_tiebreak_handles_nested_map_payload(spark):
+    """r5 review fix: the key-sorted entry serialization sorts by KEY
+    ONLY, so a payload map whose VALUES are themselves maps (unorderable
+    type) still resolves instead of raising INVALID_ORDERING_TYPE."""
+    from image_deid_etl_spark.lake.table import _lww_latest_versions
+
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('k', CAST(1 AS BIGINT), false, map('a', map('x', '1')), 'old'),
+          ('k', CAST(2 AS BIGINT), false, map('a', map('x', '2')), 'new')
+        AS t(_key, commit_seq, _deleted, nested, content)
+        """
+    )
+    got = _lww_latest_versions(df).collect()
+    assert len(got) == 1 and got[0]["content"] == "new"

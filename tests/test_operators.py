@@ -438,10 +438,11 @@ def test_lang_id_multilanguage(spark):
         (4, "el perro es grande y la casa es de madera"),
         (5, "lorem ipsum dolor sit amet consectetur adipiscing"),
         (6, ""),
+        (7, None),  # null text -> 'unk' on BOTH engines (oracle COALESCE)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: r["pred"]
         for r in df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()
     }
-    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "unk", 6: "unk"}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "unk", 6: "unk", 7: "unk"}
