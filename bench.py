@@ -48,6 +48,9 @@ HEADLINE = [
     "knn_lsh_multiprobe",
     "text_quality_scores",
     "media_binary_meta",
+    # r5: the streaming mapInPandas packing fold — benched so the rewrite
+    # from whole-shard applyInPandas has a tracked cost, not just a claim
+    "seq_packing",
 ]
 
 
