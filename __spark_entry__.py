@@ -117,6 +117,31 @@ def compute(QUERIES, ORACLES, root):
             and callable(getattr(mod, n))
             and getattr(getattr(mod, n), "__module__", None) == mod.__name__
         }
+    # SHARED helper functions defined in the queries module itself (_t,
+    # _dec, ...): a registered query's behavior changes when one of these
+    # changes even though the query's own source and oracle are
+    # byte-identical. Fold a referenced helper's source into the
+    # fingerprint of exactly the queries whose source mentions it by
+    # name — a GLOBAL helper hash would flag all 65 queries whenever a
+    # new query brings a new helper along, collapsing the rotation's
+    # precision. Oracle SQL building blocks need no such treatment: each
+    # query's COMPOSED oracle string is already its own fingerprint part.
+    qmod = inspect.getmodule(next(iter(QUERIES.values())))
+    qfns = {id(fn) for fn in QUERIES.values()}
+    helper_hash = {}
+    for n in sorted(dir(qmod)):
+        o = getattr(qmod, n)
+        if (
+            callable(o)
+            and getattr(o, "__module__", None) == qmod.__name__
+            and id(o) not in qfns
+        ):
+            try:
+                helper_hash[n] = hashlib.md5(
+                    inspect.getsource(o).encode()
+                ).hexdigest()
+            except (OSError, TypeError):
+                pass
     out = {}
     for name, fn in QUERIES.items():
         try:
@@ -125,6 +150,9 @@ def compute(QUERIES, ORACLES, root):
             src = ""
         words = set(re.findall(r"\b\w+\b", src))
         parts = [ORACLES.get(name, ""), src]
+        for h in sorted(helper_hash):
+            if h in words:
+                parts.append(h + ":" + helper_hash[h])
         for m in sorted(mod_hash):
             if (m + ".") in src or (mod_words[m] & words):
                 parts.append(m + ":" + mod_hash[m])
@@ -133,14 +161,23 @@ def compute(QUERIES, ORACLES, root):
 '''
 
 
+_MODIFIED_CACHE: list[set[str]] = []
+
+
 def _modified_since_last_round() -> set[str]:
     """Queries whose fingerprint differs from the last driver-round
     commit (`round N: ...`). Any failure degrades to the recency-only
-    rotation with a loud stderr warning — never a stale hardcoded set."""
+    rotation with a loud stderr warning — never a stale hardcoded set.
+    Memoized: the working tree and base commit cannot change within a
+    process run, and the derivation costs a git archive + a fresh
+    interpreter importing the full plans package."""
     import json
     import re
     import subprocess
     import tempfile
+
+    if _MODIFIED_CACHE:
+        return _MODIFIED_CACHE[0]
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -176,13 +213,16 @@ def _modified_since_last_round() -> set[str]:
                 capture_output=True, text=True, timeout=300, check=True,
             )
             base_fp = json.loads(r.stdout.strip().splitlines()[-1])
-        return {n for n, h in current.items() if base_fp.get(n) != h}
+        out = {n for n, h in current.items() if base_fp.get(n) != h}
+        _MODIFIED_CACHE.append(out)
+        return out
     except Exception as e:  # noqa: BLE001 — degrade, never break the driver
         print(
             f"warning: modified-query derivation failed ({e!r}); "
             "rotation falls back to least-recently-verified order",
             file=sys.stderr,
         )
+        _MODIFIED_CACHE.append(set())
         return set()
 
 

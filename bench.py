@@ -192,9 +192,8 @@ def _bench_uniform_update(spark, runs: int) -> dict:
     per mode; the default must stay within ~1.5x of the control
     (BENCH/BASELINE.md, measured 1.16x at quarter scale)."""
     import numpy as np
-    import pandas as pd
-
     from image_deid_etl_spark.cdc.engine import run_ingest
+    from image_deid_etl_spark.cdc.feed import write_uniform_chunk
 
     n_keys = int(os.environ.get("BENCH_UNIFORM_KEYS", "200000"))
     n_upd = 4
@@ -204,22 +203,9 @@ def _bench_uniform_update(spark, runs: int) -> dict:
     try:
         feed = os.path.join(work, "feed")
         os.makedirs(feed)
-        scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
 
         def chunk(idx, ids, seq0):
-            df = pd.DataFrame(
-                {
-                    "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
-                    "op": "add",
-                    "repo": "r",
-                    "path": [scatter(i) for i in ids],
-                    "commit": "c",
-                    "lang": "py",
-                    "content": [f"v{i}" for i in ids],
-                    "ts": pd.Timestamp("2024-01-01").as_unit("us"),
-                }
-            )
-            df.to_parquet(os.path.join(feed, f"feed-{idx:05d}.parquet"), index=False)
+            write_uniform_chunk(feed, idx, ids, seq0)
 
         chunk(0, list(range(n_keys)), 1)
         rng = np.random.RandomState(7)

@@ -283,6 +283,47 @@ def write_feed(out_dir: str, spec: FeedSpec) -> list[str]:
     return paths
 
 
+#: Knuth multiplicative-hash constant for the uniform-key scatter below.
+#: ONE definition: the adaptive-merge bench (`bench.py`) and the
+#: streaming adaptive test build the same no-locality feed shape — a
+#: drifting copy would silently desynchronize what they measure/pin.
+_SCATTER_MULT = 2654435761
+
+
+def scatter_key(i: int) -> str:
+    """Deterministic hash-scattered key: adjacent ids land in unrelated
+    key ranges, so manifest range pruning cannot help — the uniform-update
+    WORST case the adaptive CoW→MoR decision exists for."""
+    return f"k{(i * _SCATTER_MULT) % 2**31:010d}"
+
+
+def write_uniform_chunk(
+    feed_dir: str, idx: int, ids, seq0: int, content=None
+) -> str:
+    """Write one delivery chunk of hash-scattered upserts (shared by the
+    uniform-update bench and the streaming adaptive-append test).
+
+    ``content``: per-row body builder ``(j, id) -> str``; defaults to a
+    version tag unique per id only."""
+    df = pd.DataFrame(
+        {
+            "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+            "op": "add",
+            "repo": "r",
+            "path": [scatter_key(i) for i in ids],
+            "commit": "c",
+            "lang": "py",
+            "content": [
+                (content(j, i) if content else f"v{i}") for j, i in enumerate(ids)
+            ],
+            "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+        }
+    )
+    p = os.path.join(feed_dir, f"feed-{idx:05d}.parquet")
+    df.to_parquet(p, index=False)
+    return p
+
+
 #: Export completeness marker written by `cdc.export.export_feed`. ONE
 #: parser (`export_manifest_chunks`) serves both the batch and streaming
 #: consumers — they must agree on what a crashed/partially-cleaned export

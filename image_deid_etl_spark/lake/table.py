@@ -109,6 +109,15 @@ def lww_order_cols(fields) -> list:
     serialization; engine columns excluded so existing/incoming copies of
     the same logical row hash identically). Identical-payload ties remain
     arbitrary — both picks are the same row."""
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
+
     hash_parts = []
     for f in fields:
         if f.name in _LWW_HASH_EXCLUDE:
@@ -131,6 +140,17 @@ def lww_order_cols(fields) -> list:
                     .otherwise(0),
                 )
             )
+        elif _contains_map(f.dataType):
+            # a map NESTED inside a struct/array: xxhash64 rejects
+            # MapType recursively, so hash the JSON serialization
+            # instead of the raw column. Deterministic for the stored
+            # row bytes; unlike the top-level branch the nested entry
+            # order is NOT canonicalized (to_json preserves producer
+            # order), so a re-delivered duplicate whose inner map was
+            # built in a different order can hash differently —
+            # best-effort for the pathological same-seq case, but the
+            # merge no longer fails analysis on such schemas.
+            col = F.to_json(F.col(f.name))
         else:
             col = F.col(f.name)
         hash_parts.append(col)

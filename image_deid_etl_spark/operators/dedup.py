@@ -25,6 +25,22 @@ from pyspark.sql import DataFrame, functions as F
 TOKEN_SPLIT = r"\s+"
 
 
+def _canon_ckpt_dir(p: str) -> str:
+    """Canonicalize a checkpoint-dir path for comparison/restore.
+
+    Local paths (bare or ``file:``-scheme, however many slashes) become
+    normalized absolute filesystem paths. Any OTHER scheme (``hdfs://``,
+    ``s3a://``, …) is kept VERBATIM minus a trailing slash —
+    ``os.path.normpath`` would collapse the ``//`` after the scheme and
+    corrupt the authority component."""
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    if u.scheme in ("", "file"):
+        return os.path.normpath(os.path.abspath(u.path or p))
+    return p.rstrip("/")
+
+
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id, token) pairs — the inverted-index base."""
     return (
@@ -447,26 +463,22 @@ def connected_components(
             # inherent to SparkContext; serialize such calls.
             if not _ckpt_set:
                 prev = sc.getCheckpointDir()
-                # local paths come back scheme-qualified ("file:/...");
                 # the current effective dir is the caller's argument plus
                 # one Spark-appended uuid component
-                prev_plain = (
-                    os.path.normpath(prev.removeprefix("file:"))
-                    if prev is not None
-                    else None
-                )
-                want = os.path.normpath(os.path.abspath(checkpoint_dir))
+                prev_canon = _canon_ckpt_dir(prev) if prev is not None else None
+                want = _canon_ckpt_dir(checkpoint_dir)
                 # component-boundary match: "/a/ckpt2/<uuid>" must NOT
-                # count as already-under "/a/ckpt"
-                already = prev_plain is not None and (
-                    prev_plain == want or prev_plain.startswith(want + os.sep)
+                # count as already-under "/a/ckpt" (Spark paths always
+                # use "/", independent of os.sep)
+                already = prev_canon is not None and (
+                    prev_canon == want or prev_canon.startswith(want + "/")
                 )
                 if not already:
                     # remember the caller's ARGUMENT (strip the uuid
                     # component Spark appended): restoring the full path
                     # would nest a fresh uuid one level deeper every call
                     _prev_dir.append(
-                        os.path.dirname(prev_plain) if prev_plain else None
+                        os.path.dirname(prev_canon) if prev_canon else None
                     )
                     sc.setCheckpointDir(checkpoint_dir)
                 _ckpt_set.append(True)

@@ -989,6 +989,31 @@ def test_lww_tiebreak_map_hash_is_entry_order_insensitive(spark):
     assert dict(w1[0]["meta"]) == dict(w2[0]["meta"])
 
 
+def test_lww_tiebreak_survives_struct_nested_map(spark):
+    """r5 review: xxhash64 rejects MapType RECURSIVELY — a map nested
+    inside a struct payload column must not fail analysis at merge/read
+    time. Such columns hash via their JSON serialization (best-effort
+    entry order for the pathological same-seq case); the resolution must
+    run and pick the normal highest-seq winner."""
+    from image_deid_etl_spark.lake.table import _lww_latest_versions
+
+    df = spark.range(2).select(
+        F.lit("k").alias("_key"),
+        (F.lit(1) + F.col("id")).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        F.struct(
+            F.map_from_arrays(
+                F.array(F.lit("a")), F.array(F.col("id").cast("string"))
+            ).alias("tags")
+        ).alias("attrs"),
+        F.concat(F.lit("v"), F.col("id")).alias("content"),
+    )
+    rows = _lww_latest_versions(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == "v1"
+    assert dict(rows[0]["attrs"]["tags"]) == {"a": "1"}
+
+
 def test_sampled_probe_cost_flat_across_partitionings(spark, tmp_path):
     """r5: the existing-key probe samples BEFORE the scan (seeded hash
     thinning per bucket), so its cost is ~target_per_bucket keys per

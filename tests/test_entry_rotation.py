@@ -1,0 +1,71 @@
+"""Driver-contract rotation: the derived modified-query set must track
+every input a query's behavior depends on — including shared helper
+functions defined inside the queries module itself (r5 review finding:
+an edit to `_dec`'s cast scale changes every decimal aggregation without
+touching any query's own source, oracle string, or operator module)."""
+
+import inspect as real_inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from image_deid_etl_spark.plans import ORACLES, QUERIES
+import image_deid_etl_spark.plans.queries as qmod
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fingerprints(getsource_override=None):
+    ns: dict = {}
+    exec(entry_mod._FP_CODE, ns)
+    if getsource_override is not None:
+
+        class _Shim:
+            def __getattr__(self, n):
+                return getattr(real_inspect, n)
+
+            @staticmethod
+            def getsource(o):
+                return getsource_override(o)
+
+        ns["inspect"] = _Shim()
+    return ns["compute"](QUERIES, ORACLES, ROOT)
+
+
+def test_shared_helper_edit_flags_referencing_queries_only():
+    base = _fingerprints()
+
+    def edited(o):
+        if o is qmod._dec:
+            return "def _dec(col, p=12, s=3): EDITED"
+        return real_inspect.getsource(o)
+
+    changed = _fingerprints(edited)
+    diff = {n for n in base if base[n] != changed[n]}
+    # q1 sums decimals through _dec; dedup_exact references _t but
+    # never _dec — precision both ways
+    assert "q1_pricing_summary" in diff
+    assert "dedup_exact" not in diff
+
+
+def test_query_source_edit_flags_only_that_query():
+    base = _fingerprints()
+    target = QUERIES["dedup_exact"]
+
+    def edited(o):
+        if o is target:
+            return "def dedup_exact(spark, sf_dir): EDITED"
+        return real_inspect.getsource(o)
+
+    changed = _fingerprints(edited)
+    diff = {n for n in base if base[n] != changed[n]}
+    assert diff == {"dedup_exact"}
+
+
+def test_modified_derivation_is_memoized():
+    entry_mod._MODIFIED_CACHE.clear()
+    first = entry_mod._modified_since_last_round()
+    assert entry_mod._MODIFIED_CACHE, "result must be cached"
+    assert entry_mod._modified_since_last_round() is first

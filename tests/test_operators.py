@@ -328,6 +328,28 @@ def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
     assert sc.getCheckpointDir() == cur, "matching dir must be left untouched"
 
 
+def test_canon_ckpt_dir_preserves_remote_uris():
+    """r5 review: comparing/restoring checkpoint dirs must not push a
+    scheme-qualified URI through os.path.normpath — that collapses the
+    '//' after the scheme and corrupts the authority ('hdfs://nn:8020/x'
+    -> 'hdfs:/nn:8020/x'). Local paths (bare or file:-scheme) normalize
+    to the same absolute form."""
+    import os
+
+    from image_deid_etl_spark.operators.dedup import _canon_ckpt_dir
+
+    assert _canon_ckpt_dir("hdfs://nn:8020/ckpt/uuid") == "hdfs://nn:8020/ckpt/uuid"
+    assert _canon_ckpt_dir("s3a://bucket/ckpt/") == "s3a://bucket/ckpt"
+    # restore strips exactly the uuid component, authority intact
+    assert (
+        os.path.dirname(_canon_ckpt_dir("hdfs://nn:8020/ckpt/uuid"))
+        == "hdfs://nn:8020/ckpt"
+    )
+    assert _canon_ckpt_dir("file:/a//b/./c") == "/a/b/c"
+    assert _canon_ckpt_dir("file:///a/b/c") == "/a/b/c"
+    assert _canon_ckpt_dir("/a/b/c/") == "/a/b/c"
+
+
 def test_pack_sequences_streams_across_arrow_batches(spark):
     """r5: packing must NOT materialize a shard in one pandas frame — the
     mapInPandas fold carries state across Arrow batches. Force tiny

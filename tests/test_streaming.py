@@ -259,24 +259,16 @@ def test_stream_restart_preserves_adaptive_state(spark, tmp_path):
     import numpy as np
 
     from image_deid_etl_spark.cdc.engine import run_ingest
+    from image_deid_etl_spark.cdc.feed import write_uniform_chunk
 
     feed = tmp_path / "f"
     feed.mkdir()
-    scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
 
     def chunk(idx, ids, seq0):
-        pd.DataFrame(
-            {
-                "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
-                "op": "add",
-                "repo": "r",
-                "path": [scatter(i) for i in ids],
-                "commit": "c",
-                "lang": "py",
-                "content": [f"v{i}s{seq0 + j}" for j, i in enumerate(ids)],
-                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
-            }
-        ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+        write_uniform_chunk(
+            str(feed), idx, ids, seq0,
+            content=lambda j, i: f"v{i}s{seq0 + j}",
+        )
 
     rng = np.random.RandomState(5)
     chunk(0, list(range(1200)), 1)
