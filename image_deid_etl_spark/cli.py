@@ -220,6 +220,31 @@ def cmd_compact(args) -> None:
     print(json.dumps(res))
 
 
+def cmd_changes(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="changes")
+    df = table.read_changes(spark, args.from_snapshot, args.to_snapshot)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"changes": df.count(), "out": args.out}))
+    else:
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in df.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        print(json.dumps({"changes": sum(counts.values()), "by_type": counts}))
+
+
 def cmd_export(args) -> None:
     from .cdc.engine import open_table
     from .cdc.export import export_feed
@@ -319,6 +344,15 @@ def main(argv: list[str] | None = None) -> None:
         help="GC watermark: drop tombstones older than SEQ (caller asserts no older event can arrive)",
     )
     k.set_defaults(fn=cmd_compact)
+
+    h = sub.add_parser(
+        "changes", help="incremental diff between snapshots (Delta-CDF style)"
+    )
+    h.add_argument("--table", required=True)
+    h.add_argument("--from-snapshot", type=int, required=True)
+    h.add_argument("--to-snapshot", type=int, default=None)
+    h.add_argument("--out", default=None, help="write the change rows here (parquet)")
+    h.set_defaults(fn=cmd_changes)
 
     e = sub.add_parser("export", help="re-upload source->source: snapshot -> feed chunks")
     e.add_argument("--table", required=True)

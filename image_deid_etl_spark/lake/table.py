@@ -538,6 +538,126 @@ class SnapshotTable:
                 raw = self.read_raw(spark, snapshot_id, buckets=resolved).unionByName(raw)
         return raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).select(*cols)
 
+    def changed_buckets(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> set[int] | None:
+        """Buckets any commit in ``(from, to]`` wrote, from lineage —
+        every other bucket's file set is carried forward by path, so its
+        state provably cannot differ between the two snapshots. Returns
+        ``None`` (= all buckets, correct but unpruned) when lineage for
+        part of the range is missing/expired or names a non-bucket
+        partition."""
+        to_id = self.snapshot_id if to_snapshot_id is None else to_snapshot_id
+        if from_snapshot_id > to_id:
+            raise ValueError(
+                f"from_snapshot {from_snapshot_id} is after to_snapshot {to_id}"
+            )
+        want = set(range(from_snapshot_id + 1, to_id + 1))
+        if not want:
+            return set()
+        touched: set[int] = set()
+        seen: set[int] = set()
+        for entry in self.lineage():
+            sid = entry.get("snapshot_id")
+            if sid not in want:
+                continue
+            seen.add(sid)
+            for p in entry.get("partitions", []):
+                part = p.get("partition", "")
+                if not part.startswith("bucket="):
+                    return None
+                try:
+                    touched.add(int(part.split("=", 1)[1]))
+                except ValueError:
+                    return None
+        if seen != want:
+            return None  # lineage gap (e.g. expired) — diff unpruned
+        return touched
+
+    def _live_keyed(
+        self, spark: SparkSession, snapshot_id: int, buckets: set[int]
+    ) -> DataFrame:
+        """Resolved live rows of the given buckets with ``_key`` +
+        ``commit_seq`` retained — `read`'s bucket-scoped resolution
+        (window only where the manifest marks versions unresolved), kept
+        joinable for the snapshot diff."""
+        unres = self.unresolved_buckets(snapshot_id) & buckets
+        resolved = sorted(buckets - unres)
+        parts = []
+        if unres:
+            parts.append(
+                _lww_latest_versions(
+                    self.read_raw(spark, snapshot_id, buckets=sorted(unres)),
+                    key_cols=self.key_cols(),
+                )
+            )
+        if resolved:
+            parts.append(self.read_raw(spark, snapshot_id, buckets=resolved))
+        if not parts:
+            return spark.createDataFrame([], self._read_schema(snapshot_id))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).withColumn(
+            "_key", F.coalesce(F.col("_key"), key_expr(self.key_cols()))
+        )
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan (Delta-CDF style): the rows whose live state
+        changed between two committed snapshots — table schema +
+        ``commit_seq`` + ``_change_type`` (``'upsert'`` | ``'delete'``).
+        The apply contract (test-pinned): delete the delete-keys from the
+        ``from`` state, upsert the rest, and the result equals
+        ``read(to)``. Delete rows carry the ``from``-winner preimage.
+
+        Implemented as a bucket-pruned snapshot diff, because the feed
+        contract allows arbitrary out-of-order delivery: a later commit
+        may apply events with LOWER seq than anything stored (the LWW
+        merge exists for exactly that), so no seq high-water mark can
+        classify rows as changed. Instead: lineage names every bucket the
+        ``(from, to]`` commits wrote (`changed_buckets`); untouched
+        buckets are carried forward by path and provably identical; the
+        touched buckets' resolved live states are diffed with two
+        anti-joins on ``(_key, commit_seq)`` — two stored winners with
+        the same key and seq are the same row (same-seq conflicts settle
+        via the deterministic LWW total order before either snapshot is
+        read). A key inserted and deleted inside the window emits
+        nothing. Cost: O(touched-bucket state at both snapshots + one
+        key-partitioned join), never O(table) — under CDC update
+        locality, touched buckets per window ≪ all buckets; a write-time
+        materialized change log (Delta-CDF proper) is the O(batch)
+        refinement documented in DESIGN.md as future work.
+        """
+        to_id = self.snapshot_id if to_snapshot_id is None else to_snapshot_id
+        touched = self.changed_buckets(from_snapshot_id, to_id)
+        if touched is None:
+            touched = set(range(self.n_buckets()))
+        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
+        if not touched:
+            empty = T.StructType(
+                [f for f in self._read_schema(to_id).fields if f.name in cols]
+                + [T.StructField("_change_type", T.StringType(), False)]
+            )
+            return spark.createDataFrame([], empty)
+        a = self._live_keyed(spark, from_snapshot_id, touched)
+        b = self._live_keyed(spark, to_id, touched)
+        ups = b.join(
+            a.select("_key", "commit_seq"), ["_key", "commit_seq"], "left_anti"
+        ).withColumn("_change_type", F.lit("upsert"))
+        dels = a.join(b.select("_key"), ["_key"], "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        # schema evolution inside the window: delete preimages read with
+        # the older from-schema gain nulls for any columns added since
+        return ups.unionByName(dels, allowMissingColumns=True).select(
+            *cols, "_change_type"
+        )
+
     # ------------------------------------------------------------------ #
     # write path (used by merge.py)
     # ------------------------------------------------------------------ #
