@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOKEN_SPLIT = r"\s+"
 
@@ -565,3 +565,76 @@ def connected_components(
         # behavior.) Runs on the error paths too.
         if _prev_dir and _prev_dir[0] is not None:
             pairs.sparkSession.sparkContext.setCheckpointDir(_prev_dir[0])
+
+
+def cluster_canonical(
+    comp: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Canonical-representative selection per duplicate cluster: the
+    curation step after `connected_components` — keep the best-quality
+    document of each cluster, drop the rest.
+
+    ``comp`` is the components output (``v``, ``label``); ``docs`` must
+    carry ``id_col`` and a ``quality_col`` to maximize (e.g. text length
+    or a model quality score). Winner per cluster = max quality, ties
+    broken by min id (deterministic, repartition-invariant). Returns one
+    row per clustered doc: ``component``, id, quality, ``keep`` (1/0).
+
+    Scale shape: one equi-join on the doc id (components are a small
+    fraction of the corpus under realistic dup rates; AQE broadcasts the
+    comp side when it fits) + a window partitioned by component —
+    clusters are small by construction (LSH bands bound them), so no
+    single window partition can be large.
+    """
+    # name-keyed join: comp and docs usually share lineage (components
+    # were built from the same scan), so attribute-keyed equality would
+    # trip Spark's ambiguous-self-join check
+    c = comp.select(F.col("v").alias(id_col), F.col("label").alias("component"))
+    j = c.join(docs, id_col).select(id_col, "component", quality_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return j.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+
+
+def contamination_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_eval: "F.Column",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every train document, how many
+    of its distinct word ``n``-gram shingles also occur anywhere in the
+    eval split (``is_eval`` boolean column). A train doc sharing long
+    n-grams with the eval set leaks benchmark data into training.
+
+    Returns (id, ``n_shingles``, ``n_shared``) for train docs with at
+    least one shared shingle — integer-only output so an oracle can
+    replay it exactly; callers threshold ``n_shared / n_shingles``.
+
+    Scale shape: the eval/train split is a pushed-down filter on two
+    scans (no classify join); the check itself is a distinct-project of
+    the eval shingles joined back on the shingle key — an equi-join that
+    AQE broadcasts whenever the eval set is benchmark-sized, never an
+    all-pairs comparison. Both aggregates are partial (map-side combine).
+    """
+    base = docs.withColumn("_is_eval", is_eval)
+    ev = (
+        shingles(base.filter(F.col("_is_eval")), id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    tr = shingles(base.filter(~F.col("_is_eval")), id_col, text_col, n=n)
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return totals.join(shared, id_col)

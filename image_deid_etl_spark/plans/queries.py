@@ -1805,7 +1805,7 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_SQL = (
+_REACH_CTES = (
     _shingle_cte(3).replace("WITH w AS", "WITH RECURSIVE w AS")
     + """,
   sig AS (
@@ -1834,7 +1834,12 @@ _COMPONENTS_SQL = (
     SELECT v, v FROM verts
     UNION
     SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v WHERE r.l < e.dst
-  )
+  )"""
+)
+
+_COMPONENTS_SQL = (
+    _REACH_CTES
+    + """
   SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v ORDER BY doc_id
 """
 )
@@ -1852,6 +1857,69 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup.connected_components(pairs)
     return comp.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
+_CANONICAL_SQL = (
+    _REACH_CTES
+    + """,
+  comp AS (SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v),
+  ranked AS (
+    SELECT c.component, c.doc_id, length(d.text) AS quality,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+    FROM comp c JOIN documents d USING (doc_id)
+  )
+  SELECT component, doc_id, quality,
+         CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+  FROM ranked ORDER BY component, doc_id
+"""
+)
+
+
+@register("dedup_cluster_canonical", _CANONICAL_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation step AFTER cluster extraction: per duplicate cluster,
+    keep the best-quality document (here: longest text, deterministic
+    min-id tie-break) and mark the rest for dropping — the decision a
+    training-data pipeline actually executes. Window is per-component
+    (clusters are band-bounded, so partitions stay small)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    comp = dedup.connected_components(pairs)
+    docs = d.select("doc_id", F.length("text").cast("long").alias("quality"))
+    return (
+        dedup.cluster_canonical(comp, docs, "doc_id", "quality")
+        .select("component", "doc_id", "quality", "keep")
+        .orderBy("component", "doc_id")
+    )
+
+
+_CONTAM_SQL = (
+    _shingle_cte(4)
+    + """,
+  ev AS (SELECT DISTINCT shingle FROM shn WHERE doc_id % 97 = 0),
+  tr AS (SELECT doc_id, shingle FROM shn WHERE doc_id % 97 <> 0),
+  tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+  shr AS (SELECT tr.doc_id, count(*) AS n_shared
+          FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+  SELECT t.doc_id, t.n_shingles, s.n_shared
+  FROM tot t JOIN shr s USING (doc_id)
+  ORDER BY doc_id
+"""
+)
+
+
+@register("corpus_contamination", _CONTAM_SQL)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: train docs sharing distinct word
+    4-gram shingles with the eval split (deterministic ``doc_id % 97``
+    membership; real pipelines use longer n-grams — fixture texts are
+    short). Integer-only counts so the oracle replays exactly;
+    downstream thresholds ``n_shared / n_shingles``."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.contamination_counts(
+        d, "doc_id", "text", F.col("doc_id") % 97 == 0, n=4
     ).orderBy("doc_id")
 
 

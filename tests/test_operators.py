@@ -468,3 +468,50 @@ def test_lang_id_multilanguage(spark):
         for r in df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()
     }
     assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "unk", 6: "unk", 7: "unk"}
+
+
+def test_cluster_canonical_one_keeper_per_cluster(spark):
+    """Exactly one keep=1 per component; winner = max quality, min-id
+    tie-break; every clustered doc gets a decision."""
+    from image_deid_etl_spark.operators.dedup import cluster_canonical
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["v", "label"]
+    )
+    docs = spark.createDataFrame(
+        # component 1: doc 2 longest; component 7: quality tie -> min id 7
+        [(1, 10), (2, 30), (3, 20), (7, 5), (8, 5), (99, 999)],
+        ["doc_id", "quality"],
+    )
+    got = {
+        (r["doc_id"]): (r["component"], r["keep"])
+        for r in cluster_canonical(comp, docs, "doc_id", "quality").collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 0), 7: (7, 1), 8: (7, 0)
+    }  # doc 99 is unclustered -> no row
+
+
+def test_contamination_counts_semantics(spark):
+    """Eval docs never appear; counts are distinct-shingle based; train
+    docs sharing nothing with the eval set are absent."""
+    from image_deid_etl_spark.operators.dedup import contamination_counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),       # eval (id % 2 == 0)
+            (1, "the quick brown fox sleeps"),      # train: shares 1 3-gram
+            (3, "a completely different sentence here"),  # train: no overlap
+            (5, "the quick brown fox jumps today"), # train: shares 2 3-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"])
+        for r in contamination_counts(
+            docs, "doc_id", "text", F.col("doc_id") % 2 == 0, n=3
+        ).collect()
+    }
+    # doc 1: 3 shingles, shares "the quick brown"+"quick brown fox" = 2
+    # doc 5: 4 shingles, shares 3 ("... fox jumps" too); doc 3 absent
+    assert got == {1: (3, 2), 5: (4, 3)}
