@@ -201,6 +201,35 @@ def stratified_keep(
     return u < rate
 
 
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    k: int,
+    salt: str = "domcap-v1",
+) -> DataFrame:
+    """Hard per-domain quota: keep at most ``k`` docs per domain, chosen
+    in deterministic md5 order (unbiased within the domain, stable under
+    repartitioning) rather than by a quality sort — bounding heavy-tail
+    domains' ABSOLUTE count is the complement of `stratified_keep`'s
+    rate-based thinning, which cannot cap a domain that dwarfs the rest.
+    Adds ``rk`` (the 1-based pick order) to the kept rows.
+
+    Scale shape: the ``row_number() <= k`` filter right above the window
+    lets Spark insert a map-side ``WindowGroupLimit(Partial)``, so every
+    task forwards at most k rows per domain BEFORE the shuffle — a
+    mega-domain costs each map task O(k log k), not a single-task sort
+    of the whole domain."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 #: auto-sizing target for `pack_sequences`: keep every shard's sequential
 #: stream under this many rows (a shard is one task's worth of work, but
 #: streamed — the cap bounds per-shard WALL TIME, not memory)

@@ -2321,3 +2321,32 @@ def corpus_stratified_sample_derived(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang_pred")
     )
+
+
+@register(
+    "corpus_domain_cap",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('domcap-v1|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, rk FROM ranked WHERE rk <= 10
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: at most 10 docs per source, picked in
+    deterministic md5 order — bounds heavy-tail domains' absolute count
+    (the complement of rate-based stratified sampling). The rank<=k
+    filter compiles to a map-side WindowGroupLimit, so no single task
+    ever sorts a whole mega-domain."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        text.domain_cap(d, "doc_id", "source", k=10)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "doc_id")
+    )

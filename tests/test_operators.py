@@ -515,3 +515,22 @@ def test_contamination_counts_semantics(spark):
     # doc 1: 3 shingles, shares "the quick brown"+"quick brown fox" = 2
     # doc 5: 4 shingles, shares 3 ("... fox jumps" too); doc 3 absent
     assert got == {1: (3, 2), 5: (4, 3)}
+
+
+def test_domain_cap_exact_and_repartition_invariant(spark):
+    """At most k per domain, exactly k where the domain has >= k docs,
+    and the same picks regardless of physical partitioning."""
+    from image_deid_etl_spark.operators.text import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(60)] + [(100, "tiny")],
+        ["doc_id", "domain"],
+    )
+    a = {(r["doc_id"], r["rk"]) for r in domain_cap(df, "doc_id", "domain", 5).collect()}
+    b = {
+        (r["doc_id"], r["rk"])
+        for r in domain_cap(df.repartition(13), "doc_id", "domain", 5).collect()
+    }
+    assert a == b
+    assert len(a) == 3 * 5 + 1  # three capped domains + the tiny one
+    assert (100, 1) in a

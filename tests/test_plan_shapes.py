@@ -90,3 +90,14 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     p = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
     assert "WholeStageCodegen" in p
+
+
+def test_domain_cap_has_mapside_group_limit(spark, sf_dir):
+    """corpus_domain_cap's rank<=k filter must compile to a partial
+    (map-side) WindowGroupLimit: each task forwards at most k rows per
+    domain BEFORE the shuffle, so a mega-domain never funnels through a
+    single task's full sort."""
+    p = plan(spark, sf_dir, "corpus_domain_cap")
+    assert "WindowGroupLimit" in p
+    assert "row_number(), 10, Partial" in p  # map-side, pre-shuffle
+    assert "row_number(), 10, Final" in p
