@@ -219,3 +219,51 @@ def test_bounds_empty_schema_and_lineage_gap(spark, tmp_path):
     assert t.changed_buckets(first_ingest) is None
     after = t.read_changes(spark, first_ingest).toPandas()
     assert len(after) == len(before)
+
+
+def test_apply_contract_over_random_history_pairs(spark, tmp_path):
+    """Torture-grade pin: a skewed, duplicate-laden, out-of-order,
+    delete-heavy feed replayed in 1-file batches with a crash/resume and
+    a mid-history compaction — the apply contract must hold over random
+    (from, to) snapshot pairs sampled across the WHOLE history, including
+    windows that span the compaction (carried-forward buckets) and the
+    empty initial snapshot (pure-insert window)."""
+    import random
+
+    from image_deid_etl_spark.cdc.merge import SimulatedCrash
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(
+        n_events=3000, n_keys=180, p_delete=0.2, dup_frac=0.1,
+        skew=0.6, shuffle=True, n_files=8,
+    )
+    write_feed(feed, spec)
+    with pytest.raises(SimulatedCrash):
+        run_ingest(
+            spark, root, feed, max_files_per_batch=1,
+            auto_compact_files=None, fail_before_commit_on_batch=3,
+        )
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, max_batches=3,
+        auto_compact_files=None,
+    )
+    t = open_table(root)
+    t.compact(spark)
+    run_ingest(spark, root, feed, max_files_per_batch=1, auto_compact_files=None)
+    t = open_table(root)
+
+    snaps = t.snapshots()
+    assert len(snaps) >= 8  # crash survivor + 1-file batches + compaction
+    rng = random.Random(7)
+    pairs = {(snaps[0], snaps[-1])}  # empty initial -> final: all upserts
+    while len(pairs) < 6:
+        a, b = sorted(rng.sample(snaps, 2))
+        pairs.add((a, b))
+    for a, b in sorted(pairs):
+        ch = _changes_frame(t, spark, a, b)
+        applied = _apply_changes(_frame(t.read(spark, snapshot_id=a)), ch)
+        expected = _frame(t.read(spark, snapshot_id=b))
+        pd.testing.assert_frame_equal(
+            applied, expected, check_dtype=False,
+            obj=f"window ({a}, {b}]",
+        )
