@@ -60,13 +60,16 @@ def open_or_create_table(
     n_buckets: int | None = None,
     target_file_rows: int | None = None,
     merge_mode: str | None = None,
+    changelog: bool | None = None,
 ) -> SnapshotTable:
     """Open ``root``, creating it (n_buckets or 16) when absent.
 
     ``n_buckets=None`` means "unspecified" — only an EXPLICIT value that
     differs from an existing table's spec triggers the ignored-request
     warning (the spec is fixed at creation). ``merge_mode`` ("cow"
-    default, or "mor" for merge-on-read) is likewise fixed at creation.
+    default, or "mor" for merge-on-read) and ``changelog`` (materialize a
+    per-commit change log after every commit) are likewise fixed at
+    creation.
     """
     import os
     import sys
@@ -87,14 +90,26 @@ def open_or_create_table(
                 f"requested {merge_mode} is ignored (spec is fixed at create)",
                 file=sys.stderr,
             )
+        if changelog is not None and table.changelog_enabled() != changelog:
+            print(
+                f"warning: table {root} has changelog="
+                f"{table.changelog_enabled()}; requested {changelog} is "
+                f"ignored (spec is fixed at create)",
+                file=sys.stderr,
+            )
         return table
+    props = {}
+    if merge_mode:
+        props["merge_mode"] = merge_mode
+    if changelog:
+        props["changelog"] = True
     return SnapshotTable.create(
         root,
         TABLE_SCHEMA,
         ["repo", "path"],
         n_buckets or 16,
         target_file_rows or (1 << 19),
-        properties={"merge_mode": merge_mode} if merge_mode else None,
+        properties=props or None,
     )
 
 
@@ -272,6 +287,31 @@ def run_maintenance(
     return None
 
 
+def materialize_new_changelogs(
+    spark: SparkSession, table: SnapshotTable, after_sid: int
+) -> int:
+    """Write per-commit change logs for every COMMITTED snapshot
+    > ``after_sid`` that lacks one — merge commits and riding maintenance
+    commits alike. Called with the pre-merge snapshot id after every
+    batch, and once with 0 at ingest start to heal logs a crash between
+    commit and materialization skipped (the two are deliberately not
+    atomic: a missing log only degrades the affected window to the
+    snapshot-diff path). Snapshots whose parent manifest has expired are
+    skipped — their windows stay on the fallback."""
+    n = 0
+    for sid in table.snapshots():
+        if sid <= after_sid or sid == 0 or table.changelog_ready(sid):
+            continue
+        parent = table.manifest(sid, with_files=False)["parent_id"]
+        try:
+            table.manifest(parent, with_files=False)
+        except FileNotFoundError:
+            continue
+        table.materialize_changelog(spark, sid)
+        n += 1
+    return n
+
+
 def run_ingest(
     spark: SparkSession,
     table_root: str,
@@ -286,6 +326,7 @@ def run_ingest(
     auto_compact_files: int | None = 32,
     merge_mode: str | None = None,
     adaptive: bool = True,
+    changelog: bool | None = None,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash.
@@ -296,7 +337,14 @@ def run_ingest(
     ingest loop, so file counts plateau without a manual `compact`
     call; None disables). Counting reads only the touched buckets'
     manifest shards — O(batch), like the rest of the loop."""
-    table = open_or_create_table(table_root, n_buckets, target_file_rows, merge_mode)
+    table = open_or_create_table(
+        table_root, n_buckets, target_file_rows, merge_mode, changelog
+    )
+    if table.changelog_enabled():
+        # heal logs a pre-crash run committed but never materialized
+        # (commit and log write are not atomic by design — a missing log
+        # only degrades the affected window to the snapshot-diff path)
+        materialize_new_changelogs(spark, table, 0)
     off0 = table.offsets()
     if off0.get("last_epoch") is not None and off0.get("committed_feed_files", 0) == 0:
         # the table was fed by the STREAMING path, whose file tracking
@@ -346,9 +394,13 @@ def run_ingest(
         stats.batches += 1
         stats.events += n
         stats.batch_events.append(n)
+        merged_sid = table.snapshot_id
         compacted = run_maintenance(spark, table, touched, auto_compact_files)
         if compacted is not None:
             stats.compactions.append(compacted)
+        if table.changelog_enabled():
+            # the merge commit AND any riding maintenance commit
+            materialize_new_changelogs(spark, table, merged_sid - 1)
         stats.snapshot_id = table.snapshot_id
         # after auto-compaction so sum(batch_secs) ≈ duration_sec
         stats.batch_secs.append(round(time.time() - tb0, 3))

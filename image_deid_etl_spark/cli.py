@@ -75,6 +75,7 @@ def cmd_ingest(args) -> None:
             max_files_per_trigger=args.batch_files,
             merge_mode=args.merge_mode,
             adaptive=not args.no_adaptive,
+            changelog=args.changelog or None,
         )
         if args.max_batches is not None:
             print("warning: --max-batches has no effect with --streaming", file=sys.stderr)
@@ -91,6 +92,7 @@ def cmd_ingest(args) -> None:
         max_batches=args.max_batches,
         merge_mode=args.merge_mode,
         adaptive=not args.no_adaptive,
+        changelog=args.changelog or None,
     )
     print(
         json.dumps(
@@ -199,7 +201,9 @@ def cmd_expire(args) -> None:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
-    res = table.expire_snapshots(keep_last=args.keep_last)
+    res = table.expire_snapshots(
+        keep_last=args.keep_last, changelog_keep_last=args.changelog_keep_last
+    )
     print(json.dumps(res))
 
 
@@ -323,6 +327,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="table merge mode at creation (fixed thereafter)")
     i.add_argument("--no-adaptive", action="store_true",
                    help="disable the per-batch adaptive CoW->MoR append")
+    i.add_argument("--changelog", action="store_true",
+                   help="at table creation: materialize a per-commit change "
+                        "log (makes `changes` O(changes in window))")
     i.add_argument("--checkpoint", default=None)
     i.set_defaults(fn=cmd_ingest)
 
@@ -334,6 +341,12 @@ def main(argv: list[str] | None = None) -> None:
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
     x.add_argument("--table", required=True)
     x.add_argument("--keep-last", type=int, default=2)
+    x.add_argument(
+        "--changelog-keep-last", type=int, default=None,
+        help="also drop per-commit change logs older than the last N "
+             "commits (default: keep all — CDC retention is decoupled "
+             "from snapshot retention)",
+    )
     x.set_defaults(fn=cmd_expire)
 
     k = sub.add_parser("compact", help="fold small data files per bucket (rewrite_data_files)")

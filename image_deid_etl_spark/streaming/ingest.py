@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..cdc.engine import compute_batch_stats, open_or_create_table, run_maintenance
+from ..cdc.engine import (
+    compute_batch_stats,
+    materialize_new_changelogs,
+    open_or_create_table,
+    run_maintenance,
+)
 from ..cdc.feed import FEED_SCHEMA, export_manifest_chunks
 from ..cdc.merge import merge_into
 
@@ -90,15 +95,21 @@ def stream_ingest(
     auto_compact_files: int | None = 32,
     merge_mode: str | None = None,
     adaptive: bool = True,
+    changelog: bool | None = None,
 ) -> None:
     """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch.
 
     ``schema=None`` (default) infers the evolved union schema from the
     feed's footers at start — restarting after a mid-feed column add
     picks the new column up without replay. ``auto_compact_files``,
-    ``merge_mode`` and ``adaptive`` mirror `run_ingest` (maintenance
-    hook, table mode at creation, per-batch adaptive CoW→MoR)."""
-    open_or_create_table(table_root, n_buckets, merge_mode=merge_mode)
+    ``merge_mode``, ``adaptive`` and ``changelog`` mirror `run_ingest`
+    (maintenance hook, table modes at creation, per-batch adaptive
+    CoW→MoR, per-commit change-log materialization)."""
+    t0 = open_or_create_table(
+        table_root, n_buckets, merge_mode=merge_mode, changelog=changelog
+    )
+    if t0.changelog_enabled():
+        materialize_new_changelogs(spark, t0, 0)  # heal pre-crash gaps
     if schema is None:
         schema = infer_feed_schema(spark, feed_dir)
     # epoch ids are only meaningful within ONE checkpoint lineage: a fresh
@@ -138,6 +149,7 @@ def stream_ingest(
             return
         if bdf.isEmpty():
             return
+        pre_sid = t.snapshot_id
         # same per-batch stats job as the batch loop (r4 parity): the
         # prune-ladder short-circuit and the adaptive CoW→MoR decision
         # now apply to streamed micro-batches too
@@ -158,6 +170,8 @@ def stream_ingest(
         # triggers — the latter is what keeps adaptive appends' read-time
         # window bounded on the streaming path too)
         run_maintenance(bdf.sparkSession, t, touched, auto_compact_files)
+        if t.changelog_enabled():
+            materialize_new_changelogs(bdf.sparkSession, t, pre_sid)
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

@@ -267,3 +267,165 @@ def test_apply_contract_over_random_history_pairs(spark, tmp_path):
             applied, expected, check_dtype=False,
             obj=f"window ({a}, {b}]",
         )
+
+
+# --------------------------------------------------------------------- #
+# materialized changelog (Delta-CDF-style fold)
+# --------------------------------------------------------------------- #
+
+def _both_paths(t, spark, a, b=None):
+    fast = _changes_frame_of(t.read_changes(spark, a, b, use_changelog=True))
+    slow = _changes_frame_of(t.read_changes(spark, a, b, use_changelog=False))
+    return fast, slow
+
+
+def _changes_frame_of(df) -> pd.DataFrame:
+    return (
+        df.select(
+            "repo",
+            "path",
+            F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"),
+            "commit_seq",
+            "_change_type",
+        )
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def test_changelog_fold_matches_snapshot_diff(spark, tmp_path):
+    """Exact output parity (rows, preimages, seqs) between the log fold
+    and the snapshot diff over several windows of a delete-heavy,
+    duplicate-laden, out-of-order history; every commit (merges AND the
+    riding auto-compactions) must have a materialized log."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(
+        n_events=2500, n_keys=160, p_delete=0.2, dup_frac=0.1,
+        shuffle=True, n_files=6,
+    )
+    write_feed(feed, spec)
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=4,
+        changelog=True,
+    )
+    t = open_table(root)
+    assert t.changelog_enabled()
+    snaps = t.snapshots()
+    for sid in snaps[1:]:
+        assert t.changelog_ready(sid), f"no log for snapshot {sid}"
+    windows = [
+        (snaps[0], snaps[-1]),
+        (snaps[1], snaps[-1]),
+        (snaps[len(snaps) // 2], snaps[-1]),
+        (snaps[1], snaps[len(snaps) // 2]),
+        (snaps[-2], snaps[-1]),
+    ]
+    for a, b in windows:
+        fast, slow = _both_paths(t, spark, a, b)
+        pd.testing.assert_frame_equal(fast, slow, obj=f"window ({a}, {b}]")
+        applied = _apply_changes(_frame(t.read(spark, snapshot_id=a)), fast)
+        expected = _frame(t.read(spark, snapshot_id=b))
+        pd.testing.assert_frame_equal(applied, expected, check_dtype=False)
+
+
+def test_changelog_net_semantics_insert_delete_and_update_delete(spark, tmp_path):
+    """A key inserted AND deleted inside the window emits nothing; a key
+    updated then deleted emits ONE delete carrying the from-winner
+    preimage (value and commit_seq of the state at `from`) — on both
+    physical paths."""
+    import numpy as np
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+
+    def chunk(idx, rows):
+        pd.DataFrame(
+            {
+                "seq": np.array([r[0] for r in rows], dtype=np.int64),
+                "op": [r[1] for r in rows],
+                "repo": "r",
+                "path": [r[2] for r in rows],
+                "commit": "c",
+                "lang": "py",
+                "content": [r[3] for r in rows],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    chunk(0, [(1, "add", "B", "b-original")])
+    chunk(1, [(2, "add", "A", "a-new"), (3, "add", "B", "b-updated")])
+    chunk(2, [(4, "delete", "A", None), (5, "delete", "B", None)])
+
+    root = str(tmp_path / "t")
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+        changelog=True,
+    )
+    t = open_table(root)
+    s1 = t.snapshots()[1]  # only B live, b-original
+    from_state = _frame(t.read(spark, snapshot_id=s1))
+    assert list(from_state["path"]) == ["B"]
+    fast, slow = _both_paths(t, spark, s1)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert list(fast["path"]) == ["B"], "insert-then-delete A must net out"
+    assert fast.loc[0, "_change_type"] == "delete"
+    assert fast.loc[0, "commit_seq"] == 1, "preimage must be the from-winner"
+    assert fast.loc[0, "sha"] == from_state.loc[0, "sha"]
+
+
+def test_changelog_missing_log_falls_back(spark, tmp_path):
+    """Deleting one mid-window log degrades that window to the snapshot
+    diff — same answer; windows not containing the gap keep folding."""
+    import shutil
+
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=1200, n_keys=100, p_delete=0.15, n_files=4))
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+        changelog=True,
+    )
+    t = open_table(root)
+    snaps = t.snapshots()
+    victim = snaps[2]
+    shutil.rmtree(t._changelog_dir(victim))
+    assert not t.changelog_ready(victim)
+    fast, slow = _both_paths(t, spark, snaps[1])  # window spans the gap
+    pd.testing.assert_frame_equal(fast, slow)
+    applied = _apply_changes(_frame(t.read(spark, snapshot_id=snaps[1])), fast)
+    pd.testing.assert_frame_equal(
+        applied, _frame(t.read(spark)), check_dtype=False
+    )
+    # the healer rewrites the missing log on the next ingest invocation
+    run_ingest(spark, root, feed, changelog=True)
+    assert t.changelog_ready(victim)
+    fast2, _ = _both_paths(t, spark, snaps[1])
+    pd.testing.assert_frame_equal(fast2, slow)
+
+
+def test_changelog_serves_windows_beyond_snapshot_retention(spark, tmp_path):
+    """After expire_snapshots, a window whose `from` manifest is GONE is
+    still readable via the log fold (CDC retention decoupled); the
+    optional changelog_keep_last sweep then drops old logs."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=1200, n_keys=100, p_delete=0.15, n_files=4))
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+        changelog=True,
+    )
+    t = open_table(root)
+    snaps = t.snapshots()
+    old_from = snaps[1]
+    expected = _changes_frame_of(
+        t.read_changes(spark, old_from, use_changelog=False)
+    )
+    res = t.expire_snapshots(keep_last=2)
+    assert old_from in res["expired_snapshots"]
+    with pytest.raises((FileNotFoundError, ValueError)):
+        t.read_changes(spark, old_from, use_changelog=False).count()
+    got = _changes_frame_of(t.read_changes(spark, old_from))
+    pd.testing.assert_frame_equal(got, expected)
+    # retention sweep
+    res2 = t.expire_snapshots(keep_last=2, changelog_keep_last=1)
+    assert res2["removed_changelogs"] > 0
+    assert not t.changelog_ready(old_from + 1)

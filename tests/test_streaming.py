@@ -314,3 +314,42 @@ def test_stream_restart_preserves_adaptive_state(spark, tmp_path):
         )
 
     pd.testing.assert_frame_equal(state(t), state(t2), check_dtype=False)
+
+
+def test_stream_ingest_materializes_changelogs(spark, tmp_path):
+    """The streaming path materializes a per-commit log for every epoch
+    commit (and any riding maintenance commit); the fold equals the
+    snapshot diff over the whole history."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = FeedSpec(n_events=1200, n_keys=100, p_delete=0.15, n_files=6)
+    write_feed(feed, spec)
+
+    stream_ingest(
+        spark, root, feed, ckpt, max_files_per_trigger=2, changelog=True
+    )
+    t = open_or_create_table(root)
+    assert t.changelog_enabled()
+    snaps = t.snapshots()
+    assert len(snaps) >= 3
+    for sid in snaps[1:]:
+        assert t.changelog_ready(sid), f"no log for epoch commit {sid}"
+
+    def fr(df):
+        return (
+            df.select(
+                "repo",
+                "path",
+                F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"),
+                "commit_seq",
+                "_change_type",
+            )
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    a = snaps[1]
+    fast = fr(t.read_changes(spark, a, use_changelog=True))
+    slow = fr(t.read_changes(spark, a, use_changelog=False))
+    pd.testing.assert_frame_equal(fast, slow)
