@@ -151,6 +151,16 @@ def main() -> None:
     raw_runs["cdc_replay_uniform_mor"] = uni["mor"]
     total += cow_med + mor_med
 
+    # --- incremental read: changelog fold vs snapshot diff (r5) ----------
+    chg = _bench_changes_fold(spark, runs=n_runs)
+    fold_med = round(statistics.median(chg["fold"]), 3)
+    diff_med = round(statistics.median(chg["diff"]), 3)
+    per_query["cdc_changes_fold"] = fold_med
+    per_query["cdc_changes_diff"] = diff_med
+    raw_runs["cdc_changes_fold"] = chg["fold"]
+    raw_runs["cdc_changes_diff"] = chg["diff"]
+    total += fold_med + diff_med
+
     out = {
         "metric": "headline_suite_plus_cdc_replay",
         "value": round(total, 3),
@@ -163,6 +173,8 @@ def main() -> None:
         "cdc_uniform_update_events": uni["events"],
         "cdc_uniform_update_events_per_sec": round(uni["events"] / cow_med, 1) if cow_med else 0.0,
         "cdc_uniform_default_vs_mor": round(cow_med / mor_med, 3) if mor_med else None,
+        "cdc_changes_window_rows": chg["window_rows"],
+        "cdc_changes_fold_vs_diff": round(fold_med / diff_med, 3) if diff_med else None,
         "host_quiet_ratio_at_replay": quiet_ratio,
         "cpus": cpus,
     }
@@ -229,6 +241,56 @@ def _bench_uniform_update(spark, runs: int) -> dict:
                 shutil.rmtree(root, ignore_errors=True)
             out[mode] = times
         out["events"] = n_upd * upd_size
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_changes_fold(spark, runs: int) -> dict:
+    """Incremental-read shapes (r5): a BIG bootstrapped table with a
+    SMALL multi-commit change window — the CDC-consumer case the
+    materialized changelog exists for. Times `read_changes` over the
+    same window via (a) the log fold (O(changes), reads no table state)
+    and (b) the bucket-pruned snapshot diff (O(touched-bucket state at
+    two snapshots)). Uniform update keys touch every bucket, so the diff
+    cannot bucket-prune — the honest worst case for it."""
+    import numpy as np
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import write_uniform_chunk
+
+    n_keys = int(os.environ.get("BENCH_CHANGES_KEYS", "200000"))
+    n_upd, upd_size = 6, 5000
+    bench_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_chg_", dir=bench_tmp)
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        write_uniform_chunk(feed, 0, list(range(n_keys)), 1)
+        rng = np.random.RandomState(11)
+        for u in range(n_upd):
+            write_uniform_chunk(
+                feed, u + 1, list(rng.randint(0, n_keys, upd_size)),
+                10_000_000 + u * upd_size,
+            )
+        root = os.path.join(work, "t")
+        run_ingest(
+            spark, root, feed, max_files_per_batch=1, n_buckets=32,
+            auto_compact_files=None, changelog=True,
+        )
+        t = open_table(root)
+        first = t.snapshots()[1]  # window = everything after the bootstrap
+        out: dict = {"fold": [], "diff": []}
+        window_rows = None
+        for _ in range(runs):
+            t0 = time.time()
+            n_fold = t.read_changes(spark, first, use_changelog=True).count()
+            out["fold"].append(round(time.time() - t0, 3))
+            t0 = time.time()
+            n_diff = t.read_changes(spark, first, use_changelog=False).count()
+            out["diff"].append(round(time.time() - t0, 3))
+            assert n_fold == n_diff, (n_fold, n_diff)
+            window_rows = n_fold
+        out["window_rows"] = window_rows
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

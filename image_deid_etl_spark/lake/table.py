@@ -801,30 +801,36 @@ class SnapshotTable:
                 ).cast("long"),
             )
         )
-        ev = logs.filter(F.col("_change_type") != "update_preimage")
-        g = ev.groupBy(*key_cols).agg(
-            F.min("_sid").alias("_first_sid"),
-            F.min_by("_change_type", "_sid").alias("_first_type"),
-            F.max_by(
-                F.struct(*cols, "_change_type"), "_sid"
-            ).alias("_last"),
+        # ONE partial-aggregating groupBy serves the whole fold (no second
+        # scan, no join). min_by/max_by key on MASKED commit ids (null =
+        # row invisible to that aggregate — verified null-skip semantics),
+        # because a raw struct min/max cannot order map-typed payload
+        # columns. _sid is unique per (key, commit), so the picks are
+        # deterministic.
+        ev_sid = F.when(F.col("_change_type") != "update_preimage", F.col("_sid"))
+        pre_sid = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.col("_sid")
+        )
+        row_s = F.struct(*[F.col(c) for c in cols])
+        g = logs.groupBy(*key_cols).agg(
+            F.max_by(row_s, ev_sid).alias("_last"),      # final event's row
+            F.max_by("_change_type", ev_sid).alias("_last_ct"),
+            F.min_by("_change_type", ev_sid).alias("_first_ct"),
+            F.min_by(row_s, pre_sid).alias("_pre"),      # first preimage row
         )
         ups = (
-            g.filter(F.col("_last._change_type") != "delete")
+            g.filter(F.col("_last_ct") != "delete")
             .select(*[F.col(f"_last.{c}").alias(c) for c in cols])
             .withColumn("_change_type", F.lit("upsert"))
         )
-        del_keys = g.filter(
-            (F.col("_last._change_type") == "delete")
-            & (F.col("_first_type") != "insert")
-        ).select(*key_cols, F.col("_first_sid").alias("_sid"))
-        pre = (
-            logs.filter(F.col("_change_type").isin("update_preimage", "delete"))
-            .join(del_keys, [*key_cols, "_sid"])
-            .select(*cols)
+        dels = (
+            g.filter(
+                (F.col("_last_ct") == "delete") & (F.col("_first_ct") != "insert")
+            )
+            .select(*[F.col(f"_pre.{c}").alias(c) for c in cols])
             .withColumn("_change_type", F.lit("delete"))
         )
-        return ups.unionByName(pre).select(*cols, "_change_type")
+        return ups.unionByName(dels).select(*cols, "_change_type")
 
     # ------------------------------------------------------------------ #
     # write path (used by merge.py)
