@@ -721,7 +721,11 @@ class SnapshotTable:
         require double-consuming the winner set (the table write and the
         log write are different row sets) and stays future work.
         Idempotent: re-materializing overwrites atomically (_SUCCESS is
-        the readiness marker)."""
+        the readiness marker). Publication is write-to-hidden-tmp +
+        rename, so a `stream_changes` consumer tailing the directory
+        never lists a half-written commit (on object stores without
+        atomic rename, the _SUCCESS check inside the dir is the
+        fallback guard)."""
         sid = self.snapshot_id if snapshot_id is None else snapshot_id
         parent = self.manifest(sid, with_files=False)["parent_id"]
         if parent is None:
@@ -756,8 +760,15 @@ class SnapshotTable:
                 .unionByName(dels, allowMissingColumns=True)
                 .select(*cols, "_change_type")
             )
+        import shutil
+        import uuid
+
         path = self._changelog_dir(sid)
-        ch.write.mode("overwrite").parquet(path)
+        tmp = os.path.join(self.root, CHANGELOG, f".tmp-{uuid.uuid4().hex}")
+        ch.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
         return path
 
     def _fold_changelogs(
@@ -1385,20 +1396,29 @@ class SnapshotTable:
                     # and the empty partition tree in one go
                     shutil.rmtree(droot, ignore_errors=True)
         removed_changelogs = 0
-        if changelog_keep_last is not None:
-            cdir = os.path.join(self.root, CHANGELOG)
-            horizon = current - changelog_keep_last
-            if os.path.isdir(cdir):
-                for dname in sorted(os.listdir(cdir)):
-                    m = re.match(r"commit-(\d{10})$", dname)
-                    if m and int(m.group(1)) <= horizon:
-                        full = os.path.join(cdir, dname)
-                        for dirpath, _dirs, fnames in os.walk(full):
-                            for fn in fnames:
-                                removed_bytes += os.path.getsize(
-                                    os.path.join(dirpath, fn)
-                                )
-                        shutil.rmtree(full, ignore_errors=True)
+        cdir = os.path.join(self.root, CHANGELOG)
+        if os.path.isdir(cdir):
+            horizon = (
+                current - changelog_keep_last
+                if changelog_keep_last is not None
+                else None
+            )
+            for dname in sorted(os.listdir(cdir)):
+                # crash orphans: a materialize that died between the tmp
+                # write and the rename (hidden, so never read)
+                dead = dname.startswith(".tmp-")
+                m = re.match(r"commit-(\d{10})$", dname)
+                if not dead and m and horizon is not None:
+                    dead = int(m.group(1)) <= horizon
+                if dead:
+                    full = os.path.join(cdir, dname)
+                    for dirpath, _dirs, fnames in os.walk(full):
+                        for fn in fnames:
+                            removed_bytes += os.path.getsize(
+                                os.path.join(dirpath, fn)
+                            )
+                    shutil.rmtree(full, ignore_errors=True)
+                    if not dname.startswith(".tmp-"):
                         removed_changelogs += 1
         return {
             "expired_snapshots": expired,

@@ -353,3 +353,67 @@ def test_stream_ingest_materializes_changelogs(spark, tmp_path):
     fast = fr(t.read_changes(spark, a, use_changelog=True))
     slow = fr(t.read_changes(spark, a, use_changelog=False))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_stream_changes_consumer(spark, tmp_path):
+    """stream_changes tails the materialized logs: an AvailableNow pass
+    delivers every commit's classified events exactly once; a restart
+    from the same checkpoint delivers only commits materialized since."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.engine import run_ingest
+    from image_deid_etl_spark.streaming.ingest import stream_changes
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+
+    def chunk(idx, rows):
+        pd.DataFrame(
+            {
+                "seq": np.array([r[0] for r in rows], dtype=np.int64),
+                "op": [r[1] for r in rows],
+                "repo": "r",
+                "path": [r[2] for r in rows],
+                "commit": "c",
+                "lang": "py",
+                "content": [r[3] for r in rows],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    chunk(0, [(1, "add", "B", "b1")])
+    chunk(1, [(2, "add", "A", "a1"), (3, "add", "B", "b2")])
+    root = str(tmp_path / "t")
+    run_ingest(
+        spark, root, str(feed), max_files_per_batch=1,
+        auto_compact_files=None, changelog=True,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rows = []
+        q = (
+            stream_changes(spark, root)
+            .writeStream.foreachBatch(lambda df, eid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["path"], r["_change_type"], r["_commit_snapshot"]) for r in rows
+        }
+
+    got = drain()
+    assert got == {
+        ("B", "insert", 1),
+        ("A", "insert", 2),
+        ("B", "update", 2),  # update_preimage filtered by default
+    }
+
+    # new commits after the first drain: only their events arrive
+    chunk(2, [(4, "delete", "A", None)])
+    run_ingest(spark, root, str(feed), max_files_per_batch=1, auto_compact_files=None)
+    got2 = drain()
+    assert got2 == {("A", "delete", 3)}
