@@ -11,6 +11,7 @@ anywhere simply replays the uncommitted batch to the identical result
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -290,22 +291,52 @@ def run_maintenance(
 def materialize_new_changelogs(
     spark: SparkSession, table: SnapshotTable, after_sid: int
 ) -> int:
-    """Write per-commit change logs for every COMMITTED snapshot
+    """Write per-commit change logs for every committed snapshot
     > ``after_sid`` that lacks one — merge commits and riding maintenance
     commits alike. Called with the pre-merge snapshot id after every
-    batch, and once with 0 at ingest start to heal logs a crash between
-    commit and materialization skipped (the two are deliberately not
-    atomic: a missing log only degrades the affected window to the
-    snapshot-diff path). Snapshots whose parent manifest has expired are
-    skipped — their windows stay on the fallback."""
+    batch (cost: O(new commits), a contiguous id range — no history
+    listing), and once with 0 at ingest start to heal logs a crash
+    between commit and materialization skipped (the two are deliberately
+    not atomic: a missing log only degrades the affected window to the
+    snapshot-diff path).
+
+    Heal policy: materialization runs in ascending order right after
+    each commit, so a crash can only lose a TAIL of logs — healing
+    therefore starts at the HIGHEST existing ready log. A mid-history
+    gap below it can only be a deliberate retention sweep
+    (``expire --changelog-keep-last``) and is left alone: resurrecting
+    swept logs would undo the user's retention choice and re-deliver old
+    commits to checkpointed `stream_changes` consumers as never-seen
+    files. Snapshots whose own or parent manifest has expired are
+    skipped — their windows stay on the snapshot-diff fallback."""
+    import re
+
+    from ..lake.table import CHANGELOG
+
+    current = table.snapshot_id
+    floor = after_sid
+    if after_sid == 0:  # startup heal — bound the scan once, not per batch
+        cdir = os.path.join(table.root, CHANGELOG)
+        if os.path.isdir(cdir):
+            ready = [
+                int(m.group(1))
+                for dn in os.listdir(cdir)
+                if (m := re.match(r"commit-(\d{10})$", dn))
+                and table.changelog_ready(int(m.group(1)))
+            ]
+            if ready:
+                floor = max(floor, max(ready))
+        snaps = table.snapshots()
+        if snaps:  # below the oldest retained manifest nothing can diff
+            floor = max(floor, snaps[0])
     n = 0
-    for sid in table.snapshots():
-        if sid <= after_sid or sid == 0 or table.changelog_ready(sid):
+    for sid in range(floor + 1, current + 1):
+        if table.changelog_ready(sid):
             continue
-        parent = table.manifest(sid, with_files=False)["parent_id"]
         try:
-            table.manifest(parent, with_files=False)
-        except FileNotFoundError:
+            table.manifest(sid, with_files=False)
+            table.manifest(sid - 1, with_files=False)
+        except (FileNotFoundError, ValueError):
             continue
         table.materialize_changelog(spark, sid)
         n += 1

@@ -553,16 +553,23 @@ class SnapshotTable:
             raise ValueError(
                 f"from_snapshot {from_snapshot_id} is after to_snapshot {to_id}"
             )
-        want = set(range(from_snapshot_id + 1, to_id + 1))
+        want = range(from_snapshot_id + 1, to_id + 1)
         if not want:
             return set()
         touched: set[int] = set()
-        seen: set[int] = set()
-        for entry in self.lineage():
-            sid = entry.get("snapshot_id")
-            if sid not in want:
-                continue
-            seen.add(sid)
+        # direct per-sid lineage reads — O(window commits), NOT O(history)
+        # (snapshot ids are contiguous, so the window names its own files;
+        # an orphaned pre-crash lineage file is overwritten by the resumed
+        # commit of the same id before the pointer swap, so any file for a
+        # committed sid is the committed entry)
+        for sid in want:
+            try:
+                with open(
+                    os.path.join(self.root, LINEAGE, f"lineage-{sid:010d}.json")
+                ) as f:
+                    entry = json.load(f)
+            except FileNotFoundError:
+                return None  # lineage gap (e.g. expired) — diff unpruned
             for p in entry.get("partitions", []):
                 part = p.get("partition", "")
                 if not part.startswith("bucket="):
@@ -571,8 +578,6 @@ class SnapshotTable:
                     touched.add(int(part.split("=", 1)[1]))
                 except ValueError:
                     return None
-        if seen != want:
-            return None  # lineage gap (e.g. expired) — diff unpruned
         return touched
 
     def _live_keyed(
@@ -694,13 +699,32 @@ class SnapshotTable:
         the snapshot diff."""
         return os.path.exists(os.path.join(self._changelog_dir(snapshot_id), "_SUCCESS"))
 
-    def _empty_changes(self, spark: SparkSession, to_id: int) -> DataFrame:
-        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
-        empty = T.StructType(
-            [f for f in self._read_schema(to_id).fields if f.name in cols]
-            + [T.StructField("_change_type", T.StringType(), False)]
+    def changelog_read_schema(self, snapshot_id: int | None = None) -> T.StructType:
+        """The one definition of a change row's shape (table columns at
+        the given snapshot + ``commit_seq`` + ``_change_type``) — shared
+        by the fold, the empty result, and the `stream_changes` consumer
+        so they can never drift. Reading older logs with this (current)
+        schema follows the data-file discipline: later-added columns →
+        null, pre-widening types → parquet upcast, footerless empty logs
+        → empty frame."""
+        cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
+        return T.StructType(
+            [f for f in self._read_schema(snapshot_id).fields if f.name in cols]
+            + [T.StructField("_change_type", T.StringType(), True)]
         )
-        return spark.createDataFrame([], empty)
+
+    @staticmethod
+    def changelog_sid_col():
+        """Commit id of a changelog row, extracted from its file's PARENT
+        directory — anchored to the path tail so a ``commit-<digits>``
+        segment anywhere else in the table's root path can never shadow
+        it."""
+        return F.regexp_extract(
+            F.col("_metadata.file_path"), r"/commit-(\d{10})/[^/]*$", 1
+        ).cast("long")
+
+    def _empty_changes(self, spark: SparkSession, to_id: int) -> DataFrame:
+        return spark.createDataFrame([], self.changelog_read_schema(to_id))
 
     def materialize_changelog(
         self, spark: SparkSession, snapshot_id: int | None = None
@@ -792,25 +816,12 @@ class SnapshotTable:
             return self._empty_changes(spark, to_id)
         key_cols = self.key_cols()
         cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
-        # explicit read schema (same discipline as the data-file read
-        # path): older logs lack later-added columns (→ null) and may
-        # store pre-widening types (→ parquet upcast); an EMPTY log
-        # (compaction / metadata-only commit) may hold no footer at all
-        log_schema = T.StructType(
-            [f for f in self._read_schema(to_id).fields if f.name in cols]
-            + [T.StructField("_change_type", T.StringType(), True)]
-        )
         # ONE scan relation over all per-commit dirs (not a union of N
         # plans); the commit id rides in from the directory name
         logs = (
-            spark.read.schema(log_schema)
+            spark.read.schema(self.changelog_read_schema(to_id))
             .parquet(*[self._changelog_dir(s) for s in sids])
-            .withColumn(
-                "_sid",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), r"commit-(\d{10})", 1
-                ).cast("long"),
-            )
+            .withColumn("_sid", self.changelog_sid_col())
         )
         # ONE partial-aggregating groupBy serves the whole fold (no second
         # scan, no join). min_by/max_by key on MASKED commit ids (null =

@@ -230,21 +230,11 @@ def stream_changes(
         raise ValueError(
             f"table {table_root} was not created with changelog=True"
         )
-    cols = [f.name for f in t.schema().fields] + ["commit_seq"]
-    log_schema = T.StructType(
-        [f for f in t._read_schema().fields if f.name in cols]
-        + [T.StructField("_change_type", T.StringType(), True)]
-    )
-    reader = spark.readStream.schema(log_schema)
+    reader = spark.readStream.schema(t.changelog_read_schema())
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(os.path.join(table_root, CHANGELOG, "commit-*"))
-    src = src.withColumn(
-        "_commit_snapshot",
-        F.regexp_extract(
-            F.col("_metadata.file_path"), r"commit-(\d{10})", 1
-        ).cast("long"),
-    )
+    src = src.withColumn("_commit_snapshot", t.changelog_sid_col())
     if not include_preimages:
         src = src.filter(F.col("_change_type") != "update_preimage")
     return src

@@ -375,8 +375,12 @@ def test_changelog_net_semantics_insert_delete_and_update_delete(spark, tmp_path
 
 
 def test_changelog_missing_log_falls_back(spark, tmp_path):
-    """Deleting one mid-window log degrades that window to the snapshot
-    diff — same answer; windows not containing the gap keep folding."""
+    """Any missing log degrades its windows to the snapshot diff — same
+    answer. The ingest-start healer rewrites a missing TAIL log (the only
+    gap a crash can produce: materialization runs in commit order), but
+    leaves a mid-history gap alone — that shape is a deliberate
+    retention sweep, and resurrecting it would re-deliver old commits to
+    checkpointed stream_changes consumers."""
     import shutil
 
     feed, root = str(tmp_path / "f"), str(tmp_path / "t")
@@ -387,18 +391,22 @@ def test_changelog_missing_log_falls_back(spark, tmp_path):
     )
     t = open_table(root)
     snaps = t.snapshots()
-    victim = snaps[2]
-    shutil.rmtree(t._changelog_dir(victim))
-    assert not t.changelog_ready(victim)
-    fast, slow = _both_paths(t, spark, snaps[1])  # window spans the gap
+    mid, tail = snaps[2], snaps[-1]
+    shutil.rmtree(t._changelog_dir(mid))
+    shutil.rmtree(t._changelog_dir(tail))
+    for victim in (mid, tail):
+        assert not t.changelog_ready(victim)
+    fast, slow = _both_paths(t, spark, snaps[1])  # window spans both gaps
     pd.testing.assert_frame_equal(fast, slow)
     applied = _apply_changes(_frame(t.read(spark, snapshot_id=snaps[1])), fast)
     pd.testing.assert_frame_equal(
         applied, _frame(t.read(spark)), check_dtype=False
     )
-    # the healer rewrites the missing log on the next ingest invocation
+    # next ingest invocation: tail healed (crash shape), mid respected
     run_ingest(spark, root, feed, changelog=True)
-    assert t.changelog_ready(victim)
+    assert t.changelog_ready(tail)
+    assert not t.changelog_ready(mid)
+    # the mid-gap window still answers via the fallback, identically
     fast2, _ = _both_paths(t, spark, snaps[1])
     pd.testing.assert_frame_equal(fast2, slow)
 
