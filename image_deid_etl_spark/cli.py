@@ -174,6 +174,24 @@ def cmd_validate(args) -> None:
 
         if _pq.ParquetFile(full).metadata.num_rows != f["rows"]:
             fsck["row_mismatch_files"] += 1
+    # changelog audit — informational, NOT an fsck failure: a missing log
+    # is a legitimate state (retention sweep, or a crash gap the next
+    # ingest heals); its windows just use the snapshot-diff path
+    changelog_report = {"enabled": table.changelog_enabled()}
+    if changelog_report["enabled"]:
+        from .lake.table import CHANGELOG as _CHANGELOG
+
+        cdir = _os.path.join(table.root, _CHANGELOG)
+        retained = [s for s in table.snapshots() if s > 0]
+        changelog_report.update(
+            retained_commits=len(retained),
+            logs_ready=sum(1 for s in retained if table.changelog_ready(s)),
+            tmp_orphans=(
+                sum(1 for d in _os.listdir(cdir) if d.startswith(".tmp-"))
+                if _os.path.isdir(cdir)
+                else 0
+            ),
+        )
     print(
         json.dumps(
             {
@@ -186,6 +204,7 @@ def cmd_validate(args) -> None:
                 "null_content_rows": stats["null_content"],
                 "snapshots": table.snapshots(),
                 "lineage_commits": len(table.lineage()),
+                "changelog": changelog_report,
                 "fsck": fsck,
             }
         )
