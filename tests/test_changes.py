@@ -437,3 +437,42 @@ def test_changelog_serves_windows_beyond_snapshot_retention(spark, tmp_path):
     res2 = t.expire_snapshots(keep_last=2, changelog_keep_last=1)
     assert res2["removed_changelogs"] > 0
     assert not t.changelog_ready(old_from + 1)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 51])
+def test_randomized_feed_changelog_fold_matches_diff(spark, tmp_path, seed):
+    """Property-style parity: random op mixes (out-of-order, duplicates,
+    deletes, skew) ingested commit-per-chunk on a changelog table — the
+    log fold and the snapshot diff must agree to the row over random
+    windows, including the full-history and empty windows."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    spec = FeedSpec(
+        n_events=int(rng.integers(300, 1200)),
+        n_keys=int(rng.integers(10, 150)),
+        n_repos=int(rng.integers(2, 10)),
+        seed=seed,
+        skew=float(rng.choice([0.0, 0.5])),
+        p_update=float(rng.uniform(0.2, 0.6)),
+        p_delete=float(rng.uniform(0.05, 0.3)),
+        dup_frac=float(rng.choice([0.0, 0.15])),
+        n_files=int(rng.integers(3, 6)),
+        shuffle=True,
+    )
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, spec)
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+        changelog=True,
+    )
+    t = open_table(root)
+    snaps = t.snapshots()
+    windows = {(snaps[0], snaps[-1]), (snaps[-1], snaps[-1])}
+    wrng = np.random.default_rng(seed + 1)
+    while len(windows) < 5:
+        i, j = sorted(int(x) for x in wrng.choice(len(snaps), 2, replace=False))
+        windows.add((snaps[i], snaps[j]))
+    for a, b in sorted(windows):
+        fast, slow = _both_paths(t, spark, a, b)
+        pd.testing.assert_frame_equal(fast, slow, obj=f"window ({a}, {b}]")
