@@ -476,3 +476,43 @@ def test_randomized_feed_changelog_fold_matches_diff(spark, tmp_path, seed):
     for a, b in sorted(windows):
         fast, slow = _both_paths(t, spark, a, b)
         pd.testing.assert_frame_equal(fast, slow, obj=f"window ({a}, {b}]")
+
+
+def test_changelog_with_adaptive_appends(spark, tmp_path):
+    """Materialization across adaptive CoW->MoR appends: the single-commit
+    diff must resolve unresolved buckets at read time (one winner per key
+    despite stacked versions), logs must exist for every commit, and the
+    fold must equal the snapshot diff and satisfy the apply contract."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.feed import write_uniform_chunk
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    n_boot = 1200
+    write_uniform_chunk(str(feed), 0, list(range(n_boot)), 1)
+    rng = np.random.RandomState(29)
+    for u in range(4):  # small uniform updates vs big live set -> adaptive
+        write_uniform_chunk(
+            str(feed), 1 + u, list(rng.choice(n_boot, 150, replace=False)),
+            10_000 + u * 150,
+        )
+    root = str(tmp_path / "t")
+    run_ingest(
+        spark, root, str(feed), max_files_per_batch=1, n_buckets=2,
+        auto_compact_files=None, changelog=True,
+    )
+    t = open_table(root)
+    assert any(e.get("adaptive_append") for e in t.lineage()), "no adaptive fire"
+    snaps = t.snapshots()
+    for sid in snaps[1:]:
+        assert t.changelog_ready(sid)
+    a = snaps[1]
+    fast, slow = _both_paths(t, spark, a)
+    pd.testing.assert_frame_equal(fast, slow)
+    # one change per key despite stacked versions in unresolved buckets
+    assert fast.groupby(["repo", "path"]).size().max() == 1
+    applied = _apply_changes(_frame(t.read(spark, snapshot_id=a)), fast)
+    pd.testing.assert_frame_equal(
+        applied, _frame(t.read(spark)), check_dtype=False
+    )
