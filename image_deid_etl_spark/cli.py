@@ -254,7 +254,10 @@ def cmd_changes(args) -> None:
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
     spark = build_session(app_name="changes")
-    df = table.read_changes(spark, args.from_snapshot, args.to_snapshot)
+    df = table.read_changes(
+        spark, args.from_snapshot, args.to_snapshot,
+        use_changelog=not args.no_changelog,
+    )
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"changes": df.count(), "out": args.out}))
@@ -384,6 +387,11 @@ def main(argv: list[str] | None = None) -> None:
     h.add_argument("--from-snapshot", type=int, required=True)
     h.add_argument("--to-snapshot", type=int, default=None)
     h.add_argument("--out", default=None, help="write the change rows here (parquet)")
+    h.add_argument(
+        "--no-changelog", action="store_true",
+        help="force the snapshot-diff path even when materialized logs "
+             "cover the window (parity debugging)",
+    )
     h.set_defaults(fn=cmd_changes)
 
     e = sub.add_parser("export", help="re-upload source->source: snapshot -> feed chunks")
