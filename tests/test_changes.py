@@ -516,3 +516,36 @@ def test_changelog_with_adaptive_appends(spark, tmp_path):
     pd.testing.assert_frame_equal(
         applied, _frame(t.read(spark)), check_dtype=False
     )
+
+
+def test_changelog_on_mor_table(spark, tmp_path):
+    """A pure merge-on-read table with changelog=True: every commit's
+    materialized diff must LWW-resolve the appended version stacks, and
+    the fold must match the snapshot diff over multi-commit windows."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(
+        feed,
+        FeedSpec(
+            n_events=600, n_keys=60, p_delete=0.2, dup_frac=0.15,
+            shuffle=True, n_files=5,
+        ),
+    )
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+        merge_mode="mor", changelog=True,
+    )
+    t = open_table(root)
+    assert t.unresolved_buckets(), "MoR table must carry unresolved buckets"
+    snaps = t.snapshots()
+    for sid in snaps[1:]:
+        assert t.changelog_ready(sid)
+    for a in (snaps[0], snaps[1], snaps[-2]):
+        fast, slow = _both_paths(t, spark, a)
+        pd.testing.assert_frame_equal(fast, slow, obj=f"from={a}")
+    applied = _apply_changes(
+        _frame(t.read(spark, snapshot_id=snaps[1])),
+        _changes_frame(t, spark, snaps[1]),
+    )
+    pd.testing.assert_frame_equal(
+        applied, _frame(t.read(spark)), check_dtype=False
+    )
