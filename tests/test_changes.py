@@ -549,3 +549,44 @@ def test_changelog_on_mor_table(spark, tmp_path):
     pd.testing.assert_frame_equal(
         applied, _frame(t.read(spark)), check_dtype=False
     )
+
+
+def test_changelog_fold_across_schema_evolution(spark, tmp_path):
+    """A fold window spanning an in-window schema evolution: logs written
+    under the old schema read with nulls for the added column, logs after
+    it carry values, and the fold matches the snapshot diff exactly."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(
+        feed,
+        FeedSpec(
+            n_events=800, n_keys=80, p_delete=0.2, dup_frac=0.1,
+            evolve_at=400, n_files=5,
+        ),
+    )
+    run_ingest(
+        spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+        changelog=True,
+    )
+    t = open_table(root)
+    snaps = t.snapshots()
+
+    def fr(df):
+        return (
+            df.select(
+                "repo",
+                "path",
+                F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"),
+                "commit_seq",
+                F.coalesce("license", F.lit("-")).alias("license"),
+                "_change_type",
+            )
+            .toPandas()
+            .sort_values(["repo", "path", "sha"])
+            .reset_index(drop=True)
+        )
+
+    for a in (snaps[0], snaps[1]):  # spans the evolution commit
+        fast = fr(t.read_changes(spark, a, use_changelog=True))
+        slow = fr(t.read_changes(spark, a, use_changelog=False))
+        pd.testing.assert_frame_equal(fast, slow, obj=f"from={a}")
+    assert (fr(t.read_changes(spark, snaps[1]))["license"] != "-").any()
