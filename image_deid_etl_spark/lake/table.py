@@ -397,8 +397,10 @@ class SnapshotTable:
     def key_cols(self) -> list[str]:
         return self.manifest(with_files=False)["partition_spec"]["columns"]
 
-    def n_buckets(self) -> int:
-        return self.manifest(with_files=False)["partition_spec"]["n_buckets"]
+    def n_buckets(self, snapshot_id: int | None = None) -> int:
+        return self.manifest(snapshot_id, with_files=False)["partition_spec"][
+            "n_buckets"
+        ]
 
     def merge_mode(self) -> str:
         """``"cow"`` (default): MERGE rewrites matched files, one live row
@@ -423,10 +425,40 @@ class SnapshotTable:
             return set()
         return set(u)
 
+    def stats_cols(self) -> list[str]:
+        """Columns whose per-file min/max the writer folds into manifest
+        entries (``col_stats``) for `read(where=...)` data skipping.
+        Table property ``stats_cols`` (list), set at create; empty =
+        no extra stats (zero write-path cost)."""
+        return list(
+            self.manifest(with_files=False)["properties"].get("stats_cols", [])
+        )
+
     def target_file_rows(self) -> int:
         return self.manifest(with_files=False)["partition_spec"].get(
             "target_file_rows", 1 << 19
         )
+
+    def snapshot_as_of(self, ts: float) -> int:
+        """Timestamp time travel (Iceberg semantics): the snapshot that
+        was current at wall-clock ``ts`` — i.e. the largest committed
+        snapshot whose ``committed_at`` is <= ``ts``. Walks lineage
+        NEWEST-first and stops at the first hit, so the cost is
+        O(commits newer than ts), not O(history). ``ts`` before the
+        first commit resolves to snapshot 0 (the empty table). Commits
+        predating the ``committed_at`` field (pre-upgrade lineage) are
+        treated as arbitrarily old — always eligible."""
+        committed = set(self.snapshots())
+        ldir = os.path.join(self.root, LINEAGE)
+        for fn in sorted(os.listdir(ldir), reverse=True):
+            sid = int(fn.split("-")[1].split(".")[0])
+            if sid not in committed:
+                continue
+            with open(os.path.join(ldir, fn)) as f:
+                entry = json.load(f)
+            if entry.get("committed_at", float("-inf")) <= ts:
+                return sid
+        return 0
 
     def snapshots(self) -> list[int]:
         """COMMITTED snapshot ids only. A manifest file written just before
@@ -494,12 +526,15 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
+        entry_pred=None,
     ) -> DataFrame:
         """Scan data files (incl. tombstones + engine cols).
 
         ``buckets`` prunes at the *manifest* level — only matching files
         are even listed to Spark (our Iceberg-style partition pruning; no
-        directory listing of a 100 TB table).
+        directory listing of a 100 TB table). ``entry_pred`` (manifest
+        entry -> bool) prunes further on per-file stats; callers own its
+        correctness (see `read`'s resolved-bucket-only use).
         """
         if buckets is not None:
             # manifest-level partition pruning loads ONLY those buckets'
@@ -507,13 +542,21 @@ class SnapshotTable:
             files = self.files_for_buckets(set(buckets), snapshot_id)
         else:
             files = self.manifest(snapshot_id)["files"]
+        if entry_pred is not None:
+            files = [f for f in files if entry_pred(f)]
         schema = self._read_schema(snapshot_id)
         if not files:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
         return spark.read.schema(schema).parquet(*paths)
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_timestamp: float | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
         """User-facing scan: live rows, table schema + ``commit_seq``.
 
         Version resolution is BUCKET-scoped (r4): only buckets the
@@ -524,20 +567,51 @@ class SnapshotTable:
         straight through with no shuffle. A fully-compacted MoR table
         therefore reads at CoW speed, and a long-running one pays the
         window only for its recently-touched buckets — the r3 table-wide
-        window is gone. Tombstone winners are dropped last."""
+        window is gone. Tombstone winners are dropped last.
+
+        ``as_of_timestamp`` (exclusive with ``snapshot_id``) time-travels
+        to the snapshot current at that wall-clock (`snapshot_as_of`).
+
+        ``where`` maps column -> ``(lo, hi)`` inclusive bounds (either
+        side ``None`` = open) and does two things: (a) per-FILE manifest
+        pruning on the ``col_stats`` ranges recorded for the table's
+        ``stats_cols`` (files whose range cannot intersect are never
+        listed to Spark — Iceberg-style data skipping, the difference
+        between scanning a day and scanning 100 TB for a time-range
+        query); (b) the exact residual filter in Spark, so results are
+        identical with or without stats. Value-based file pruning is
+        applied ONLY to resolved buckets: in an unresolved bucket a
+        newer out-of-range version may supersede an in-range older one,
+        so dropping its file before the LWW window could resurrect the
+        stale row — those buckets read fully, resolve, then filter.
+        """
+        if as_of_timestamp is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_timestamp, not both")
+            snapshot_id = self.snapshot_as_of(as_of_timestamp)
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
+        pred = _stats_entry_pred(where) if where else None
         unres = self.unresolved_buckets(snapshot_id)
         if not unres:
-            raw = self.read_raw(spark, snapshot_id)
+            raw = self.read_raw(spark, snapshot_id, entry_pred=pred)
         else:
             raw = _lww_latest_versions(
                 self.read_raw(spark, snapshot_id, buckets=sorted(unres)),
                 key_cols=self.key_cols(),
             )
-            resolved = sorted(set(range(self.n_buckets())) - unres)
+            resolved = sorted(set(range(self.n_buckets(snapshot_id))) - unres)
             if resolved:
-                raw = self.read_raw(spark, snapshot_id, buckets=resolved).unionByName(raw)
-        return raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).select(*cols)
+                raw = self.read_raw(
+                    spark, snapshot_id, buckets=resolved, entry_pred=pred
+                ).unionByName(raw)
+        raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        if where:
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    raw = raw.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    raw = raw.filter(F.col(c) <= F.lit(hi))
+        return raw.select(*cols)
 
     def changed_buckets(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -662,7 +736,12 @@ class SnapshotTable:
                 return self._fold_changelogs(spark, to_id, sids)
         touched = self.changed_buckets(from_snapshot_id, to_id)
         if touched is None:
-            touched = set(range(self.n_buckets()))
+            # the two snapshots may sit on different bucket specs (a
+            # rebucket inside the window) — cover both index spaces;
+            # a spec simply has no shards past its own range
+            touched = set(
+                range(max(self.n_buckets(from_snapshot_id), self.n_buckets(to_id)))
+            )
         if not touched:
             return self._empty_changes(spark, to_id)
         a, b = (
@@ -756,7 +835,7 @@ class SnapshotTable:
             raise ValueError("snapshot 0 has no parent to diff against")
         touched = self.changed_buckets(parent, sid)
         if touched is None:
-            touched = set(range(self.n_buckets()))
+            touched = set(range(max(self.n_buckets(parent), self.n_buckets(sid))))
         cols = [f.name for f in self.schema(sid).fields] + ["commit_seq"]
         if not touched:
             ch = self._empty_changes(spark, sid)
@@ -913,13 +992,21 @@ class SnapshotTable:
                 )
                 targets.append((os.path.join(dirpath, fn), bucket))
 
+        stats_cols = self.stats_cols()
+
         def entry_of(t: tuple[str, int]) -> dict:
             full, bucket = t
             meta = pq.ParquetFile(full).metadata
             seq_min, seq_max = _col_range(meta, "commit_seq")
             key_min, key_max = _col_range(meta, "_key")
             _del_min, del_max = _col_range(meta, "_deleted")
+            col_stats = {}
+            for c in stats_cols:
+                lo, hi = (_stat_norm(v) for v in _col_range(meta, c))
+                if lo is not None and hi is not None:
+                    col_stats[c] = [lo, hi]
             return {
+                **({"col_stats": col_stats} if col_stats else {}),
                 "path": os.path.relpath(full, self.root),
                 "bucket": bucket,
                 "rows": meta.num_rows,
@@ -1177,6 +1264,10 @@ class SnapshotTable:
         dur_ms = int((time.time() - started_at) * 1000) if started_at else None
         lineage = {
             "snapshot_id": snap,
+            # wall-clock commit instant — the `snapshot_as_of` time-travel
+            # index (metadata only; never feeds any data computation, so
+            # engine determinism is unaffected)
+            "committed_at": time.time(),
             "batch_id": offsets.get("batch_id"),
             "partitions": [
                 {
@@ -1465,6 +1556,57 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
         if a in order and b in order:
             return order[max(order.index(a), order.index(b))]
     return None
+
+
+def _stat_norm(v):
+    """Canonical JSON-safe, order-preserving form for a stats value or a
+    `read(where=...)` bound: datetimes/dates → epoch MICROseconds (naive
+    treated as UTC — the engine stores timestamps UTC-adjusted), ints/
+    floats/strs pass through. Returns None for types with no canonical
+    order (callers treat that as "unknown — keep the file")."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return int(
+            _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
+            * 1_000_000
+        )
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        return None
+    return v
+
+
+def _stats_entry_pred(where: dict):
+    """Manifest-entry predicate for `read(where=...)`: False only when a
+    file's recorded ``col_stats`` range PROVABLY misses every bound —
+    missing stats, unknown columns, or incomparable types keep the file
+    (conservative; the residual Spark filter guarantees exactness)."""
+    norm = {
+        c: (_stat_norm(lo) if lo is not None else None,
+            _stat_norm(hi) if hi is not None else None)
+        for c, (lo, hi) in where.items()
+    }
+
+    def pred(f: dict) -> bool:
+        st = f.get("col_stats") or {}
+        for c, (lo, hi) in norm.items():
+            rng = st.get(c)
+            if not rng or rng[0] is None or rng[1] is None:
+                continue
+            try:
+                if lo is not None and rng[1] < lo:
+                    return False
+                if hi is not None and rng[0] > hi:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    return pred
 
 
 def _col_range(meta, col: str):

@@ -50,6 +50,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # int64 micros (not legacy INT96): the encoding Iceberg/Delta
+        # standardize on, and the only one parquet writes min/max stats
+        # for — required for `stats_cols` data skipping on timestamps
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # reliable checkpoint() files (connected_components' opt-in
         # checkpoint_dir) are only GC'd by the ContextCleaner when this
         # is on; the flag is read once at session start, so set it here

@@ -289,3 +289,177 @@ def test_expire_sweeps_orphan_attempt_dirs(spark, tmp_path):
     assert t.read(spark, snapshot_id=1).count() == snap_rows_1
     os.remove(os.path.join(inflight, "part-fake.parquet"))
     os.rmdir(inflight)
+
+
+# --------------------------------------------------------------------- #
+# timestamp time travel + column-stats data skipping (r5)
+# --------------------------------------------------------------------- #
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _stats_rows(spark, rows, seq=1):
+    df = spark.createDataFrame(rows, STATS_SCHEMA)
+    return df.select(
+        "*",
+        F.lit(seq).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(4, ["repo", "path"]).alias("_bucket"),
+    )
+
+
+def test_snapshot_as_of_time_travel(spark, tmp_path):
+    """`snapshot_as_of` resolves a wall-clock to the snapshot current at
+    that instant (Iceberg semantics); `read(as_of_timestamp=...)` pins
+    the scan there. A ts before the first commit is the empty table."""
+    import time
+
+    t = SnapshotTable.create(str(tmp_path / "t"), STATS_SCHEMA, ["repo", "path"], 4)
+    e = t.write_snapshot_files(
+        _stats_rows(spark, [("r", f"p{i}", i, "a") for i in range(10)], 1), 1
+    )
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0}
+    )
+    between = time.time()
+    time.sleep(0.05)
+    e = t.write_snapshot_files(
+        _stats_rows(spark, [("r", f"q{i}", i, "b") for i in range(5)], 2), 2
+    )
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 2, "max_seq_seen": 2, "batch_id": 1}
+    )
+    assert t.snapshot_as_of(0.0) == 0
+    assert t.snapshot_as_of(between) == 1
+    assert t.snapshot_as_of(time.time()) == 2
+    assert t.read(spark, as_of_timestamp=0.0).count() == 0
+    assert t.read(spark, as_of_timestamp=between).count() == 10
+    assert t.read(spark, as_of_timestamp=time.time()).count() == 15
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot_id=1, as_of_timestamp=between)
+
+
+def test_stats_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """`stats_cols` records per-file min/max into manifest entries; a
+    `read(where=...)` range scan lists strictly fewer files to Spark
+    (manifest-level data skipping) and returns EXACTLY the rows the
+    unpruned scan + filter does."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        STATS_SCHEMA,
+        ["repo", "path"],
+        4,
+        target_file_rows=100,
+        properties={"stats_cols": ["ts"]},
+    )
+    # two ts-clustered commits (time-correlated data: the 100 TB shape)
+    e = t.write_snapshot_files(
+        _stats_rows(spark, [("r", f"p{i}", i, "a") for i in range(1000)], 1), 1
+    )
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0}
+    )
+    e = t.write_snapshot_files(
+        _stats_rows(spark, [("r", f"q{i}", 5000 + i, "b") for i in range(1000)], 2), 2
+    )
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 2, "max_seq_seen": 2, "batch_id": 1}
+    )
+    m = t.manifest()
+    assert all("col_stats" in f and "ts" in f["col_stats"] for f in m["files"])
+    pruned = t.read(spark, where={"ts": (5000, 5100)})
+    full = t.read(spark)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    exp = sorted(
+        (r.path, r.ts)
+        for r in full.filter((F.col("ts") >= 5000) & (F.col("ts") <= 5100)).collect()
+    )
+    assert sorted((r.path, r.ts) for r in pruned.collect()) == exp
+    # open-ended bound + column without stats: still exact (conservative)
+    assert t.read(spark, where={"ts": (None, 10)}).count() == 11
+    assert t.read(spark, where={"content": ("b", "b")}).count() == 1000
+
+
+def test_stats_skipping_safe_on_unresolved_buckets(spark, tmp_path):
+    """The MoR hazard: a newer version whose value left the predicate
+    range must still SUPPRESS the in-range older version. Value-based
+    file pruning therefore only applies to resolved buckets — an
+    unresolved bucket reads fully, LWW-resolves, then filters."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        STATS_SCHEMA,
+        ["repo", "path"],
+        4,
+        properties={"stats_cols": ["ts"], "merge_mode": "mor"},
+    )
+    e = t.write_snapshot_files(_stats_rows(spark, [("r", "k1", 10, "old")], 1), 1)
+    t.commit_snapshot(
+        e,
+        None,
+        {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0},
+        unresolved_add=set(range(4)),
+    )
+    e = t.write_snapshot_files(_stats_rows(spark, [("r", "k1", 9999, "new")], 2), 2)
+    t.commit_snapshot(
+        e,
+        None,
+        {"committed_feed_files": 2, "max_seq_seen": 2, "batch_id": 1},
+        unresolved_add=set(range(4)),
+    )
+    # the old version's file range [10,10] matches — but its key's live
+    # version (ts=9999) does not: the scan must return NOTHING
+    assert t.read(spark, where={"ts": (0, 100)}).collect() == []
+    # and the live version is found by its own range
+    got = t.read(spark, where={"ts": (9000, None)}).collect()
+    assert [(r.path, r.ts) for r in got] == [("k1", 9999)]
+
+
+def test_stats_skipping_timestamp_column(spark, tmp_path):
+    """Timestamp stats normalize to epoch micros in the manifest (JSON-
+    safe) and datetime bounds prune consistently."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("at", T.TimestampType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        schema,
+        ["repo", "path"],
+        2,
+        target_file_rows=50,
+        properties={"stats_cols": ["at"]},
+    )
+    base = dt.datetime(2026, 1, 1)
+    rows = [("r", f"p{i}", base + dt.timedelta(hours=i)) for i in range(200)]
+    df = spark.createDataFrame(rows, schema).select(
+        "*",
+        F.lit(1).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+    )
+    e = t.write_snapshot_files(df, 1)
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0}
+    )
+    m = t.manifest()
+    assert all(
+        isinstance(v, int)
+        for f in m["files"]
+        for v in f["col_stats"]["at"]
+    )
+    lo, hi = base + dt.timedelta(hours=10), base + dt.timedelta(hours=20)
+    pruned = t.read(spark, where={"at": (lo, hi)})
+    assert pruned.count() == 11
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
