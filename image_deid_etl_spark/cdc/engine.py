@@ -82,7 +82,8 @@ def open_or_create_table(
         if n_buckets is not None and table.n_buckets() != n_buckets:
             print(
                 f"warning: table {root} has n_buckets={table.n_buckets()}; "
-                f"requested {n_buckets} is ignored (spec is fixed at create)",
+                f"requested {n_buckets} is ignored (evolve the spec with "
+                f"table.rebucket())",
                 file=sys.stderr,
             )
         if merge_mode is not None and table.merge_mode() != merge_mode:

@@ -243,6 +243,18 @@ def cmd_compact(args) -> None:
     print(json.dumps(res))
 
 
+def cmd_rebucket(args) -> None:
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="rebucket")
+    print(json.dumps(table.rebucket(spark, args.n_buckets)))
+
+
 def cmd_changes(args) -> None:
     from pyspark.sql import functions as F
 
@@ -393,6 +405,15 @@ def main(argv: list[str] | None = None) -> None:
              "cover the window (parity debugging)",
     )
     h.set_defaults(fn=cmd_changes)
+
+    rb = sub.add_parser(
+        "rebucket",
+        help="evolve the hash-bucket spec (one-shot full rewrite; run as "
+             "rare maintenance when the table outgrows its bucket count)",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
 
     e = sub.add_parser("export", help="re-upload source->source: snapshot -> feed chunks")
     e.add_argument("--table", required=True)

@@ -644,6 +644,10 @@ class SnapshotTable:
                     entry = json.load(f)
             except FileNotFoundError:
                 return None  # lineage gap (e.g. expired) — diff unpruned
+            if "rebucket" in entry:
+                # bucket indices mean different key sets on the two sides
+                # of a spec change — pruning by them would be wrong
+                return None
             for p in entry.get("partitions", []):
                 part = p.get("partition", "")
                 if not part.startswith("bucket="):
@@ -936,7 +940,9 @@ class SnapshotTable:
     # ------------------------------------------------------------------ #
     # write path (used by merge.py)
     # ------------------------------------------------------------------ #
-    def write_snapshot_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+    def write_snapshot_files(
+        self, df: DataFrame, snapshot_id: int, n_buckets: int | None = None
+    ) -> list[dict]:
         """Write new data files for a snapshot; return manifest file entries.
 
         ``df`` must contain the full read-schema (table + engine cols) with
@@ -960,7 +966,7 @@ class SnapshotTable:
         staged = (
             df.drop("_key", "_bh1", "_bh2")
             .withColumn("_pb", F.col("_bucket"))
-            .repartition(self.n_buckets(), F.col("_bucket"))
+            .repartition(n_buckets or self.n_buckets(), F.col("_bucket"))
             # derived columns are (re)computed AFTER the exchange so the
             # shuffle never carries bytes reconstructible from the key:
             # _key for clustering/stats/exact-prune, and the raw 64-bit
@@ -1138,6 +1144,7 @@ class SnapshotTable:
         entry_updates: dict[str, dict] | None = None,
         unresolved_add: set[int] | None = None,
         unresolved_remove: set[int] | None = None,
+        partition_spec: dict | None = None,
     ) -> int:
         """Build + atomically publish the next manifest.
 
@@ -1252,7 +1259,7 @@ class SnapshotTable:
             "parent_id": cur["snapshot_id"],
             "schema": json.loads((schema or self.schema()).json()),
             "schema_version": cur["schema_version"] + (1 if schema is not None else 0),
-            "partition_spec": cur["partition_spec"],
+            "partition_spec": partition_spec or cur["partition_spec"],
             "file_shards": shard_map,
             "offsets": offsets,
             "properties": cur["properties"],
@@ -1381,6 +1388,64 @@ class SnapshotTable:
         )
         return {
             "compacted_buckets": sorted(todo),
+            "files_before": len(replaced),
+            "files_after": len(entries),
+        }
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Bucket-spec evolution: rewrite the table onto a different hash
+        bucket count — the operational answer to "raise ``n_buckets``
+        with table size" (a spec sized for 1 TB starves a 100 TB table's
+        write parallelism and makes each bucket's file set too large to
+        prune well).
+
+        One-shot full rewrite: a single key-partitioned shuffle, fully
+        parallel across the cluster, committed atomically (readers keep
+        the old spec until the pointer swap; pinned/time-travel reads of
+        older snapshots keep resolving with THEIR manifest's spec).
+        Superseded key versions are folded during the rewrite (the
+        rewrite touches every row anyway), so the table comes out fully
+        resolved; tombstone winners are preserved, same as `compact`.
+        Logically a no-op: `read_changes` windows spanning the rebucket
+        see no spurious changes — the lineage marker makes bucket
+        pruning fall back to the (spec-independent) full diff, and the
+        per-commit changelog materializes empty.
+
+        At 100 TB prefer power-of-two growth: with ``hash % 2n``, every
+        new bucket index is congruent to its old index mod ``n``, so a
+        future incremental variant can migrate one old bucket at a time.
+        The one-shot rewrite here is the simple, always-correct form —
+        run it as rare scheduled maintenance, like a major compaction."""
+        old_n = self.n_buckets()
+        if new_n_buckets == old_n:
+            return {"from_buckets": old_n, "to_buckets": old_n, "rewritten": False}
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        m = self.manifest(with_files=False)
+        replaced = {f["path"] for f in self.manifest()["files"]}
+        df = self.read_raw(spark)
+        if self.unresolved_buckets():
+            df = _lww_latest_versions(df, key_cols=self.key_cols())
+        df = df.withColumn("_bucket", bucket_expr(new_n_buckets, self.key_cols()))
+        new_spec = dict(m["partition_spec"], n_buckets=new_n_buckets)
+        started = time.time()
+        entries = self.write_snapshot_files(
+            df, self.snapshot_id + 1, n_buckets=new_n_buckets
+        )
+        self.commit_snapshot(
+            new_files=entries,
+            offsets=self.offsets(),
+            replaced_paths=replaced,
+            partition_spec=new_spec,
+            lineage_extra={"rebucket": {"from": old_n, "to": new_n_buckets}},
+            started_at=started,
+            expected_parent=m["snapshot_id"],
+            unresolved_remove=self.unresolved_buckets() or None,
+        )
+        return {
+            "from_buckets": old_n,
+            "to_buckets": new_n_buckets,
+            "rewritten": True,
             "files_before": len(replaced),
             "files_after": len(entries),
         }

@@ -463,3 +463,65 @@ def test_stats_skipping_timestamp_column(spark, tmp_path):
     pruned = t.read(spark, where={"at": (lo, hi)})
     assert pruned.count() == 11
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+
+
+@pytest.mark.parametrize(
+    "mode,changelog,new_n",
+    [("cow", True, 8), ("mor", False, 8), ("cow", False, 2)],
+    ids=["cow_grow", "mor_grow", "cow_shrink"],
+)
+def test_rebucket_spec_evolution(spark, tmp_path, mode, changelog, new_n):
+    """`rebucket` rewrites the table onto a new hash bucket count:
+    state identical, pinned reads of older snapshots resolve under THEIR
+    spec, change windows spanning the rebucket are empty on both the
+    diff and fold paths, and a resumed ingest routes by the new spec."""
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+    from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+    feed, root = str(tmp_path / "feed"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=3000, n_keys=200, dup_frac=0.05, n_files=6)
+    write_feed(feed, spec)
+
+    def state(t):
+        return (
+            t.read(spark)
+            .select("repo", "path", F.sha2(F.col("content"), 256).alias("sha256"))
+            .orderBy("repo", "path")
+            .toPandas()
+        )
+
+    run_ingest(spark, root, feed, max_files_per_batch=2, n_buckets=4,
+               merge_mode=mode, changelog=changelog, max_batches=2)
+    t = open_or_create_table(root)
+    pre_sid, pre = t.snapshot_id, None
+    pre = state(t)
+    res = t.rebucket(spark, new_n)
+    assert res["rewritten"] and t.n_buckets() == new_n
+    assert t.n_buckets(pre_sid) == 4  # old snapshots keep the old spec
+    pd.testing.assert_frame_equal(state(t), pre, check_dtype=False)
+    old = (
+        t.read(spark, snapshot_id=pre_sid)
+        .select("repo", "path", F.sha2(F.col("content"), 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(old, pre, check_dtype=False)
+    assert t.read_changes(spark, pre_sid, use_changelog=False).count() == 0
+    if changelog:
+        t.materialize_changelog(spark)
+        assert t.read_changes(spark, pre_sid).count() == 0  # fold path
+    assert t.unresolved_buckets() == set()
+    assert t.rebucket(spark, new_n) == {
+        "from_buckets": new_n, "to_buckets": new_n, "rewritten": False,
+    }
+    # the remaining feed chunks resume under the NEW spec; final state
+    # must still match the oracle fold of the WHOLE feed
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+    t = open_or_create_table(root)
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(
+        state(t).reset_index(drop=True), expected, check_dtype=False
+    )
