@@ -247,6 +247,8 @@ def cmd_rebucket(args) -> None:
     from .cdc.engine import open_table
     from .session import build_session
 
+    if args.n_buckets < 1:
+        sys.exit(f"error: --n-buckets must be >= 1, got {args.n_buckets}")
     try:
         table = open_table(args.table)
     except FileNotFoundError as e:

@@ -443,21 +443,40 @@ class SnapshotTable:
         """Timestamp time travel (Iceberg semantics): the snapshot that
         was current at wall-clock ``ts`` — i.e. the largest committed
         snapshot whose ``committed_at`` is <= ``ts``. Walks lineage
-        NEWEST-first and stops at the first hit, so the cost is
-        O(commits newer than ts), not O(history). ``ts`` before the
-        first commit resolves to snapshot 0 (the empty table). Commits
-        predating the ``committed_at`` field (pre-upgrade lineage) are
-        treated as arbitrarily old — always eligible."""
-        committed = set(self.snapshots())
+        NEWEST-first with a lazy per-entry committed check (manifest
+        file existence) and stops at the first hit: beyond one lineage
+        directory listing, the cost is O(commits newer than ts), not
+        O(history). ``ts`` before the first commit resolves to snapshot
+        0 (the empty table); if the history covering ``ts`` has been
+        EXPIRED, raises instead of silently resolving to a wrong older
+        state. Commits predating the ``committed_at`` field
+        (pre-upgrade lineage) are treated as arbitrarily old — always
+        eligible."""
+        current = self.snapshot_id
         ldir = os.path.join(self.root, LINEAGE)
+        oldest_retained = None
         for fn in sorted(os.listdir(ldir), reverse=True):
-            sid = int(fn.split("-")[1].split(".")[0])
-            if sid not in committed:
+            if not fn.startswith("lineage-") or ".tmp" in fn:
                 continue
-            with open(os.path.join(ldir, fn)) as f:
-                entry = json.load(f)
+            sid = int(fn.split("-")[1].split(".")[0])
+            if sid > current or not os.path.exists(self._manifest_path(sid)):
+                continue  # orphaned pre-crash lineage, or expired manifest
+            oldest_retained = sid
+            try:
+                with open(os.path.join(ldir, fn)) as f:
+                    entry = json.load(f)
+            except json.JSONDecodeError:
+                # torn legacy file predating the durable lineage write:
+                # its commit instant is unknowable — skip it (the walk
+                # falls through to the next older commit)
+                continue
             if entry.get("committed_at", float("-inf")) <= ts:
                 return sid
+        if oldest_retained is not None and not os.path.exists(self._manifest_path(0)):
+            raise ValueError(
+                f"history at ts={ts} has been expired: oldest retained "
+                f"snapshot is {oldest_retained} (committed later)"
+            )
         return 0
 
     def snapshots(self) -> list[int]:
@@ -590,6 +609,12 @@ class SnapshotTable:
                 raise ValueError("pass snapshot_id or as_of_timestamp, not both")
             snapshot_id = self.snapshot_as_of(as_of_timestamp)
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
+        if where:
+            # naive datetime bounds → tz-aware UTC, ONCE, so the manifest
+            # pruning (_stat_norm: naive == UTC) and the residual Spark
+            # filter (F.lit of a naive datetime resolves via the SESSION
+            # timezone) agree on the same instant for any session tz
+            where = {c: (_utc_bound(lo), _utc_bound(hi)) for c, (lo, hi) in where.items()}
         pred = _stats_entry_pred(where) if where else None
         unres = self.unresolved_buckets(snapshot_id)
         if not unres:
@@ -642,8 +667,10 @@ class SnapshotTable:
                     os.path.join(self.root, LINEAGE, f"lineage-{sid:010d}.json")
                 ) as f:
                     entry = json.load(f)
-            except FileNotFoundError:
-                return None  # lineage gap (e.g. expired) — diff unpruned
+            except (FileNotFoundError, json.JSONDecodeError):
+                # lineage gap (expired) or a torn legacy file predating
+                # the durable lineage write — diff unpruned, still correct
+                return None
             if "rebucket" in entry:
                 # bucket indices mean different key sets on the two sides
                 # of a spec change — pruning by them would be wrong
@@ -1201,8 +1228,11 @@ class SnapshotTable:
             b = self._bucket_of_path(p)
             if b is None:
                 # unparseable path (shouldn't happen with our layout):
-                # conservatively rewrite every bucket's shard
-                changed = set(range(cur["partition_spec"]["n_buckets"]))
+                # conservatively rewrite every bucket's shard — UNION, not
+                # replace: new files may target buckets beyond the old
+                # spec's range (a grow rebucket), and dropping them here
+                # would orphan their freshly written data
+                changed |= set(range(cur["partition_spec"]["n_buckets"]))
                 break
             changed.add(b)
         new_by_bucket: dict[int, list[dict]] = {}
@@ -1289,8 +1319,17 @@ class SnapshotTable:
             "duration_ms": dur_ms,
             **(lineage_extra or {}),
         }
-        with open(os.path.join(self.root, LINEAGE, f"lineage-{snap:010d}.json"), "w") as f:
+        # tmp+fsync+rename like the manifest: the pointer swap is fsynced
+        # AFTER this, but journal reordering could otherwise persist the
+        # pointer without the lineage body — and `snapshot_as_of` /
+        # `changed_buckets` json.load committed sids' lineage
+        lpath = os.path.join(self.root, LINEAGE, f"lineage-{snap:010d}.json")
+        ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
+        with open(ltmp, "w") as f:
             json.dump(lineage, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ltmp, lpath)
         self._write_manifest(manifest)
         return snap
 
@@ -1386,6 +1425,12 @@ class SnapshotTable:
             # commit_snapshot)
             unresolved_remove=set(todo) if resolve_versions else None,
         )
+        if self.changelog_enabled():
+            # same contiguity guard as `rebucket`: a CLI-only compact must
+            # not leave a hole in the per-commit log (the ingest loop's
+            # materialize_new_changelogs sees it ready and skips — no
+            # double cost on that path)
+            self.materialize_changelog(spark)
         return {
             "compacted_buckets": sorted(todo),
             "files_before": len(replaced),
@@ -1416,32 +1461,46 @@ class SnapshotTable:
         future incremental variant can migrate one old bucket at a time.
         The one-shot rewrite here is the simple, always-correct form —
         run it as rare scheduled maintenance, like a major compaction."""
-        old_n = self.n_buckets()
+        m = self.manifest()  # ONE full-manifest load: spec + files + offsets
+        old_n = m["partition_spec"]["n_buckets"]
         if new_n_buckets == old_n:
             return {"from_buckets": old_n, "to_buckets": old_n, "rewritten": False}
         if new_n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
-        m = self.manifest(with_files=False)
-        replaced = {f["path"] for f in self.manifest()["files"]}
-        df = self.read_raw(spark)
-        if self.unresolved_buckets():
-            df = _lww_latest_versions(df, key_cols=self.key_cols())
-        df = df.withColumn("_bucket", bucket_expr(new_n_buckets, self.key_cols()))
+        files = m["files"]
+        replaced = {f["path"] for f in files}
+        key_cols = m["partition_spec"]["columns"]
+        unres = set(m.get("unresolved_buckets") or [])
+        schema = self._read_schema()
+        paths = [os.path.join(self.root, f["path"]) for f in files]
+        df = (
+            spark.read.schema(schema).parquet(*paths)
+            if paths
+            else spark.createDataFrame([], schema)
+        )
+        if unres:
+            df = _lww_latest_versions(df, key_cols=key_cols)
+        df = df.withColumn("_bucket", bucket_expr(new_n_buckets, key_cols))
         new_spec = dict(m["partition_spec"], n_buckets=new_n_buckets)
         started = time.time()
         entries = self.write_snapshot_files(
-            df, self.snapshot_id + 1, n_buckets=new_n_buckets
+            df, m["snapshot_id"] + 1, n_buckets=new_n_buckets
         )
         self.commit_snapshot(
             new_files=entries,
-            offsets=self.offsets(),
+            offsets=m["offsets"],
             replaced_paths=replaced,
             partition_spec=new_spec,
             lineage_extra={"rebucket": {"from": old_n, "to": new_n_buckets}},
             started_at=started,
             expected_parent=m["snapshot_id"],
-            unresolved_remove=self.unresolved_buckets() or None,
+            unresolved_remove=unres or None,
         )
+        if self.changelog_enabled():
+            # keep the per-commit log contiguous even when no ingest run
+            # follows (CLI-only flow): a gap would silently disable the
+            # fold path for every window spanning this commit
+            self.materialize_changelog(spark)
         return {
             "from_buckets": old_n,
             "to_buckets": new_n_buckets,
@@ -1621,6 +1680,18 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
         if a in order and b in order:
             return order[max(order.index(a), order.index(b))]
     return None
+
+
+def _utc_bound(v):
+    """Naive datetimes in `read(where=...)` bounds mean UTC (the engine
+    stores timestamps UTC-adjusted); make that explicit so Spark's
+    session-timezone interpretation of naive literals can't diverge
+    from the manifest pruning."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=_dt.timezone.utc)
+    return v
 
 
 def _stat_norm(v):

@@ -511,7 +511,9 @@ def test_rebucket_spec_evolution(spark, tmp_path, mode, changelog, new_n):
     pd.testing.assert_frame_equal(old, pre, check_dtype=False)
     assert t.read_changes(spark, pre_sid, use_changelog=False).count() == 0
     if changelog:
-        t.materialize_changelog(spark)
+        # rebucket self-materializes its (empty) per-commit log, so the
+        # fold path stays contiguous even with no ingest run after it
+        assert t.changelog_ready(t.snapshot_id)
         assert t.read_changes(spark, pre_sid).count() == 0  # fold path
     assert t.unresolved_buckets() == set()
     assert t.rebucket(spark, new_n) == {
@@ -525,3 +527,31 @@ def test_rebucket_spec_evolution(spark, tmp_path, mode, changelog, new_n):
     pd.testing.assert_frame_equal(
         state(t).reset_index(drop=True), expected, check_dtype=False
     )
+
+
+def test_snapshot_as_of_expired_history_raises(spark, tmp_path):
+    """A ts whose covering history has been expired must raise, not
+    silently resolve to a wrong older state (or crash opening a
+    removed manifest)."""
+    import time
+
+    t = SnapshotTable.create(str(tmp_path / "t"), STATS_SCHEMA, ["repo", "path"], 4)
+    before_all = time.time()
+    time.sleep(0.02)
+    for i in range(3):
+        e = t.write_snapshot_files(
+            _stats_rows(spark, [("r", f"p{i}", i, "x")], i + 1), i + 1
+        )
+        t.commit_snapshot(
+            e,
+            None,
+            {"committed_feed_files": i + 1, "max_seq_seen": i + 1, "batch_id": i},
+        )
+        time.sleep(0.02)
+    mid = t.lineage(2)[0]["committed_at"]
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshot_as_of(time.time()) == 3
+    with pytest.raises(ValueError, match="expired"):
+        t.snapshot_as_of(mid - 0.001)
+    with pytest.raises(ValueError, match="expired"):
+        t.read(spark, as_of_timestamp=before_all)
