@@ -62,6 +62,7 @@ def open_or_create_table(
     target_file_rows: int | None = None,
     merge_mode: str | None = None,
     changelog: bool | None = None,
+    stats_cols: list[str] | None = None,
 ) -> SnapshotTable:
     """Open ``root``, creating it (n_buckets or 16) when absent.
 
@@ -70,7 +71,8 @@ def open_or_create_table(
     warning (the spec is fixed at creation). ``merge_mode`` ("cow"
     default, or "mor" for merge-on-read) and ``changelog`` (materialize a
     per-commit change log after every commit) are likewise fixed at
-    creation.
+    creation. ``stats_cols`` (per-file min/max recorded for
+    `read(where=...)` data skipping) is also a create-time property.
     """
     import os
     import sys
@@ -105,6 +107,8 @@ def open_or_create_table(
         props["merge_mode"] = merge_mode
     if changelog:
         props["changelog"] = True
+    if stats_cols:
+        props["stats_cols"] = list(stats_cols)
     return SnapshotTable.create(
         root,
         TABLE_SCHEMA,
@@ -359,6 +363,7 @@ def run_ingest(
     merge_mode: str | None = None,
     adaptive: bool = True,
     changelog: bool | None = None,
+    stats_cols: list[str] | None = None,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash.
@@ -370,7 +375,7 @@ def run_ingest(
     call; None disables). Counting reads only the touched buckets'
     manifest shards — O(batch), like the rest of the loop."""
     table = open_or_create_table(
-        table_root, n_buckets, target_file_rows, merge_mode, changelog
+        table_root, n_buckets, target_file_rows, merge_mode, changelog, stats_cols
     )
     if table.changelog_enabled():
         # heal logs a pre-crash run committed but never materialized

@@ -76,6 +76,7 @@ def cmd_ingest(args) -> None:
             merge_mode=args.merge_mode,
             adaptive=not args.no_adaptive,
             changelog=args.changelog or None,
+            stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
         )
         if args.max_batches is not None:
             print("warning: --max-batches has no effect with --streaming", file=sys.stderr)
@@ -93,6 +94,7 @@ def cmd_ingest(args) -> None:
         merge_mode=args.merge_mode,
         adaptive=not args.no_adaptive,
         changelog=args.changelog or None,
+        stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
     )
     print(
         json.dumps(
@@ -366,6 +368,9 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--changelog", action="store_true",
                    help="at table creation: materialize a per-commit change "
                         "log (makes `changes` O(changes in window))")
+    i.add_argument("--stats-cols", default=None, metavar="COL[,COL...]",
+                   help="at table creation: record per-file min/max for "
+                        "these columns (read(where=...) data skipping)")
     i.add_argument("--checkpoint", default=None)
     i.set_defaults(fn=cmd_ingest)
 

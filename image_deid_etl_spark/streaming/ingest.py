@@ -96,6 +96,7 @@ def stream_ingest(
     merge_mode: str | None = None,
     adaptive: bool = True,
     changelog: bool | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch.
 
@@ -106,7 +107,8 @@ def stream_ingest(
     (maintenance hook, table modes at creation, per-batch adaptive
     CoW→MoR, per-commit change-log materialization)."""
     t0 = open_or_create_table(
-        table_root, n_buckets, merge_mode=merge_mode, changelog=changelog
+        table_root, n_buckets, merge_mode=merge_mode, changelog=changelog,
+        stats_cols=stats_cols,
     )
     if t0.changelog_enabled():
         materialize_new_changelogs(spark, t0, 0)  # heal pre-crash gaps
