@@ -803,3 +803,72 @@ def merge_into(
         except OSError:
             pass
     return snap
+
+
+def delete_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    condition=None,
+    where: dict | None = None,
+    fail_before_commit: bool = False,
+) -> dict:
+    """Row-level predicate DELETE (retention sweep / right-to-erasure).
+
+    Reference analog: the modality-delete pass (`custom_etl.py:41-45`)
+    erases rows the pipeline must not keep; this is the table-lifecycle
+    generalization — ``DELETE FROM table WHERE <condition>`` — built
+    ENTIRELY on the existing MERGE path, so deletes inherit every
+    guarantee upserts have: the prune ladder bounds the rewrite to files
+    that really hold a matched key, LWW gives one total order, the
+    adaptive CoW→MoR decision appends tombstones instead of rewriting
+    when the delete set is uniformly spread over a big table, the commit
+    is atomic + optimistic-concurrency-checked, and the changelog (when
+    enabled) records the deletes as net changes.
+
+    ``condition`` is an exact row predicate (SQL string or Column over
+    the table schema); ``where`` maps column -> (lo, hi) bounds and
+    additionally FILE-PRUNES the matching scan via ``stats_cols``
+    manifest ranges (`read(where=...)`) — at 100 TB a time-bounded
+    retention delete then never even lists the cold files. Either or
+    both may be given.
+
+    Tombstones claim ``seq = max_seq_seen + 1``: every event known at
+    issue time loses to the delete (including same-seq ties — the LWW
+    order ranks ``_deleted`` first on equal seq), while a STRICTLY newer
+    source event legitimately resurrects the key — standard CDC delete
+    semantics. ``max_seq_seen`` advances with the tombstones so a second
+    delete orders after the first; the feed frontier is gated on file
+    counts, not seq, so feed replay is unaffected.
+    """
+    if condition is None and not where:
+        raise ValueError("delete_where needs a condition and/or `where` bounds")
+    live = table.read(spark, where=where)
+    if condition is not None:
+        live = live.filter(condition)
+    seq = int(table.offsets().get("max_seq_seen", 0)) + 1
+    batch = (
+        live.select(*table.key_cols())
+        .withColumn("seq", F.lit(seq).cast("long"))
+        .withColumn("op", F.lit("delete"))
+        .persist()
+    )
+    try:
+        n = batch.count()  # keys only — tiny next to the matching scan
+        if n == 0:
+            return {"deleted": 0, "snapshot_id": table.snapshot_id}
+        offsets = {**table.offsets(), "max_seq_seen": seq}
+        snap = merge_into(
+            spark,
+            table,
+            batch,
+            offsets=offsets,
+            scrub=False,  # tombstones carry no payload to scrub
+            fail_before_commit=fail_before_commit,
+        )
+    finally:
+        batch.unpersist()
+    if table.changelog_enabled():
+        # same contiguity rule as compact/rebucket: a CLI-only delete must
+        # not leave a hole in the per-commit changelog
+        table.materialize_changelog(spark)
+    return {"deleted": n, "snapshot_id": snap}

@@ -241,8 +241,22 @@ def cmd_compact(args) -> None:
         spark,
         min_files_per_bucket=args.min_files,
         drop_tombstones_below=args.drop_tombstones_below,
+        cluster_by=args.cluster_by or None,
     )
     print(json.dumps(res))
+
+
+def cmd_delete(args) -> None:
+    from .cdc.engine import open_table
+    from .cdc.merge import delete_where
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="delete")
+    print(json.dumps(delete_where(spark, table, condition=args.condition)))
 
 
 def cmd_rebucket(args) -> None:
@@ -397,7 +411,22 @@ def main(argv: list[str] | None = None) -> None:
         "--drop-tombstones-below", type=int, default=None, metavar="SEQ",
         help="GC watermark: drop tombstones older than SEQ (caller asserts no older event can arrive)",
     )
+    k.add_argument(
+        "--cluster-by", nargs="+", default=None, metavar="COL",
+        help="sort rewritten buckets by these columns (tight col_stats for "
+        "read-time data skipping; default: the table's cluster_by property)",
+    )
     k.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete", help="row-level predicate DELETE (tombstones via the MERGE path)"
+    )
+    dl.add_argument("--table", required=True)
+    dl.add_argument(
+        "--condition", required=True,
+        help="SQL predicate over the table schema, e.g. \"repo = 'r1' AND ts < 100\"",
+    )
+    dl.set_defaults(fn=cmd_delete)
 
     h = sub.add_parser(
         "changes", help="incremental diff between snapshots (Delta-CDF style)"

@@ -434,6 +434,25 @@ class SnapshotTable:
             self.manifest(with_files=False)["properties"].get("stats_cols", [])
         )
 
+    def cluster_by(self) -> list[str]:
+        """Maintenance-rewrite sort columns (table property ``cluster_by``).
+
+        When set, `compact` and `rebucket` sort each bucket's rows by
+        these columns (then ``_key``) before chunking into files, so the
+        per-file ``col_stats`` ranges `read(where=...)` prunes on become
+        TIGHT — the Iceberg ``rewrite_data_files(sort)`` / Delta
+        ``OPTIMIZE ZORDER`` analog. The trade, documented and deliberate:
+        clustered files lose the tight ``key_min``/``key_max`` the MERGE
+        range-prune leg uses (keys scatter across the cluster order), so
+        subsequent updates to compacted files lean on the bloom + exact
+        legs instead. MERGE's own writes are untouched — they stay
+        key-clustered, and the next clustering compaction re-sorts them;
+        steady state is hot files key-clustered, cold files read-optimized.
+        """
+        return list(
+            self.manifest(with_files=False)["properties"].get("cluster_by", [])
+        )
+
     def target_file_rows(self) -> int:
         return self.manifest(with_files=False)["partition_spec"].get(
             "target_file_rows", 1 << 19
@@ -968,7 +987,11 @@ class SnapshotTable:
     # write path (used by merge.py)
     # ------------------------------------------------------------------ #
     def write_snapshot_files(
-        self, df: DataFrame, snapshot_id: int, n_buckets: int | None = None
+        self,
+        df: DataFrame,
+        snapshot_id: int,
+        n_buckets: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> list[dict]:
         """Write new data files for a snapshot; return manifest file entries.
 
@@ -1004,8 +1027,11 @@ class SnapshotTable:
             .withColumn("_bh2", F.xxhash64("_key", F.lit(1)))
             # prefix (_pb, _fg) satisfies the dynamic-partition writer's
             # required ordering (no second SortExec), _key then guarantees
-            # each emitted chunk is key-clustered with tight min/max stats
-            .sortWithinPartitions("_pb", "_fg", "_key")
+            # each emitted chunk is key-clustered with tight min/max stats.
+            # A maintenance rewrite may interpose `cluster_by` columns so
+            # chunks cluster on READ-predicate ranges instead (see the
+            # `cluster_by` property for the documented key-range trade).
+            .sortWithinPartitions("_pb", "_fg", *(cluster_by or []), "_key")
         )
         (
             staged.write.partitionBy("_pb", "_fg")
@@ -1340,6 +1366,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         drop_tombstones_below: int | None = None,
         resolve_versions: bool | None = None,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Maintenance: fold a bucket's accumulated small files into one
         (Iceberg ``rewrite_data_files`` analog). File-granular MERGE makes
@@ -1359,7 +1386,15 @@ class SnapshotTable:
         source's retention horizon), and tombstones older than it are
         physically dropped. Offsets are carried unchanged; the commit is
         data-movement only.
+
+        ``cluster_by`` (default: the table's ``cluster_by`` property)
+        sorts each bucket by those columns before chunking, tightening
+        the per-file ``col_stats`` ranges `read(where=...)` skips on —
+        run it on time-correlated columns to turn a retention-window
+        scan from O(table) files into O(window) files.
         """
+        if cluster_by is None:
+            cluster_by = self.cluster_by() or None
         # scoped compaction loads ONLY the requested buckets' shards —
         # the auto-compaction hook calls this per commit, so it must stay
         # O(batch) like the rest of the ingest loop, not O(live files)
@@ -1412,12 +1447,18 @@ class SnapshotTable:
                 )
             )
         started = time.time()
-        entries = self.write_snapshot_files(df, self.snapshot_id + 1)
+        entries = self.write_snapshot_files(
+            df, self.snapshot_id + 1, cluster_by=cluster_by
+        )
         self.commit_snapshot(
             new_files=entries,
             offsets=self.offsets(),
             replaced_paths=replaced,
-            lineage_extra={"compaction": True, "resolved_versions": resolve_versions},
+            lineage_extra={
+                "compaction": True,
+                "resolved_versions": resolve_versions,
+                **({"cluster_by": cluster_by} if cluster_by else {}),
+            },
             started_at=started,
             expected_parent=m["snapshot_id"],
             # a version-resolving rewrite leaves its buckets one-row-per-
@@ -1484,7 +1525,10 @@ class SnapshotTable:
         new_spec = dict(m["partition_spec"], n_buckets=new_n_buckets)
         started = time.time()
         entries = self.write_snapshot_files(
-            df, m["snapshot_id"] + 1, n_buckets=new_n_buckets
+            df,
+            m["snapshot_id"] + 1,
+            n_buckets=new_n_buckets,
+            cluster_by=self.cluster_by() or None,
         )
         self.commit_snapshot(
             new_files=entries,

@@ -1,0 +1,243 @@
+"""Row-level predicate DELETE (`cdc/merge.py` `delete_where`) and
+clustering compaction (`compact(cluster_by=...)` / table property).
+
+DELETE rides the MERGE path end to end, so these tests pin what that
+buys: prune-ladder-bounded rewrites, LWW total order vs late events,
+atomicity under an injected crash, changelog net-change records, and
+merge-on-read append semantics. Clustering compaction is pinned by a
+deterministic file-prune count (manifest `col_stats` ranges), never by
+wall-clock.
+
+Reference analog: the modality-delete pass (`custom_etl.py:41-45`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.merge import SimulatedCrash, delete_where, merge_into
+from image_deid_etl_spark.lake.table import SnapshotTable, _stats_entry_pred
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+    ]
+    + SCHEMA.fields
+)
+
+
+def batch_df(spark, rows):
+    """rows: (seq, op, repo, path, ts, content)"""
+    return spark.createDataFrame(rows, BATCH_SCHEMA)
+
+
+def offsets(n):
+    return {"committed_feed_files": n, "max_seq_seen": n * 1000, "batch_id": n - 1}
+
+
+def make_table(spark, tmp_path, properties=None, **kw):
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4,
+        properties=properties, **kw,
+    )
+    b = batch_df(
+        spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(40)]
+    )
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    return t
+
+
+def live_paths(spark, t):
+    return {r.path for r in t.read(spark).select("path").collect()}
+
+
+def test_delete_where_condition(spark, tmp_path):
+    """DELETE removes exactly the matching rows; tombstones are stored
+    (read_raw) but hidden (read); pre-delete snapshots still show them."""
+    t = make_table(spark, tmp_path)
+    pre_snap = t.snapshot_id
+    res = delete_where(spark, t, condition="ts < 10")
+    assert res["deleted"] == 10
+    assert live_paths(spark, t) == {f"p{i}" for i in range(10, 40)}
+    raw = t.read(spark, snapshot_id=res["snapshot_id"])
+    assert raw.count() == 30
+    stored = t.read_raw(spark).filter(F.col("_deleted"))
+    assert stored.count() == 10
+    # time travel: the pre-delete snapshot is untouched
+    assert t.read(spark, snapshot_id=pre_snap).count() == 40
+    # tombstone seq advanced max_seq_seen so a second delete orders after
+    assert t.offsets()["max_seq_seen"] == 1001
+    res2 = delete_where(spark, t, condition="ts >= 35")
+    assert res2["deleted"] == 5
+    assert len(live_paths(spark, t)) == 25
+
+
+def test_delete_lww_vs_late_and_new_events(spark, tmp_path):
+    """A replayed OLDER event for a deleted key loses to the tombstone;
+    a STRICTLY newer source event legitimately resurrects the key."""
+    t = make_table(spark, tmp_path)
+    delete_where(spark, t, condition="path = 'p5'")
+    tomb_seq = t.offsets()["max_seq_seen"]
+    # late replay of the original insert (seq 6 << tombstone): no-op
+    late = batch_df(spark, [(6, "add", "r", "p5", 5, "v5")])
+    merge_into(spark, t, late, offsets(2), scrub=False)
+    assert "p5" not in live_paths(spark, t)
+    # same-seq tie (producer bug): _deleted ranks first — still deleted
+    tie = batch_df(spark, [(tomb_seq, "add", "r", "p5", 5, "tie")])
+    merge_into(spark, t, tie, offsets(3), scrub=False)
+    assert "p5" not in live_paths(spark, t)
+    # strictly newer event resurrects
+    new = batch_df(spark, [(tomb_seq + 1, "add", "r", "p5", 5, "back")])
+    merge_into(spark, t, new, offsets(4), scrub=False)
+    assert "p5" in live_paths(spark, t)
+
+
+def test_delete_empty_match_is_noop(spark, tmp_path):
+    """A predicate matching nothing commits nothing."""
+    t = make_table(spark, tmp_path)
+    snap = t.snapshot_id
+    res = delete_where(spark, t, condition="ts > 10000")
+    assert res == {"deleted": 0, "snapshot_id": snap}
+    assert t.snapshot_id == snap
+    with pytest.raises(ValueError):
+        delete_where(spark, t)
+
+
+def test_delete_crash_then_replay_is_idempotent(spark, tmp_path):
+    """Crash between apply and commit leaves the table untouched
+    (atomic pointer); re-running the same delete converges."""
+    t = make_table(spark, tmp_path)
+    snap = t.snapshot_id
+    with pytest.raises(SimulatedCrash):
+        delete_where(spark, t, condition="ts < 10", fail_before_commit=True)
+    assert t.snapshot_id == snap
+    assert t.read(spark).count() == 40
+    res = delete_where(spark, t, condition="ts < 10")
+    assert res["deleted"] == 10
+    assert t.read(spark).count() == 30
+
+
+def test_delete_where_stats_bounds_prune_and_match(spark, tmp_path):
+    """`where` bounds file-prune the matching scan via stats_cols AND
+    combine exactly with the residual condition."""
+    t = make_table(
+        spark, tmp_path,
+        properties={"stats_cols": ["ts"]},
+        target_file_rows=8,
+    )
+    res = delete_where(
+        spark, t, condition="path != 'p3'", where={"ts": (0, 9)}
+    )
+    assert res["deleted"] == 9  # ts 0..9 minus the excluded p3
+    assert live_paths(spark, t) == {"p3"} | {f"p{i}" for i in range(10, 40)}
+
+
+def test_delete_on_mor_table_appends_tombstones(spark, tmp_path):
+    """On a merge-on-read table the delete APPENDS tombstone winners
+    (no rewrite); the read-time LWW window hides the keys."""
+    t = make_table(spark, tmp_path, properties={"merge_mode": "mor"})
+    files_before = {f["path"] for f in t.manifest()["files"]}
+    res = delete_where(spark, t, condition="ts % 2 = 0")
+    assert res["deleted"] == 20
+    files_after = {f["path"] for f in t.manifest()["files"]}
+    assert files_before <= files_after, "MoR delete must not rewrite"
+    assert live_paths(spark, t) == {f"p{i}" for i in range(40) if i % 2 == 1}
+    # resolve-compaction folds the tombstone versions; state unchanged
+    t.compact(spark, min_files_per_bucket=1, resolve_versions=True)
+    assert live_paths(spark, t) == {f"p{i}" for i in range(40) if i % 2 == 1}
+
+
+def test_delete_records_changelog_net_changes(spark, tmp_path):
+    """With the materialized changelog enabled, the delete commit's log
+    carries one 'delete' change per erased key and the fold window
+    spanning it reproduces the post-delete state."""
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    t.materialize_changelog(spark)
+    frm = t.snapshot_id
+    res = delete_where(spark, t, condition="ts < 5")
+    ch = t.read_changes(spark, frm, res["snapshot_id"])
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {"delete": 5}
+    dels = {r.path for r in ch.select("path").collect()}
+    assert dels == {f"p{i}" for i in range(5)}
+
+
+# --------------------------------------------------------------------- #
+# clustering compaction (cluster_by)
+# --------------------------------------------------------------------- #
+
+
+def _files_matching(t, where):
+    """Manifest entries a `read(where=...)` would list (the deterministic
+    prune measure — file counts, not wall time)."""
+    pred = _stats_entry_pred({c: b for c, b in where.items()})
+    return [f for f in t.manifest()["files"] if pred(f)]
+
+
+def test_cluster_by_compaction_tightens_data_skipping(spark, tmp_path):
+    """Key-clustered files scatter a time column across every file; a
+    clustering compaction re-sorts buckets by it, so a time-range read
+    prunes to a strict subset of files while returning IDENTICAL rows."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 2,
+        target_file_rows=32,
+        properties={"stats_cols": ["ts"]},
+    )
+    # ts anti-correlated with key order: every key-sorted chunk spans
+    # nearly the full ts range -> skipping is useless pre-compaction
+    rows = [(i + 1, "add", "r", f"p{i:04d}", (i * 7919) % 512, "v") for i in range(512)]
+    merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    where = {"ts": (0, 63)}
+    before_all = len(t.manifest()["files"])
+    before = len(_files_matching(t, where))
+    # scattered layout: essentially every file intersects the range
+    # (a tail chunk may miss it by chance — allow a sliver of slack)
+    assert before >= before_all - 2, "anti-correlated layout must not prune"
+    expected = sorted(
+        (r.path, r.ts) for r in t.read(spark, where=where).collect()
+    )
+    res = t.compact(spark, min_files_per_bucket=1, cluster_by=["ts"])
+    assert res["compacted_buckets"] == [0, 1]
+    after_all = len(t.manifest()["files"])
+    after = len(_files_matching(t, where))
+    assert after < after_all, "clustered layout must prune the range scan"
+    assert after <= max(2, after_all // 4)
+    got = sorted((r.path, r.ts) for r in t.read(spark, where=where).collect())
+    assert got == expected, "pruning must never change results"
+    # rows and full state unchanged by the rewrite
+    assert t.read(spark).count() == 512
+
+
+def test_cluster_by_property_applies_on_compact_and_rebucket(spark, tmp_path):
+    """The `cluster_by` table property is the default for maintenance
+    rewrites — compact() picks it up with no argument, rebucket() too."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 2,
+        target_file_rows=32,
+        properties={"stats_cols": ["ts"], "cluster_by": ["ts"]},
+    )
+    rows = [(i + 1, "add", "r", f"p{i:04d}", (i * 7919) % 512, "v") for i in range(512)]
+    merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    t.compact(spark, min_files_per_bucket=1)
+    where = {"ts": (0, 63)}
+    assert len(_files_matching(t, where)) < len(t.manifest()["files"])
+    assert t.lineage()[-1]["cluster_by"] == ["ts"]
+    res = t.rebucket(spark, 4)
+    assert res["to_buckets"] == 4
+    assert len(_files_matching(t, where)) < len(t.manifest()["files"])
+    assert t.read(spark).count() == 512
