@@ -589,6 +589,7 @@ def merge_into(
     key_ranges: dict[int, tuple[str, str]] | None = None,
     key_counts: dict[int, int] | None = None,
     adaptive: bool = True,
+    expected_parent: int | None = None,
 ) -> int:
     """Apply one change-event micro-batch; return the new snapshot id.
 
@@ -601,11 +602,19 @@ def merge_into(
     ``adaptive`` (default on) lets a copy-on-write commit fall back to a
     merge-on-read append when the rewrite would be grossly amplified —
     see the in-line decision and `_ADAPTIVE_REWRITE_FRAC`.
+    ``expected_parent`` moves the optimistic-concurrency anchor EARLIER
+    than this call — a caller whose batch derives from a table scan
+    (`delete_where`) anchors at scan time, so a commit landing between
+    its scan and this merge fails the commit instead of applying a
+    stale-matched batch.
     """
     started = time.time()
     key_cols = table.key_cols()
     n_buckets = table.n_buckets()
-    parent_snapshot = table.snapshot_id  # optimistic-concurrency anchor
+    # optimistic-concurrency anchor
+    parent_snapshot = (
+        table.snapshot_id if expected_parent is None else expected_parent
+    )
 
     # -- schema evolution: new feed columns extend the table schema -------
     data_schema = T.StructType(
@@ -832,20 +841,38 @@ def delete_where(
     retention delete then never even lists the cold files. Either or
     both may be given.
 
-    Tombstones claim ``seq = max_seq_seen + 1``: every event known at
-    issue time loses to the delete (including same-seq ties — the LWW
-    order ranks ``_deleted`` first on equal seq), while a STRICTLY newer
-    source event legitimately resurrects the key — standard CDC delete
-    semantics. ``max_seq_seen`` advances with the tombstones so a second
-    delete orders after the first; the feed frontier is gated on file
-    counts, not seq, so feed replay is unaffected.
+    Tombstones claim ``seq = max(max_seq_seen, stored seq_max)`` — NOT a
+    new seq. The LWW order ranks ``_deleted`` first on equal seq, so the
+    tombstone beats every event known at issue time (the ingest paths
+    keep ``max_seq_seen`` >= every stored ``commit_seq``; the manifest
+    ``seq_max`` stats cover tables built by direct `merge_into` callers
+    whose offsets understate — O(files) metadata, no data read), while
+    the source's very NEXT seq is already strictly newer and
+    legitimately resurrects the key —
+    standard CDC delete semantics, with zero intrusion into the source's
+    sequence namespace (minting ``max+1`` would swallow the one future
+    event that happens to draw that seq). Offsets are carried UNCHANGED:
+    like compaction, a delete is a data-only commit. The concurrency
+    anchor is taken BEFORE the matching scan, so a feed commit racing
+    the delete fails this commit (optimistic concurrency) rather than
+    letting a stale-matched tombstone batch land over it.
     """
     if condition is None and not where:
         raise ValueError("delete_where needs a condition and/or `where` bounds")
+    from .engine import compute_batch_stats  # local: engine imports merge
+
+    anchor = table.snapshot_id  # BEFORE the scan (see docstring)
+    offsets = table.offsets()
+    seq = max(
+        int(offsets.get("max_seq_seen", 0)),
+        max(
+            (f.get("seq_max") or 0 for f in table.manifest()["files"]),
+            default=0,
+        ),
+    )
     live = table.read(spark, where=where)
     if condition is not None:
         live = live.filter(condition)
-    seq = int(table.offsets().get("max_seq_seen", 0)) + 1
     batch = (
         live.select(*table.key_cols())
         .withColumn("seq", F.lit(seq).cast("long"))
@@ -853,10 +880,13 @@ def delete_where(
         .persist()
     )
     try:
-        n = batch.count()  # keys only — tiny next to the matching scan
+        # one small keys-only job: count + the prune-ladder/adaptive
+        # stats, so a uniformly-spread delete set appends tombstones
+        # MoR-style instead of rewriting the table (same decision as
+        # updates take)
+        n, _mx, touched, key_ranges, key_counts = compute_batch_stats(table, batch)
         if n == 0:
             return {"deleted": 0, "snapshot_id": table.snapshot_id}
-        offsets = {**table.offsets(), "max_seq_seen": seq}
         snap = merge_into(
             spark,
             table,
@@ -864,6 +894,10 @@ def delete_where(
             offsets=offsets,
             scrub=False,  # tombstones carry no payload to scrub
             fail_before_commit=fail_before_commit,
+            touched=touched,
+            key_ranges=key_ranges,
+            key_counts=key_counts,
+            expected_parent=anchor,
         )
     finally:
         batch.unpersist()

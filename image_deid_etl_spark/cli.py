@@ -241,9 +241,30 @@ def cmd_compact(args) -> None:
         spark,
         min_files_per_bucket=args.min_files,
         drop_tombstones_below=args.drop_tombstones_below,
-        cluster_by=args.cluster_by or None,
+        # [] forces a plain key-clustered rewrite even when the table
+        # property sets a cluster order (e.g. to restore tight key
+        # ranges before a heavy backfill); None defers to the property
+        cluster_by=[] if args.no_cluster else (args.cluster_by or None),
     )
     print(json.dumps(res))
+
+
+def _parse_bound(v: str):
+    """CLI bound -> typed value: open ('null'/'-'), int, float, ISO
+    datetime, else the literal string (for string-typed stats columns)."""
+    if v.lower() in ("null", "none", "-"):
+        return None
+    for conv in (int, float):
+        try:
+            return conv(v)
+        except ValueError:
+            pass
+    import datetime
+
+    try:
+        return datetime.datetime.fromisoformat(v)
+    except ValueError:
+        return v
 
 
 def cmd_delete(args) -> None:
@@ -251,12 +272,19 @@ def cmd_delete(args) -> None:
     from .cdc.merge import delete_where
     from .session import build_session
 
+    if args.condition is None and not args.where:
+        sys.exit("error: pass --condition and/or --where")
     try:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
+    where = (
+        {col: (_parse_bound(lo), _parse_bound(hi)) for col, lo, hi in args.where}
+        if args.where
+        else None
+    )
     spark = build_session(app_name="delete")
-    print(json.dumps(delete_where(spark, table, condition=args.condition)))
+    print(json.dumps(delete_where(spark, table, condition=args.condition, where=where)))
 
 
 def cmd_rebucket(args) -> None:
@@ -416,6 +444,11 @@ def main(argv: list[str] | None = None) -> None:
         help="sort rewritten buckets by these columns (tight col_stats for "
         "read-time data skipping; default: the table's cluster_by property)",
     )
+    k.add_argument(
+        "--no-cluster", action="store_true",
+        help="force a plain key-clustered rewrite, overriding the table's "
+        "cluster_by property (restores tight key ranges for MERGE pruning)",
+    )
     k.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser(
@@ -423,8 +456,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     dl.add_argument("--table", required=True)
     dl.add_argument(
-        "--condition", required=True,
+        "--condition", default=None,
         help="SQL predicate over the table schema, e.g. \"repo = 'r1' AND ts < 100\"",
+    )
+    dl.add_argument(
+        "--where", nargs=3, action="append", default=None,
+        metavar=("COL", "LO", "HI"),
+        help="inclusive stats bounds (repeatable): file-prunes the matching "
+        "scan via the table's stats_cols manifest ranges — the form a "
+        "retention sweep should use so cold files are never listed. "
+        "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
     )
     dl.set_defaults(fn=cmd_delete)
 

@@ -77,8 +77,10 @@ def test_delete_where_condition(spark, tmp_path):
     assert stored.count() == 10
     # time travel: the pre-delete snapshot is untouched
     assert t.read(spark, snapshot_id=pre_snap).count() == 40
-    # tombstone seq advanced max_seq_seen so a second delete orders after
-    assert t.offsets()["max_seq_seen"] == 1001
+    # delete is a data-only commit: offsets carried unchanged (the
+    # tombstone claims seq == max_seq_seen and wins by the _deleted-first
+    # tie rank, never intruding into the source's seq namespace)
+    assert t.offsets()["max_seq_seen"] == 1000
     res2 = delete_where(spark, t, condition="ts >= 35")
     assert res2["deleted"] == 5
     assert len(live_paths(spark, t)) == 25
@@ -86,19 +88,22 @@ def test_delete_where_condition(spark, tmp_path):
 
 def test_delete_lww_vs_late_and_new_events(spark, tmp_path):
     """A replayed OLDER event for a deleted key loses to the tombstone;
-    a STRICTLY newer source event legitimately resurrects the key."""
+    the source's very NEXT seq legitimately resurrects the key (the
+    tombstone sits AT max_seq_seen via the _deleted-first tie rank, so
+    no future source seq is ever swallowed)."""
     t = make_table(spark, tmp_path)
     delete_where(spark, t, condition="path = 'p5'")
-    tomb_seq = t.offsets()["max_seq_seen"]
+    tomb_seq = t.offsets()["max_seq_seen"]  # tombstone claims exactly this
     # late replay of the original insert (seq 6 << tombstone): no-op
     late = batch_df(spark, [(6, "add", "r", "p5", 5, "v5")])
     merge_into(spark, t, late, offsets(2), scrub=False)
     assert "p5" not in live_paths(spark, t)
-    # same-seq tie (producer bug): _deleted ranks first — still deleted
+    # same-seq tie (an event already counted in max_seq_seen, replayed):
+    # _deleted ranks first — still deleted
     tie = batch_df(spark, [(tomb_seq, "add", "r", "p5", 5, "tie")])
     merge_into(spark, t, tie, offsets(3), scrub=False)
     assert "p5" not in live_paths(spark, t)
-    # strictly newer event resurrects
+    # the source's NEXT seq — the first genuinely-new event — resurrects
     new = batch_df(spark, [(tomb_seq + 1, "add", "r", "p5", 5, "back")])
     merge_into(spark, t, new, offsets(4), scrub=False)
     assert "p5" in live_paths(spark, t)
@@ -113,6 +118,26 @@ def test_delete_empty_match_is_noop(spark, tmp_path):
     assert t.snapshot_id == snap
     with pytest.raises(ValueError):
         delete_where(spark, t)
+
+
+def test_delete_anchors_concurrency_at_scan_time(spark, tmp_path):
+    """A commit landing between the delete's matching scan and its merge
+    must fail the delete (optimistic concurrency), not let a
+    stale-matched tombstone batch land over the new state."""
+    from image_deid_etl_spark.lake.table import ConcurrentCommitError
+
+    t = make_table(spark, tmp_path)
+    anchor = t.snapshot_id
+    # racing writer commits first
+    b = batch_df(spark, [(500, "add", "r", "race", 99, "x")])
+    merge_into(spark, t, b, offsets(2), scrub=False)
+    # a merge anchored at the pre-race snapshot must be rejected
+    stale = batch_df(spark, [(0, "delete", "r", "p0", 0, None)])
+    with pytest.raises(ConcurrentCommitError):
+        merge_into(
+            spark, t, stale, offsets(3), scrub=False, expected_parent=anchor
+        )
+    assert "p0" in live_paths(spark, t)
 
 
 def test_delete_crash_then_replay_is_idempotent(spark, tmp_path):
@@ -157,6 +182,27 @@ def test_delete_on_mor_table_appends_tombstones(spark, tmp_path):
     # resolve-compaction folds the tombstone versions; state unchanged
     t.compact(spark, min_files_per_bucket=1, resolve_versions=True)
     assert live_paths(spark, t) == {f"p{i}" for i in range(40) if i % 2 == 1}
+
+
+def test_uniform_delete_fires_adaptive_append(spark, tmp_path):
+    """A delete set spread uniformly over a big table takes the adaptive
+    tombstone-append path (O(batch) write) instead of rewriting every
+    matched file — the same decision an update batch gets, fed by the
+    same batch-stats job."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    rows = [(i + 1, "add", "r", f"p{i:05d}", i, "v") for i in range(2000)]
+    merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    t.compact(spark, min_files_per_bucket=1)
+    files_before = {f["path"] for f in t.manifest()["files"]}
+    res = delete_where(spark, t, condition="ts % 40 = 0")
+    assert res["deleted"] == 50
+    assert t.lineage()[-1]["adaptive_append"] is True
+    files_after = {f["path"] for f in t.manifest()["files"]}
+    assert files_before <= files_after, "adaptive delete must not rewrite"
+    assert t.read(spark).count() == 1950
+    # resolve-compaction folds the appended tombstone versions; identical
+    t.compact(spark, min_files_per_bucket=1)
+    assert t.read(spark).count() == 1950
 
 
 def test_delete_records_changelog_net_changes(spark, tmp_path):
