@@ -223,6 +223,85 @@ def test_delete_records_changelog_net_changes(spark, tmp_path):
     assert dels == {f"p{i}" for i in range(5)}
 
 
+def test_delete_interleaved_with_crash_resume_feed(spark, tmp_path):
+    """DELETE issued mid-replay on a half-ingested table, with a crash
+    injected inside the delete itself: the atomic pointer keeps the
+    table untouched, the replayed delete lands, still-pending feed
+    chunks (all strictly newer seqs) legitimately resurrect the keys
+    they re-touch, and the final state matches the pandas accounting —
+    then a full resolve-compaction is a visible no-op."""
+    import numpy as np
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    scatter = lambda i: f"k{(i * 2654435761) % 2**31:010d}"  # noqa: E731
+    all_events = []
+
+    def chunk(idx, ids, seq0):
+        df = pd.DataFrame(
+            {
+                "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+                "op": "add",
+                "repo": "r",
+                "path": [scatter(i) for i in ids],
+                "commit": "c",
+                "lang": "py",
+                "content": [f"v{i}s{seq0 + j}" for j, i in enumerate(ids)],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        )
+        df.to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+        all_events.append(df)
+
+    rng = np.random.RandomState(7)
+    chunk(0, list(range(600)), 1)
+    for u in range(4):  # scattered update chunks, strictly rising seqs
+        chunk(1 + u, list(rng.choice(600, 100, replace=False)), 10_000 + u * 100)
+
+    root = str(tmp_path / "t")
+    with pytest.raises(SimulatedCrash):
+        run_ingest(spark, root, feed, max_files_per_batch=1, n_buckets=2,
+                   fail_before_commit_on_batch=2)
+    t = open_table(root)  # chunks 0-1 committed
+
+    PRED = "path < 'k0500000000'"
+    snap = t.snapshot_id
+    with pytest.raises(SimulatedCrash):
+        delete_where(spark, t, condition=PRED, fail_before_commit=True)
+    assert t.snapshot_id == snap
+    res = delete_where(spark, t, condition=PRED)
+    pre_state = fold_feed(pd.concat(all_events[:2], ignore_index=True))
+    del_keys = set(pre_state.loc[pre_state["path"] < "k0500000000", "path"])
+    assert res["deleted"] == len(del_keys) > 0
+
+    run_ingest(spark, root, feed, max_files_per_batch=1)  # chunks 2-4
+
+    later_touched = set(pd.concat(all_events[2:], ignore_index=True)["path"])
+    dropped = del_keys - later_touched
+    assert dropped, "fixture must leave some keys permanently deleted"
+    assert del_keys & later_touched, "fixture must resurrect some keys"
+    expected = sha256_state(fold_feed(pd.concat(all_events, ignore_index=True)))
+    expected = expected[~expected["path"].isin(dropped)].reset_index(drop=True)
+
+    def state():
+        return (
+            t.read(spark)
+            .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+            .orderBy("repo", "path")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(state(), expected, check_dtype=False)
+    t.compact(spark, min_files_per_bucket=1, resolve_versions=True)
+    assert not t.unresolved_buckets()
+    pd.testing.assert_frame_equal(state(), expected, check_dtype=False)
+
+
 # --------------------------------------------------------------------- #
 # clustering compaction (cluster_by)
 # --------------------------------------------------------------------- #
