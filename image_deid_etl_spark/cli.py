@@ -287,6 +287,24 @@ def cmd_delete(args) -> None:
     print(json.dumps(delete_where(spark, table, condition=args.condition, where=where)))
 
 
+def cmd_tag(args) -> None:
+    from .cdc.engine import open_table
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    try:
+        if args.drop:
+            print(json.dumps({"dropped": args.drop, "snapshot_id": table.drop_tag(args.drop)}))
+        elif args.name:
+            print(json.dumps({"tag": args.name, "snapshot_id": table.tag(args.name, args.snapshot)}))
+        else:
+            print(json.dumps(table.refs()))
+    except (KeyError, ValueError) as e:
+        sys.exit(f"error: {e}")
+
+
 def cmd_rebucket(args) -> None:
     from .cdc.engine import open_table
     from .session import build_session
@@ -468,6 +486,15 @@ def main(argv: list[str] | None = None) -> None:
         "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    tg = sub.add_parser(
+        "tag", help="named snapshot refs: pin/list/drop (pinned snapshots survive expire)"
+    )
+    tg.add_argument("--table", required=True)
+    tg.add_argument("name", nargs="?", default=None, help="tag to create/move (omit to list)")
+    tg.add_argument("--snapshot", type=int, default=None, help="snapshot to pin (default: current)")
+    tg.add_argument("--drop", metavar="NAME", default=None, help="remove a tag instead")
+    tg.set_defaults(fn=cmd_tag)
 
     h = sub.add_parser(
         "changes", help="incremental diff between snapshots (Delta-CDF style)"

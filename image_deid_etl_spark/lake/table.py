@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CURRENT = "_current"
+REFS = "_refs.json"
 MANIFESTS = "_manifests"
 LINEAGE = "_lineage"
 BLOOMS = "_blooms"
@@ -458,6 +459,49 @@ class SnapshotTable:
             "target_file_rows", 1 << 19
         )
 
+    # ------------------------------------------------------------------ #
+    # named snapshot references (Iceberg-style tags)
+    # ------------------------------------------------------------------ #
+    def refs(self) -> dict[str, int]:
+        """Named snapshot references: tag name -> snapshot id. Tags pin
+        snapshots against `expire_snapshots` (an audit/release marker:
+        "the table as shipped to training run X"). Stored in one small
+        atomically-swapped JSON beside ``_current`` — refs are table
+        metadata, not commits, so tagging never creates a snapshot."""
+        try:
+            with open(os.path.join(self.root, REFS)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        path = os.path.join(self.root, REFS)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin ``snapshot_id`` (default: current) under ``name``.
+        Re-tagging an existing name moves it. The snapshot must still be
+        retained; once tagged it stays retained until `drop_tag`."""
+        sid = self.snapshot_id if snapshot_id is None else snapshot_id
+        if sid not in self.snapshots():
+            raise ValueError(f"snapshot {sid} does not exist or has expired")
+        refs = self.refs()
+        refs[name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def drop_tag(self, name: str) -> int:
+        """Remove a tag; its snapshot becomes expirable again."""
+        refs = self.refs()
+        sid = refs.pop(name)  # KeyError on unknown tag, deliberately
+        self._write_refs(refs)
+        return sid
+
     def snapshot_as_of(self, ts: float) -> int:
         """Timestamp time travel (Iceberg semantics): the snapshot that
         was current at wall-clock ``ts`` — i.e. the largest committed
@@ -594,6 +638,7 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         as_of_timestamp: float | None = None,
         where: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """User-facing scan: live rows, table schema + ``commit_seq``.
 
@@ -607,8 +652,10 @@ class SnapshotTable:
         window only for its recently-touched buckets — the r3 table-wide
         window is gone. Tombstone winners are dropped last.
 
-        ``as_of_timestamp`` (exclusive with ``snapshot_id``) time-travels
-        to the snapshot current at that wall-clock (`snapshot_as_of`).
+        ``as_of_timestamp`` time-travels to the snapshot current at that
+        wall-clock (`snapshot_as_of`); ``tag`` reads a named reference
+        (`tag`/`refs` — tags pin snapshots against expiry). The three
+        pinning forms are mutually exclusive.
 
         ``where`` maps column -> ``(lo, hi)`` inclusive bounds (either
         side ``None`` = open) and does two things: (a) per-FILE manifest
@@ -623,9 +670,14 @@ class SnapshotTable:
         so dropping its file before the LWW window could resurrect the
         stale row — those buckets read fully, resolve, then filter.
         """
-        if as_of_timestamp is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or as_of_timestamp, not both")
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp, tag)) > 1:
+            raise ValueError("pass at most one of snapshot_id / as_of_timestamp / tag")
+        if tag is not None:
+            try:
+                snapshot_id = self.refs()[tag]
+            except KeyError:
+                raise ValueError(f"unknown tag {tag!r}") from None
+        elif as_of_timestamp is not None:
             snapshot_id = self.snapshot_as_of(as_of_timestamp)
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
         if where:
@@ -1573,7 +1625,10 @@ class SnapshotTable:
         snaps = self.snapshots()
         current = self.snapshot_id
         tail = snaps[-keep_last:] if keep_last > 0 else []  # [-0:] = whole list!
-        retained = set(tail) | {current}
+        # tagged snapshots are pinned until drop_tag — the whole point of
+        # a tag (tags always resolve: expiry is the only path that drops
+        # snapshots, and it retains every ref here)
+        retained = set(tail) | {current} | (set(self.refs().values()) & set(snaps))
         expired = [s for s in snaps if s not in retained]
         live_files: set[str] = set()
         live_blooms: set[str] = set()

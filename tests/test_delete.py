@@ -303,6 +303,42 @@ def test_delete_interleaved_with_crash_resume_feed(spark, tmp_path):
 
 
 # --------------------------------------------------------------------- #
+# named snapshot refs (tags)
+# --------------------------------------------------------------------- #
+
+
+def test_tags_pin_snapshots_against_expiry(spark, tmp_path):
+    """A tagged snapshot (and its files) survives expire_snapshots until
+    the tag is dropped; read(tag=...) resolves it; tagging never commits."""
+    t = make_table(spark, tmp_path)
+    t.tag("v1")
+    assert t.refs() == {"v1": t.snapshot_id}
+    v1 = t.snapshot_id
+    delete_where(spark, t, condition="ts < 20")
+    b = batch_df(spark, [(900, "add", "r", "extra", 99, "x")])
+    merge_into(spark, t, b, offsets(2), scrub=False)
+    assert t.read(spark, tag="v1").count() == 40  # pre-delete state
+    # expire with keep_last=1: v1 is outside the tail but tagged
+    res = t.expire_snapshots(keep_last=1)
+    assert v1 not in res["expired_snapshots"]
+    assert v1 in t.snapshots()
+    assert t.read(spark, tag="v1").count() == 40
+    # mutually-exclusive pinning forms; unknown tag errors
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot_id=v1, tag="v1")
+    with pytest.raises(ValueError):
+        t.read(spark, tag="nope")
+    # drop the tag: the snapshot becomes expirable and is reclaimed
+    assert t.drop_tag("v1") == v1
+    t.expire_snapshots(keep_last=1)
+    assert v1 not in t.snapshots()
+    with pytest.raises(ValueError):
+        t.tag("v1", snapshot_id=v1)  # expired snapshots cannot be tagged
+    with pytest.raises(KeyError):
+        t.drop_tag("v1")
+
+
+# --------------------------------------------------------------------- #
 # clustering compaction (cluster_by)
 # --------------------------------------------------------------------- #
 
