@@ -2350,3 +2350,117 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "corpus_top_bigrams",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (tokenizer/BPE-merge prep): the top
+    20 word bigrams by frequency. Pure codegen — `zip_with` pairs each
+    word with its successor array-side (no self-join), the explode feeds
+    a partially-aggregating groupBy (map-side combine collapses each
+    task's counts before the shuffle), and the top-k is a
+    TakeOrderedAndProject, so at 100 TB the shuffled data is one row per
+    DISTINCT bigram per task and only 20 rows reach the driver. Tie
+    order is total (count desc, bigram asc)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        F.filter(F.split("text", " "), lambda w: w != F.lit("")).alias("ws")
+    )
+    n = F.size("ws")
+    bigrams = words.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1),
+                F.slice("ws", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM words GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+             ) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by raw TF-IDF
+    (score = tf * N / df — the log-free variant keeps the oracle
+    float-exact: one bigint product, one IEEE division, identical in
+    both engines). Shape at 100 TB: the tf agg partially aggregates
+    before its shuffle; df is one compact row per distinct term and
+    broadcasts to the join; N rides a broadcast cross join (one row);
+    the rank<=3 window compiles to a map-side WindowGroupLimit on the
+    per-doc partition. No driver collection anywhere."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = terms.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
+        ).cast("double").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
