@@ -205,6 +205,7 @@ def cmd_validate(args) -> None:
                 "content_bytes": stats["content_bytes"],
                 "null_content_rows": stats["null_content"],
                 "snapshots": table.snapshots(),
+                "refs": table.refs(),
                 "lineage_commits": len(table.lineage()),
                 "changelog": changelog_report,
                 "fsck": fsck,
