@@ -841,14 +841,12 @@ def delete_where(
     retention delete then never even lists the cold files. Either or
     both may be given.
 
-    Tombstones claim ``seq = max(max_seq_seen, stored seq_max)`` — NOT a
-    new seq. The LWW order ranks ``_deleted`` first on equal seq, so the
-    tombstone beats every event known at issue time (the ingest paths
-    keep ``max_seq_seen`` >= every stored ``commit_seq``; the manifest
-    ``seq_max`` stats cover tables built by direct `merge_into` callers
-    whose offsets understate — O(files) metadata, no data read), while
-    the source's very NEXT seq is already strictly newer and
-    legitimately resurrects the key —
+    Tombstones claim ``seq = table.seq_high()`` (the commit_seq
+    high-water mark folded with ``max_seq_seen`` — an O(1) manifest
+    header on current tables) — NOT a new seq. The LWW order ranks
+    ``_deleted`` first on equal seq, so the tombstone beats every event
+    known at issue time, while the source's very NEXT seq is already
+    strictly newer and legitimately resurrects the key —
     standard CDC delete semantics, with zero intrusion into the source's
     sequence namespace (minting ``max+1`` would swallow the one future
     event that happens to draw that seq). Offsets are carried UNCHANGED:
@@ -863,13 +861,9 @@ def delete_where(
 
     anchor = table.snapshot_id  # BEFORE the scan (see docstring)
     offsets = table.offsets()
-    seq = max(
-        int(offsets.get("max_seq_seen", 0)),
-        max(
-            (f.get("seq_max") or 0 for f in table.manifest()["files"]),
-            default=0,
-        ),
-    )
+    # O(1) via the seq_high manifest header; legacy tables pay one
+    # metadata walk + (if files predate seq stats) one narrow column scan
+    seq = table.seq_high(spark)
     live = table.read(spark, where=where)
     if condition is not None:
         live = live.filter(condition)

@@ -250,22 +250,33 @@ def cmd_compact(args) -> None:
     print(json.dumps(res))
 
 
-def _parse_bound(v: str):
-    """CLI bound -> typed value: open ('null'/'-'), int, float, ISO
-    datetime, else the literal string (for string-typed stats columns)."""
-    if v.lower() in ("null", "none", "-"):
-        return None
-    for conv in (int, float):
-        try:
-            return conv(v)
-        except ValueError:
-            pass
+def _parse_bound(v: str, dtype):
+    """CLI bound -> a value of the COLUMN's type (the table schema is the
+    source of truth — guessing from the literal would hand Spark an
+    int-vs-timestamp comparison, an AnalysisException under ANSI, or
+    silently mis-prune string columns given numeric-looking bounds).
+    'null'/'none'/'-' = open bound; timestamp columns accept ISO strings
+    or epoch seconds."""
     import datetime
 
-    try:
-        return datetime.datetime.fromisoformat(v)
-    except ValueError:
-        return v
+    from pyspark.sql import types as T
+
+    if v.lower() in ("null", "none", "-"):
+        return None
+    if isinstance(dtype, T.TimestampType):
+        try:
+            return datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return datetime.datetime.fromtimestamp(
+                float(v), tz=datetime.timezone.utc
+            )
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return float(v)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    return v
 
 
 def cmd_delete(args) -> None:
@@ -279,11 +290,21 @@ def cmd_delete(args) -> None:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
-    where = (
-        {col: (_parse_bound(lo), _parse_bound(hi)) for col, lo, hi in args.where}
-        if args.where
-        else None
-    )
+    where = None
+    if args.where:
+        types = {f.name: f.dataType for f in table.schema().fields}
+        try:
+            where = {
+                col: (
+                    _parse_bound(lo, types[col]),
+                    _parse_bound(hi, types[col]),
+                )
+                for col, lo, hi in args.where
+            }
+        except KeyError as e:
+            sys.exit(f"error: --where column {e} not in the table schema")
+        except ValueError as e:
+            sys.exit(f"error: bad --where bound: {e}")
     spark = build_session(app_name="delete")
     print(json.dumps(delete_where(spark, table, condition=args.condition, where=where)))
 
@@ -295,6 +316,10 @@ def cmd_tag(args) -> None:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
+    if args.drop and args.name:
+        sys.exit("error: pass a tag name to create OR --drop, not both")
+    if args.snapshot is not None and not args.name:
+        sys.exit("error: --snapshot needs a tag name to pin it under")
     try:
         if args.drop:
             print(json.dumps({"dropped": args.drop, "snapshot_id": table.drop_tag(args.drop)}))
@@ -458,12 +483,13 @@ def main(argv: list[str] | None = None) -> None:
         "--drop-tombstones-below", type=int, default=None, metavar="SEQ",
         help="GC watermark: drop tombstones older than SEQ (caller asserts no older event can arrive)",
     )
-    k.add_argument(
+    kx = k.add_mutually_exclusive_group()
+    kx.add_argument(
         "--cluster-by", nargs="+", default=None, metavar="COL",
         help="sort rewritten buckets by these columns (tight col_stats for "
         "read-time data skipping; default: the table's cluster_by property)",
     )
-    k.add_argument(
+    kx.add_argument(
         "--no-cluster", action="store_true",
         help="force a plain key-clustered rewrite, overriding the table's "
         "cluster_by property (restores tight key ranges for MERGE pruning)",

@@ -259,6 +259,7 @@ class SnapshotTable:
             },
             "file_shards": {},
             "offsets": {"committed_feed_files": 0, "max_seq_seen": 0, "batch_id": -1},
+            "seq_high": 0,
             "properties": dict(properties or {}),
             # version-resolution tracking (r4): buckets that may hold >1
             # stored version of a key (merge-on-read appends — mode "mor"
@@ -458,6 +459,38 @@ class SnapshotTable:
         return self.manifest(with_files=False)["partition_spec"].get(
             "target_file_rows", 1 << 19
         )
+
+    def seq_high(self, spark: SparkSession | None = None) -> int:
+        """High-water mark over every ``commit_seq`` the table has EVER
+        stored, folded with ``offsets.max_seq_seen`` — the seq a
+        tombstone must claim to beat all state known now (`delete_where`).
+        O(1) for tables with the ``seq_high`` manifest header (maintained
+        incrementally at commit); a legacy manifest without it pays one
+        full metadata walk, plus a narrow ``commit_seq``-column scan of
+        any files that predate per-file seq stats (needs ``spark``) —
+        silent under-estimation would silently fail an erasure."""
+        m = self.manifest(with_files=False)
+        mss = int(m["offsets"].get("max_seq_seen", 0))
+        sh = m.get("seq_high")
+        if sh is not None:
+            return max(int(sh), mss)
+        files = self.manifest()["files"]
+        known = max((f.get("seq_max") or 0 for f in files), default=0)
+        legacy = [os.path.join(self.root, f["path"]) for f in files
+                  if f.get("seq_max") is None]
+        if legacy:
+            if spark is None:
+                raise ValueError(
+                    "files without seq stats present; pass spark to scan them"
+                )
+            mx = (
+                spark.read.schema(self._read_schema())
+                .parquet(*legacy)
+                .agg(F.max("commit_seq"))
+                .collect()[0][0]
+            )
+            known = max(known, int(mx or 0))
+        return max(known, mss)
 
     # ------------------------------------------------------------------ #
     # named snapshot references (Iceberg-style tags)
@@ -1373,6 +1406,19 @@ class SnapshotTable:
             "properties": cur["properties"],
             "unresolved_buckets": sorted(new_unres),
             "version_base_rows": base,
+            # header high-water mark over every stored commit_seq — folded
+            # incrementally, so `seq_high()` is O(1) metadata (deletes mint
+            # their tombstone seq from it without a full shard walk). None
+            # in the parent (legacy manifest) stays None until a caller
+            # backfills it via seq_high()'s slow path.
+            "seq_high": (
+                max(
+                    cur["seq_high"],
+                    max((f.get("seq_max") or 0 for f in new_files), default=0),
+                )
+                if cur.get("seq_high") is not None
+                else None
+            ),
         }
         # lineage written before the pointer swap: an uncommitted snapshot's
         # lineage is orphaned (readers join lineage ↞ committed manifests)

@@ -302,6 +302,40 @@ def test_delete_interleaved_with_crash_resume_feed(spark, tmp_path):
     pd.testing.assert_frame_equal(state(), expected, check_dtype=False)
 
 
+def test_seq_high_header_and_legacy_fallback(spark, tmp_path):
+    """The tombstone seq source: O(1) manifest header on current tables;
+    a legacy manifest without it walks per-file seq_max; files without
+    even THOSE stats are narrow-scanned (commit_seq column) — silent
+    under-estimation would silently fail an erasure."""
+    import json
+    import os
+
+    t = make_table(spark, tmp_path)  # rows seq 1..40, max_seq_seen 1000
+    assert t.manifest(with_files=False)["seq_high"] == 40
+    assert t.seq_high() == 1000  # folded with offsets.max_seq_seen
+
+    # simulate a legacy manifest: no header, offsets understating, and
+    # per-file seq stats stripped
+    m = t.manifest(with_files=False)
+    m.pop("seq_high")
+    m["offsets"] = dict(m["offsets"], max_seq_seen=0)
+    for shard in m["file_shards"].values():
+        p = t._shard_path(shard)
+        entries = json.load(open(p))
+        for e in entries:
+            e["seq_max"] = None
+        json.dump(entries, open(p, "w"))
+    t._write_manifest(m)
+
+    with pytest.raises(ValueError):
+        t.seq_high()  # needs spark for the narrow scan
+    assert t.seq_high(spark) == 40  # true stored max, from the column scan
+    # and the delete built on it still erases everything it matched
+    res = delete_where(spark, t, condition="ts < 10")
+    assert res["deleted"] == 10
+    assert t.read(spark).count() == 30
+
+
 # --------------------------------------------------------------------- #
 # named snapshot refs (tags)
 # --------------------------------------------------------------------- #
