@@ -101,3 +101,25 @@ def test_domain_cap_has_mapside_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "row_number(), 10, Partial" in p  # map-side, pre-shuffle
     assert "row_number(), 10, Final" in p
+
+
+def test_top_bigrams_is_partial_agg_plus_takeordered(spark, sf_dir):
+    """corpus_top_bigrams must partially aggregate counts map-side (one
+    row per distinct bigram per task crosses the shuffle) and take the
+    top-k via TakeOrderedAndProject — never a full global sort, and
+    never a Python boundary."""
+    p = plan(spark, sf_dir, "corpus_top_bigrams")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "Partial" in p
+    assert "Python" not in p
+
+
+def test_tfidf_broadcasts_df_and_limits_window_mapside(spark, sf_dir):
+    """tfidf_top_terms must broadcast the per-term df side (compact: one
+    row per distinct term) and compile its rank<=3 filter to a map-side
+    WindowGroupLimit, so no document's term list funnels a global sort."""
+    p = plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "row_number(), 3, Partial" in p
+    assert "Python" not in p
