@@ -318,6 +318,10 @@ def materialize_new_changelogs(
 
     from ..lake.table import CHANGELOG
 
+    if table._branch is not None:
+        # branch commits defer materialization to publish_branch — an
+        # unpublished log would leak staged changes to stream_changes
+        return 0
     current = table.snapshot_id
     floor = after_sid
     if after_sid == 0:  # startup heal — bound the scan once, not per batch
@@ -364,6 +368,7 @@ def run_ingest(
     adaptive: bool = True,
     changelog: bool | None = None,
     stats_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> IngestStats:
     """Tail the feed to exhaustion (Trigger.AvailableNow-style), committing
     one snapshot per micro-batch. Safe to re-invoke after any crash.
@@ -373,10 +378,17 @@ def run_ingest(
     such bucket (one bucket per commit — bounded maintenance riding the
     ingest loop, so file counts plateau without a manual `compact`
     call; None disables). Counting reads only the touched buckets'
-    manifest shards — O(batch), like the rest of the loop."""
+    manifest shards — O(batch), like the rest of the loop.
+
+    ``branch``: commit onto an EXISTING branch (`SnapshotTable.branch`)
+    instead of the published table — the staging half of the
+    write-audit-publish loop; `publish_branch` fast-forwards the
+    published head when the audit passes."""
     table = open_or_create_table(
         table_root, n_buckets, target_file_rows, merge_mode, changelog, stats_cols
     )
+    if branch is not None:
+        table = table.branch_handle(branch)
     if table.changelog_enabled():
         # heal logs a pre-crash run committed but never materialized
         # (commit and log write are not atomic by design — a missing log

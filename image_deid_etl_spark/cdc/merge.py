@@ -900,3 +900,197 @@ def delete_where(
         # not leave a hole in the per-commit changelog
         table.materialize_changelog(spark)
     return {"deleted": n, "snapshot_id": snap}
+
+
+def update_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    set: dict,
+    condition=None,
+    where: dict | None = None,
+    fail_before_commit: bool = False,
+) -> dict:
+    """Row-level predicate UPDATE — ``UPDATE table SET col = expr WHERE
+    <condition>`` as a copy-on-write rewrite of exactly the files that
+    hold a matched row (Delta-style UPDATE; reference analog: the
+    in-place metadata fixups of `custom_etl.py:200-258`, generalized to
+    the table lifecycle).
+
+    Physical shape, sized for 100 TB:
+
+    * A NARROW matching scan (``_metadata.file_path`` + the condition's
+      columns only — parquet column pruning keeps it cheap) over the
+      resolved buckets' candidate files finds the files to rewrite;
+      ``where`` bounds FILE-PRUNE that scan via the ``stats_cols``
+      manifest ranges first, so a time-bounded backfill never lists the
+      cold files. Only matched files are then read in FULL and
+      rewritten; every other live file is carried forward by path. The
+      driver holds one row per matched FILE (manifest scale, not data
+      scale).
+    * UNRESOLVED buckets (MoR / adaptive appends) cannot be matched
+      row-by-row on raw files — a newer version may supersede an
+      in-range older one — so a matched unresolved bucket is
+      resolve-rewritten whole (the same LWW fold `compact` runs,
+      tombstone winners preserved) and leaves the commit RESOLVED: an
+      update there doubles as compaction.
+
+    Rows keep their ``commit_seq`` — the update is a payload rewrite of
+    the CURRENT state (a data-only commit, like compaction), not a new
+    CDC event: it has no place in the source's sequence namespace, and
+    any feed event with a strictly newer seq for the key still
+    supersedes the updated row exactly as it would have superseded the
+    original. The snapshot diff keys row identity on ``(key, seq,
+    payload hash)`` (`lww_payload_hash`), so the rewrite is fully
+    visible to `read_changes` / the materialized changelog as ordinary
+    ``update`` changes. Concurrency: the optimistic anchor is taken
+    BEFORE the matching scan — a feed commit racing the update fails
+    this commit (`ConcurrentCommitError`) rather than letting a
+    stale-matched rewrite land over it.
+
+    ``set`` maps column name -> new-value expression (Column or SQL
+    string), evaluated over the matched row's OLD values and cast to
+    the column's type; targets must be payload columns (key and engine
+    columns are row identity — a key change is delete + insert).
+    ``condition`` (SQL string or Column) and ``where`` (column ->
+    (lo, hi) bounds, also used for file pruning) combine with AND.
+    Returns ``{"updated", "files_rewritten", "snapshot_id"}``.
+    """
+    from ..lake.table import _lww_latest_versions, _stats_entry_pred, _utc_bound
+
+    assignments = dict(set)
+    del set  # the param name mirrors SQL/Delta; restore no-builtin hygiene
+    if not assignments:
+        raise ValueError("update_where needs at least one SET column")
+    if condition is None and not where:
+        raise ValueError("update_where needs a condition and/or `where` bounds")
+    schema_fields = {f.name: f for f in table.schema().fields}
+    key_cols = table.key_cols()
+    for c in assignments:
+        if c not in schema_fields:
+            raise ValueError(f"SET targets unknown column {c!r}")
+        if c in key_cols:
+            raise ValueError(
+                f"SET targets key column {c!r} — a key change is a "
+                "delete + insert, not an update (row identity)"
+            )
+    set_exprs = {
+        c: (F.expr(v) if isinstance(v, str) else v).cast(schema_fields[c].dataType)
+        for c, v in assignments.items()
+    }
+
+    anchor = table.snapshot_id  # BEFORE the scan (see docstring)
+    offsets = table.offsets()
+    started = time.time()
+    if where:
+        where = {c: (_utc_bound(lo), _utc_bound(hi)) for c, (lo, hi) in where.items()}
+
+    def _matched():
+        m = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        if condition is not None:
+            m = m & (F.expr(condition) if isinstance(condition, str) else condition)
+        for c, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                m = m & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                m = m & (F.col(c) <= F.lit(hi))
+        return m
+
+    def _transform(df):
+        guard = _matched()
+        for c, e in set_exprs.items():
+            df = df.withColumn(c, F.when(guard, e).otherwise(F.col(c)))
+        return df
+
+    read_schema = table._read_schema()
+    unres = table.unresolved_buckets()
+    resolved = sorted({*range(table.n_buckets())} - unres)
+
+    # -- narrow matching scan over resolved buckets' candidate files ------
+    pred = _stats_entry_pred(where) if where else None
+    entries = table.files_for_buckets({*resolved}) if resolved else []
+    if pred is not None:
+        entries = [f for f in entries if pred(f)]
+    by_abs = {os.path.join(table.root, f["path"]): f["path"] for f in entries}
+    matched_rel = {*()}
+    n_resolved = 0
+    if entries:
+        cand = spark.read.schema(read_schema).parquet(*by_abs)
+        hits = (
+            cand.filter(_matched())
+            .select(F.col("_metadata.file_path").alias("_fp"))
+            .groupBy("_fp")
+            .count()
+            .collect()
+        )
+        for r in hits:
+            # file_path is a URI (file:///... or file:/...); manifest
+            # keys are plain absolute paths
+            p = r["_fp"].split("://")[-1]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            matched_rel.add(
+                by_abs[p] if p in by_abs else os.path.relpath(p, table.root)
+            )
+            n_resolved += r["count"]
+
+    # -- matched unresolved buckets: resolve-rewrite whole ----------------
+    u_matched = {*()}
+    n_unres = 0
+    live_u = None
+    if unres:
+        # ONE resolve fold serves both the match count and the rewrite
+        live_u = _lww_latest_versions(
+            table.read_raw(spark, buckets=sorted(unres)), key_cols=key_cols
+        ).persist()
+        for r in live_u.filter(_matched()).groupBy("_bucket").count().collect():
+            u_matched.add(r["_bucket"])
+            n_unres += r["count"]
+
+    try:
+        n = n_resolved + n_unres
+        if n == 0:
+            return {"updated": 0, "files_rewritten": 0, "snapshot_id": anchor}
+
+        parts = []
+        if matched_rel:
+            parts.append(
+                _transform(
+                    spark.read.schema(read_schema).parquet(
+                        *[os.path.join(table.root, p) for p in sorted(matched_rel)]
+                    )
+                )
+            )
+        replaced = {*matched_rel}
+        if u_matched:
+            replaced |= {f["path"] for f in table.files_for_buckets(u_matched)}
+            parts.append(
+                _transform(live_u.filter(F.col("_bucket").isin(sorted(u_matched))))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+        new_entries = table.write_snapshot_files(df, table.snapshot_id + 1)
+    finally:
+        if live_u is not None:
+            live_u.unpersist()
+    if fail_before_commit:
+        raise SimulatedCrash("crash injected between apply and commit")
+    snap = table.commit_snapshot(
+        new_files=new_entries,
+        offsets=offsets,
+        replaced_paths=replaced,
+        started_at=started,
+        expected_parent=anchor,
+        lineage_extra={
+            "update_where": True,
+            "rows_updated": n,
+            "set_cols": sorted(assignments),
+        },
+        unresolved_remove=u_matched or None,
+    )
+    if table.changelog_enabled():
+        # same contiguity rule as delete/compact: a CLI-only update must
+        # not leave a hole in the per-commit changelog
+        table.materialize_changelog(spark)
+    return {"updated": n, "files_rewritten": len(replaced), "snapshot_id": snap}

@@ -66,6 +66,8 @@ def cmd_check(args) -> None:
 def cmd_ingest(args) -> None:
     spark = _spark(args.cpus)
     if args.streaming:
+        if args.branch:
+            sys.exit("error: --branch is batch-only (stage, audit, publish)")
         from .streaming.ingest import stream_ingest
 
         stream_ingest(
@@ -95,6 +97,7 @@ def cmd_ingest(args) -> None:
         adaptive=not args.no_adaptive,
         changelog=args.changelog or None,
         stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
+        branch=args.branch,
     )
     print(
         json.dumps(
@@ -309,6 +312,48 @@ def cmd_delete(args) -> None:
     print(json.dumps(delete_where(spark, table, condition=args.condition, where=where)))
 
 
+def cmd_update(args) -> None:
+    from .cdc.engine import open_table
+    from .cdc.merge import update_where
+    from .session import build_session
+
+    if args.condition is None and not args.where:
+        sys.exit("error: pass --condition and/or --where")
+    if not args.set:
+        sys.exit("error: pass at least one --set COL EXPR")
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    where = None
+    if args.where:
+        types = {f.name: f.dataType for f in table.schema().fields}
+        try:
+            where = {
+                col: (
+                    _parse_bound(lo, types[col]),
+                    _parse_bound(hi, types[col]),
+                )
+                for col, lo, hi in args.where
+            }
+        except KeyError as e:
+            sys.exit(f"error: --where column {e} not in the table schema")
+        except ValueError as e:
+            sys.exit(f"error: bad --where bound: {e}")
+    spark = build_session(app_name="update")
+    try:
+        out = update_where(
+            spark,
+            table,
+            set={col: expr for col, expr in args.set},
+            condition=args.condition,
+            where=where,
+        )
+    except ValueError as e:
+        sys.exit(f"error: {e}")
+    print(json.dumps(out))
+
+
 def cmd_tag(args) -> None:
     from .cdc.engine import open_table
 
@@ -328,6 +373,36 @@ def cmd_tag(args) -> None:
         else:
             print(json.dumps(table.refs()))
     except (KeyError, ValueError) as e:
+        sys.exit(f"error: {e}")
+
+
+def cmd_branch(args) -> None:
+    from .cdc.engine import open_table
+    from .lake.table import ConcurrentCommitError
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    actions = [x for x in (args.name, args.publish, args.drop) if x]
+    if len(actions) > 1:
+        sys.exit("error: pass a branch name to create, OR --publish, OR --drop")
+    try:
+        if args.publish:
+            spark = None
+            if table.changelog_enabled():
+                from .session import build_session
+
+                spark = build_session(app_name="branch-publish")
+            print(json.dumps(table.publish_branch(args.publish, spark)))
+        elif args.drop:
+            print(json.dumps(table.drop_branch(args.drop)))
+        elif args.name:
+            h = table.branch(args.name)
+            print(json.dumps({"branch": args.name, "base": h.snapshot_id}))
+        else:
+            print(json.dumps(table.branches()))
+    except (ValueError, ConcurrentCommitError) as e:
         sys.exit(f"error: {e}")
 
 
@@ -458,7 +533,23 @@ def main(argv: list[str] | None = None) -> None:
                    help="at table creation: record per-file min/max for "
                         "these columns (read(where=...) data skipping)")
     i.add_argument("--checkpoint", default=None)
+    i.add_argument("--branch", default=None,
+                   help="commit onto an existing branch (write-audit-publish "
+                        "staging) instead of the published table")
     i.set_defaults(fn=cmd_ingest)
+
+    br = sub.add_parser(
+        "branch",
+        help="write-audit-publish branches: create/list/publish/drop",
+    )
+    br.add_argument("--table", required=True)
+    br.add_argument("name", nargs="?", default=None,
+                    help="branch to create at the published head (omit to list)")
+    br.add_argument("--publish", metavar="NAME", default=None,
+                    help="fast-forward the published table to this branch's head")
+    br.add_argument("--drop", metavar="NAME", default=None,
+                    help="abandon a branch and delete its staged commits")
+    br.set_defaults(fn=cmd_branch)
 
     v = sub.add_parser("validate", help="dry-run audit of table state")
     common(v)
@@ -513,6 +604,29 @@ def main(argv: list[str] | None = None) -> None:
         "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "update",
+        help="row-level predicate UPDATE (copy-on-write rewrite of matched files)",
+    )
+    up.add_argument("--table", required=True)
+    up.add_argument(
+        "--set", nargs=2, action="append", default=None, metavar=("COL", "EXPR"),
+        help="SET column to a SQL expression over the old row "
+        "(repeatable), e.g. --set lang \"upper(lang)\"",
+    )
+    up.add_argument(
+        "--condition", default=None,
+        help="SQL predicate over the table schema, e.g. \"repo = 'r1'\"",
+    )
+    up.add_argument(
+        "--where", nargs=3, action="append", default=None,
+        metavar=("COL", "LO", "HI"),
+        help="inclusive stats bounds (repeatable): file-prunes the matching "
+        "scan via the table's stats_cols manifest ranges. "
+        "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
+    )
+    up.set_defaults(fn=cmd_update)
 
     tg = sub.add_parser(
         "tag", help="named snapshot refs: pin/list/drop (pinned snapshots survive expire)"

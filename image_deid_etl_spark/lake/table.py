@@ -98,19 +98,17 @@ KEY_SEP = "\x1f"
 _LWW_HASH_EXCLUDE = {f.name for f in ENGINE_COLS} | {"_fg", "_bh1", "_bh2", "_rn"}
 
 
-def lww_order_cols(fields) -> list:
-    """The ONE total order every LWW resolution uses — merge-time window,
-    scan-time resolution and compaction must all pick the same winner for
-    a given set of versions, or an adaptive append could converge to a
-    different state than the rewrite it replaced.
-
-    Order: ``commit_seq`` desc (the LWW rule), then — only for the
-    pathological same-seq conflict (producer bug, re-export) —
-    ``_deleted`` desc (a tombstone beats a same-seq upsert) and a stable
-    xxhash64 over the PAYLOAD columns (maps via key-sorted entry
-    serialization; engine columns excluded so existing/incoming copies of
-    the same logical row hash identically). Identical-payload ties remain
-    arbitrary — both picks are the same row."""
+def lww_payload_hash(fields):
+    """Stable xxhash64 over the PAYLOAD columns of ``fields`` — the LWW
+    tie-break hash (see `lww_order_cols`), also the row-identity
+    component of the snapshot diff (`read_changes` /
+    `materialize_changelog`): two stored winners with the same key, seq
+    AND payload hash are the same row; a payload that differs at the
+    same seq (an `update_where` rewrite, or a same-seq conflict whose
+    winner flipped) is a real state change the diff must report. Maps
+    hash via key-sorted entry serialization so producer entry order
+    never splits identities; engine columns are excluded so an existing
+    row and its re-delivered duplicate hash identically."""
     def _contains_map(dt) -> bool:
         if isinstance(dt, T.MapType):
             return True
@@ -156,10 +154,24 @@ def lww_order_cols(fields) -> list:
         else:
             col = F.col(f.name)
         hash_parts.append(col)
+    return F.xxhash64(*hash_parts)
+
+
+def lww_order_cols(fields) -> list:
+    """The ONE total order every LWW resolution uses — merge-time window,
+    scan-time resolution and compaction must all pick the same winner for
+    a given set of versions, or an adaptive append could converge to a
+    different state than the rewrite it replaced.
+
+    Order: ``commit_seq`` desc (the LWW rule), then — only for the
+    pathological same-seq conflict (producer bug, re-export) —
+    ``_deleted`` desc (a tombstone beats a same-seq upsert) and the
+    stable payload hash (`lww_payload_hash`). Identical-payload ties
+    remain arbitrary — both picks are the same row."""
     return [
         F.col("commit_seq").desc(),
         F.col("_deleted").desc(),
-        F.xxhash64(*hash_parts).desc(),
+        lww_payload_hash(fields).desc(),
     ]
 
 
@@ -191,6 +203,38 @@ def _lww_latest_versions(df: DataFrame, key_cols: list[str] | None = None) -> Da
     )
 
 
+def _with_diff_identity(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Add ``_ph`` (the LWW payload hash) to both sides of a snapshot
+    diff so row identity is ``(_key, commit_seq, _ph)``, not just
+    ``(_key, commit_seq)`` — a payload that changed at an UNCHANGED seq
+    (an `update_where` rewrite, or the pathological same-seq conflict
+    whose later delivery flipped the LWW winner) is a real live-state
+    change; keying on seq alone would silently drop it from
+    `read_changes` / the materialized changelog and break the apply
+    contract. Hashes the COMMON payload columns in the ``b`` (newer)
+    schema's order, casting ``a``'s copies to ``b``'s types first so a
+    type widening inside the window (int→long, float→double) cannot
+    split the identity of an unchanged value."""
+    b_fields = {f.name: f for f in b.schema.fields}
+    common = [
+        f
+        for f in b.schema.fields
+        if f.name in {g.name for g in a.schema.fields}
+    ]
+    a_types = {f.name: f.dataType for f in a.schema.fields}
+    a_aligned = a.select(
+        *[
+            F.col(f.name).cast(b_fields[f.name].dataType).alias(f.name)
+            if a_types[f.name] != b_fields[f.name].dataType
+            else F.col(f.name)
+            for f in a.schema.fields
+            if f.name in b_fields
+        ]
+    )
+    ph = lww_payload_hash(common)
+    return a_aligned.withColumn("_ph", ph), b.withColumn("_ph", ph)
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced the table between apply and commit."""
 
@@ -210,10 +254,20 @@ def key_expr(cols: list[str]):
 
 
 class SnapshotTable:
-    """Handle to one snapshot table rooted at ``root``."""
+    """Handle to one snapshot table rooted at ``root``.
+
+    A handle is bound to one named POINTER: ``_current`` (the published
+    table — the default) or a branch pointer (`branch` /
+    `branch_handle`). Every read and commit resolves through the bound
+    pointer, so the whole engine — MERGE, maintenance, time travel —
+    works unchanged against a branch; only pointer-lifecycle operations
+    (`publish_branch`, `drop_branch`, `expire_snapshots`) insist on the
+    main handle."""
 
     def __init__(self, root: str):
         self.root = root
+        self._pointer = CURRENT  # the pointer file this handle commits to
+        self._branch: str | None = None
 
     # ------------------------------------------------------------------ #
     # creation / manifest IO
@@ -332,6 +386,17 @@ class SnapshotTable:
                 out.extend(self._load_shard(name))
         return out
 
+    def _swap_pointer(self, pointer: str, manifest_name: str) -> None:
+        """Atomically point ``pointer`` (``_current`` or a branch file)
+        at an existing manifest — the commit point, and `publish_branch`'s
+        fast-forward."""
+        ptr_tmp = os.path.join(self.root, pointer + f".tmp-{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(manifest_name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, os.path.join(self.root, pointer))
+
     def _write_manifest(self, manifest: dict) -> None:
         """Durable write + atomic pointer swap (the commit point)."""
         mpath = self._manifest_path(manifest["snapshot_id"])
@@ -341,12 +406,7 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mpath)
-        ptr_tmp = os.path.join(self.root, CURRENT + f".tmp-{uuid.uuid4().hex}")
-        with open(ptr_tmp, "w") as f:
-            f.write(os.path.basename(mpath))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptr_tmp, os.path.join(self.root, CURRENT))  # ← atomic commit
+        self._swap_pointer(self._pointer, os.path.basename(mpath))
         # fsync the directories: without this the renames are atomic but
         # not crash-DURABLE (journal reordering could persist the pointer
         # without the manifest, or neither)
@@ -363,7 +423,7 @@ class SnapshotTable:
         that loads every bucket shard, an O(live files) read. Metadata
         accessors and the MERGE hot path use ``with_files=False`` /
         `files_for_buckets` to stay O(1) / O(touched)."""
-        with open(os.path.join(self.root, CURRENT)) as f:
+        with open(os.path.join(self.root, self._pointer)) as f:
             name = f.read().strip()
         if snapshot_id is None:
             path = os.path.join(self.root, MANIFESTS, name)
@@ -524,6 +584,8 @@ class SnapshotTable:
         if sid not in self.snapshots():
             raise ValueError(f"snapshot {sid} does not exist or has expired")
         refs = self.refs()
+        if isinstance(refs.get(name), dict):
+            raise ValueError(f"ref {name!r} is a branch — tags cannot shadow it")
         refs[name] = sid
         self._write_refs(refs)
         return sid
@@ -532,8 +594,228 @@ class SnapshotTable:
         """Remove a tag; its snapshot becomes expirable again."""
         refs = self.refs()
         sid = refs.pop(name)  # KeyError on unknown tag, deliberately
+        if isinstance(sid, dict):
+            refs[name] = sid
+            raise ValueError(f"{name!r} is a branch — use drop_branch")
         self._write_refs(refs)
         return sid
+
+    # ------------------------------------------------------------------ #
+    # branches (write-audit-publish)
+    # ------------------------------------------------------------------ #
+    # A branch is a WRITABLE named ref: its own pointer file beside
+    # `_current`, advanced by ordinary commits through a branch handle.
+    # The WAP loop: `branch("audit")` stages, any number of commits land
+    # on the branch (the published table never sees them), the audit
+    # reads/diffs the branch handle, then `publish_branch` fast-forwards
+    # `_current` to the branch head in ONE atomic pointer swap — or
+    # `drop_branch` discards the staged commits. Because the published
+    # head must not move while a branch is staging (single-writer
+    # discipline, enforced at publish: fast-forward only), branch
+    # snapshot ids simply continue the table's contiguous id line — a
+    # published branch IS ordinary history, with time travel, changelog
+    # and incremental reads working unchanged across the publish point.
+
+    def _branch_pointer(self, name: str) -> str:
+        return f"_branch-{name}"
+
+    def _ptr_sid(self, pointer: str) -> int | None:
+        """Snapshot id a pointer file currently names (None if absent)."""
+        try:
+            with open(os.path.join(self.root, pointer)) as f:
+                return int(f.read().strip().split("-")[1].split(".")[0])
+        except FileNotFoundError:
+            return None
+
+    def _guard_staged_sid(self, snap: int) -> None:
+        """A snapshot id belongs to exactly ONE ref line. Branch ids
+        continue the table's contiguous id line, so a published-line
+        commit while a branch holds staged commits (or a branch commit
+        after the published head moved past its base, or two branches
+        racing) would OVERWRITE the other line's manifest — and the
+        crash-resume rule ("a manifest above the pointer is an orphan,
+        safe to overwrite") cannot tell that clobber apart by file
+        existence alone. The ref registry can: refuse to commit a sid
+        another live line owns. Checked at every commit (one small refs
+        read); best-effort like the pointer CAS itself."""
+        main_head = self._ptr_sid(CURRENT)
+        if main_head is None:
+            return  # table creation
+        if self._branch is not None and snap <= main_head:
+            raise ConcurrentCommitError(
+                f"branch {self._branch!r} would write snapshot {snap}, "
+                f"already taken by the published line (head {main_head}); "
+                "the branch is stale — drop it and re-stage"
+            )
+        for name, info in self.refs().items():
+            if (
+                not isinstance(info, dict)
+                or info.get("type") != "branch"
+                or name == self._branch
+            ):
+                continue
+            head = self._ptr_sid(self._branch_pointer(name))
+            if head is not None and info["base"] < snap <= head:
+                raise ConcurrentCommitError(
+                    f"snapshot {snap} is staged on branch {name!r} "
+                    f"(ids ({info['base']}, {head}]); publish or drop it first"
+                )
+
+    def _require_main(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(f"{op} must run on the main table handle")
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Create a branch at the current published head and return a
+        handle bound to it. Name shares the tag namespace (one ref
+        registry) and must be filesystem-safe."""
+        import re
+
+        self._require_main("branch creation")
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"bad branch name {name!r}")
+        refs = self.refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        base = self.snapshot_id
+        self._swap_pointer(
+            self._branch_pointer(name),
+            os.path.basename(self._manifest_path(base)),
+        )
+        refs[name] = {"type": "branch", "base": base}
+        self._write_refs(refs)
+        return self.branch_handle(name)
+
+    def branch_handle(self, name: str) -> "SnapshotTable":
+        """Handle bound to an existing branch: reads and commits resolve
+        through the branch pointer; the published table is untouched."""
+        info = self.refs().get(name)
+        if not isinstance(info, dict) or info.get("type") != "branch":
+            raise ValueError(f"no branch named {name!r}")
+        t = SnapshotTable(self.root)
+        t._pointer = self._branch_pointer(name)
+        t._branch = name
+        return t
+
+    def branches(self) -> dict[str, dict]:
+        """Live branches: name -> {base, head}. A missing pointer file
+        (crash between ref write and pointer write, or a half-finished
+        drop) reports ``head: None`` — `drop_branch` clears it."""
+        out = {}
+        for name, info in self.refs().items():
+            if not isinstance(info, dict) or info.get("type") != "branch":
+                continue
+            try:
+                h = self.branch_handle(name)
+                head = h.snapshot_id
+            except (FileNotFoundError, ValueError):
+                head = None
+            out[name] = {"base": info["base"], "head": head}
+        return out
+
+    def publish_branch(self, name: str, spark: SparkSession | None = None) -> dict:
+        """Atomically fast-forward the published table to the branch
+        head (the WAP publish). Requires the published head to still be
+        the branch's base — if another writer advanced it, the audit ran
+        against a stale base and the publish fails
+        (`ConcurrentCommitError`) instead of silently merging.
+
+        Branch commits DEFER changelog materialization (an unpublished
+        log under ``_changelog/commit-*`` would leak staged changes to
+        `stream_changes` consumers); pass ``spark`` on a
+        ``changelog=True`` table and the published commits' logs are
+        written here, in commit order — a crash mid-way leaves exactly
+        the tail-gap shape the ingest-start healer repairs."""
+        self._require_main("publish_branch")
+        info = self.refs().get(name)
+        if not isinstance(info, dict) or info.get("type") != "branch":
+            raise ValueError(f"no branch named {name!r}")
+        head = self.branch_handle(name).snapshot_id
+        base = info["base"]
+        current = self.snapshot_id
+        if current == head and head != base:
+            pass  # re-publish after a crash between swap and ref cleanup
+        elif current != base:
+            raise ConcurrentCommitError(
+                f"published head moved to {current} (branch {name!r} based "
+                f"on {base}); re-stage the branch on the new head"
+            )
+        elif head != base:
+            with open(os.path.join(self.root, self._branch_pointer(name))) as f:
+                head_manifest = f.read().strip()
+            self._swap_pointer(CURRENT, head_manifest)
+            fd = os.open(self.root, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        refs = self.refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+        try:
+            os.remove(os.path.join(self.root, self._branch_pointer(name)))
+        except FileNotFoundError:
+            pass
+        if spark is not None and self.changelog_enabled():
+            for sid in range(base + 1, head + 1):
+                if not self.changelog_ready(sid):
+                    self.materialize_changelog(spark, sid)
+        return {"published": name, "snapshot_id": head, "commits": head - base}
+
+    def drop_branch(self, name: str) -> dict:
+        """Abandon a branch: remove its ref + pointer, then eagerly
+        delete everything its commits wrote — manifests, lineage,
+        shards, data-file attempt dirs and deferred changelogs for the
+        snapshot ids in ``(base, head]``. Those ids were writable only
+        through this branch (single-writer discipline), so the sweep is
+        sid-scoped and cannot touch published state; a crashed earlier
+        attempt's leftovers under the same ids are orphans this sweep is
+        allowed to take with it."""
+        import re
+        import shutil
+
+        self._require_main("drop_branch")
+        info = self.refs().get(name)
+        if not isinstance(info, dict) or info.get("type") != "branch":
+            raise ValueError(f"no branch named {name!r}")
+        base = info["base"]
+        try:
+            head = self.branch_handle(name).snapshot_id
+        except FileNotFoundError:
+            head = base  # pointer never written / already gone
+        # unregister FIRST so no new handle can open the branch mid-sweep
+        refs = self.refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+        try:
+            os.remove(os.path.join(self.root, self._branch_pointer(name)))
+        except FileNotFoundError:
+            pass
+        doomed = range(base + 1, head + 1)
+        for sid in doomed:
+            for p in (
+                self._manifest_path(sid),
+                os.path.join(self.root, LINEAGE, f"lineage-{sid:010d}.json"),
+            ):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            shutil.rmtree(self._changelog_dir(sid), ignore_errors=True)
+        if doomed:
+            sids = {f"{sid:010d}" for sid in doomed}
+            mdir = os.path.join(self.root, MANIFESTS)
+            for fn in os.listdir(mdir):
+                m = re.match(r"shard-(\d{10})-", fn)
+                if m and m.group(1) in sids:
+                    os.remove(os.path.join(mdir, fn))
+            ddir = os.path.join(self.root, DATA)
+            if os.path.isdir(ddir):
+                for dn in os.listdir(ddir):
+                    m = re.match(r"snap-(\d{10})-", dn)
+                    if m and m.group(1) in sids:
+                        shutil.rmtree(os.path.join(ddir, dn), ignore_errors=True)
+        return {"dropped": name, "commits_discarded": max(0, head - base)}
 
     def snapshot_as_of(self, ts: float) -> int:
         """Timestamp time travel (Iceberg semantics): the snapshot that
@@ -710,6 +992,10 @@ class SnapshotTable:
                 snapshot_id = self.refs()[tag]
             except KeyError:
                 raise ValueError(f"unknown tag {tag!r}") from None
+            if isinstance(snapshot_id, dict):
+                raise ValueError(
+                    f"ref {tag!r} is a branch — read it via branch_handle({tag!r})"
+                )
         elif as_of_timestamp is not None:
             snapshot_id = self.snapshot_as_of(as_of_timestamp)
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
@@ -850,11 +1136,12 @@ class SnapshotTable:
           commits wrote (`changed_buckets`); untouched buckets are
           carried forward by path and provably identical; the touched
           buckets' resolved live states are diffed with two anti-joins
-          on ``(_key, commit_seq)`` — two stored winners with the same
-          key and seq are the same row (same-seq conflicts settle via
-          the deterministic LWW total order before either snapshot is
-          read). A key inserted and deleted inside the window emits
-          nothing. Cost: O(touched-bucket state at both snapshots + one
+          on ``(_key, commit_seq, payload hash)`` — same key, seq AND
+          payload is the same row, while a payload that changed at an
+          unchanged seq (an `update_where` rewrite, or a same-seq
+          conflict whose later delivery flipped the deterministic LWW
+          winner) is reported as the state change it is. A key inserted
+          and deleted inside the window emits nothing. Cost: O(touched-bucket state at both snapshots + one
           key-partitioned join), never O(table).
         """
         to_id = self.snapshot_id if to_snapshot_id is None else to_snapshot_id
@@ -884,8 +1171,11 @@ class SnapshotTable:
             self._live_keyed(spark, to_id, touched),
         )
         cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
+        a, b = _with_diff_identity(a, b)
         ups = b.join(
-            a.select("_key", "commit_seq"), ["_key", "commit_seq"], "left_anti"
+            a.select("_key", "commit_seq", "_ph"),
+            ["_key", "commit_seq", "_ph"],
+            "left_anti",
         ).withColumn("_change_type", F.lit("upsert"))
         dels = a.join(b.select("_key"), ["_key"], "left_anti").withColumn(
             "_change_type", F.lit("delete")
@@ -963,7 +1253,16 @@ class SnapshotTable:
         rename, so a `stream_changes` consumer tailing the directory
         never lists a half-written commit (on object stores without
         atomic rename, the _SUCCESS check inside the dir is the
-        fallback guard)."""
+        fallback guard).
+
+        On a BRANCH handle this is a deliberate no-op (returns None):
+        a staged commit's log under ``_changelog/commit-*`` would leak
+        unpublished changes to `stream_changes` consumers tailing the
+        directory. `publish_branch(spark=...)` writes the published
+        commits' logs in order; until then branch-window `read_changes`
+        serves from the snapshot-diff fallback."""
+        if self._branch is not None:
+            return None
         sid = self.snapshot_id if snapshot_id is None else snapshot_id
         parent = self.manifest(sid, with_files=False)["parent_id"]
         if parent is None:
@@ -977,8 +1276,11 @@ class SnapshotTable:
         else:
             a = self._live_keyed(spark, parent, touched)
             b = self._live_keyed(spark, sid, touched)
+            a, b = _with_diff_identity(a, b)
             ups = b.join(
-                a.select("_key", "commit_seq"), ["_key", "commit_seq"], "left_anti"
+                a.select("_key", "commit_seq", "_ph"),
+                ["_key", "commit_seq", "_ph"],
+                "left_anti",
             )
             was = a.select("_key").withColumn("_was", F.lit(1))
             ups = ups.join(was, "_key", "left").withColumn(
@@ -1321,6 +1623,7 @@ class SnapshotTable:
         if offsets is None:  # offsets-only default: carry the parent's
             offsets = cur["offsets"]
         snap = cur["snapshot_id"] + 1
+        self._guard_staged_sid(snap)
         dropped = set(replaced_paths or ())
         buckets = touched_buckets if touched_buckets is not None else set()
         upd = entry_updates or {}
@@ -1668,22 +1971,36 @@ class SnapshotTable:
         snapshots are gone; retention is decoupled, as in Delta CDF).
         Pass an int to also drop logs older than the last N commits.
         """
+        self._require_main("expire_snapshots")
         snaps = self.snapshots()
         current = self.snapshot_id
         tail = snaps[-keep_last:] if keep_last > 0 else []  # [-0:] = whole list!
         # tagged snapshots are pinned until drop_tag — the whole point of
         # a tag (tags always resolve: expiry is the only path that drops
-        # snapshots, and it retains every ref here)
-        retained = set(tail) | {current} | (set(self.refs().values()) & set(snaps))
+        # snapshots, and it retains every ref here). Live branches pin
+        # their HEAD (ids beyond `current`, so outside `snaps`): the
+        # head's manifest references every shard/file/bloom the branch
+        # still needs — shards superseded inside the branch are fair
+        # game, exactly like main history.
+        retained = set(tail) | {current}
+        branch_heads = []  # live branches pin their HEAD manifest
+        for name, v in self.refs().items():
+            if isinstance(v, dict) and v.get("type") == "branch":
+                try:
+                    h = self.branch_handle(name)
+                    branch_heads.append(h.manifest())  # via the branch ptr
+                except (FileNotFoundError, ValueError):
+                    pass  # half-dropped branch: nothing to pin
+            elif v in snaps:
+                retained.add(v)
         expired = [s for s in snaps if s not in retained]
         live_files: set[str] = set()
         live_blooms: set[str] = set()
         live_shards: set[str] = set()
-        for s in retained:
-            live_shards |= set(
-                self.manifest(s, with_files=False).get("file_shards", {}).values()
-            )
-            for f in self.manifest(s)["files"]:
+        retained_manifests = [self.manifest(s) for s in retained] + branch_heads
+        for m in retained_manifests:
+            live_shards |= set(m.get("file_shards", {}).values())
+            for f in m["files"]:
                 live_files.add(f["path"])
                 if f.get("bloom_path"):
                     live_blooms.add(f["bloom_path"])

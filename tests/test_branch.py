@@ -1,0 +1,313 @@
+"""Write-audit-publish branches (`SnapshotTable.branch` /
+`publish_branch` / `drop_branch`).
+
+A branch is a writable named ref: its own pointer file, advanced by
+ordinary commits through a branch handle, invisible to the published
+table until one atomic fast-forward. These tests pin the staging
+isolation, the fast-forward-only publish (divergence rejected), eager
+cleanup on abandon (sid-scoped — published state untouchable), the
+deferred-changelog rule (no unpublished log may leak to stream
+consumers), expire pinning of live branch heads, and the ref-namespace
+guards against tags.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into, update_where
+from image_deid_etl_spark.lake.table import ConcurrentCommitError, SnapshotTable
+
+from tests.test_delete import batch_df, make_table, offsets  # noqa: F401
+
+
+def live(spark, t):
+    return {
+        r["path"]: r["content"]
+        for r in t.read(spark).select("path", "content").collect()
+    }
+
+
+def test_branch_stage_audit_publish(spark, tmp_path):
+    """Commits land on the branch only; the audit reads/diffs the branch
+    handle; publish fast-forwards the published head in one swap and the
+    staged commits become ordinary contiguous history."""
+    t = make_table(spark, tmp_path)
+    base = t.snapshot_id
+    b = t.branch("audit")
+    assert b.snapshot_id == base
+
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "staged", 50, "s1")]),
+        offsets(2), scrub=False,
+    )
+    merge_into(
+        spark, b,
+        batch_df(spark, [(101, "delete", "r", "p0", 0, None)]),
+        offsets(3), scrub=False,
+    )
+    # isolation: published table unchanged, branch shows staged state
+    assert t.snapshot_id == base
+    assert "staged" not in live(spark, t) and "p0" in live(spark, t)
+    assert "staged" in live(spark, b) and "p0" not in live(spark, b)
+    # the audit: incremental diff of the branch against its base
+    ch = {
+        (r["path"], r["_change_type"])
+        for r in b.read_changes(spark, base).select("path", "_change_type").collect()
+    }
+    assert ch == {("staged", "upsert"), ("p0", "delete")}
+    assert t.branches() == {"audit": {"base": base, "head": base + 2}}
+
+    res = t.publish_branch("audit")
+    assert res == {"published": "audit", "snapshot_id": base + 2, "commits": 2}
+    assert t.snapshot_id == base + 2
+    assert "staged" in live(spark, t) and "p0" not in live(spark, t)
+    assert t.branches() == {} and "audit" not in t.refs()
+    # contiguous history: time travel across the publish point works
+    assert t.read(spark, snapshot_id=base).count() == 40
+    assert t.snapshots() == list(range(0, base + 3))
+    # offsets advanced with the branch commits (exactly-once carried over)
+    assert t.offsets()["max_seq_seen"] == 3000
+
+
+def test_branch_drop_discards_and_cleans(spark, tmp_path):
+    """Abandon deletes the staged sids' manifests, lineage, shards and
+    data dirs; published state and sid reuse are unaffected."""
+    t = make_table(spark, tmp_path)
+    base = t.snapshot_id
+    b = t.branch("bad")
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "junk", 50, "j")]),
+        offsets(2), scrub=False,
+    )
+    staged_sid = b.snapshot_id
+    assert staged_sid == base + 1
+    res = t.drop_branch("bad")
+    assert res == {"dropped": "bad", "commits_discarded": 1}
+    assert t.snapshot_id == base and "junk" not in live(spark, t)
+    assert not os.path.exists(t._manifest_path(staged_sid))
+    assert not os.path.exists(
+        os.path.join(t.root, "_lineage", f"lineage-{staged_sid:010d}.json")
+    )
+    mdir = os.path.join(t.root, "_manifests")
+    assert not any(
+        fn.startswith(f"shard-{staged_sid:010d}-") for fn in os.listdir(mdir)
+    )
+    ddir = os.path.join(t.root, "data")
+    assert not any(
+        dn.startswith(f"snap-{staged_sid:010d}-") for dn in os.listdir(ddir)
+    )
+    # the sid line is clean: the next published commit reuses it
+    merge_into(
+        spark, t,
+        batch_df(spark, [(200, "add", "r", "real", 60, "x")]),
+        offsets(2), scrub=False,
+    )
+    assert t.snapshot_id == staged_sid
+    assert live(spark, t)["real"] == "x"
+    # and the name is free again
+    t.branch("bad")
+    t.drop_branch("bad")
+
+
+def test_sid_lines_cannot_clobber_each_other(spark, tmp_path):
+    """Branch ids continue the table's contiguous id line, so the two
+    lines must never write the same sid: a published-line commit is
+    REFUSED while a branch holds staged commits (publish or drop first),
+    and a branch gone stale (published head moved past its base before
+    it staged anything) is refused its first commit and its publish."""
+    t = make_table(spark, tmp_path)
+    # -- staged branch blocks published-line commits -------------------
+    b = t.branch("wap")
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "staged", 50, "s")]),
+        offsets(2), scrub=False,
+    )
+    with pytest.raises(ConcurrentCommitError, match="staged on branch"):
+        merge_into(
+            spark, t,
+            batch_df(spark, [(300, "add", "r", "racer", 70, "y")]),
+            offsets(2), scrub=False,
+        )
+    assert live(spark, b)["staged"] == "s", "branch manifest must be intact"
+    t.publish_branch("wap")
+    # -- the published line continues normally after publish -----------
+    merge_into(
+        spark, t,
+        batch_df(spark, [(300, "add", "r", "racer", 70, "y")]),
+        offsets(3), scrub=False,
+    )
+    assert {"staged", "racer"} <= set(live(spark, t))
+    # -- an empty branch does not block; it just goes stale ------------
+    b2 = t.branch("stale")
+    merge_into(
+        spark, t,
+        batch_df(spark, [(400, "add", "r", "sprint", 80, "z")]),
+        offsets(4), scrub=False,
+    )
+    with pytest.raises(ConcurrentCommitError, match="stale"):
+        merge_into(
+            spark, b2,
+            batch_df(spark, [(401, "add", "r", "late", 81, "w")]),
+            offsets(5), scrub=False,
+        )
+    with pytest.raises(ConcurrentCommitError):
+        t.publish_branch("stale")
+    assert "late" not in live(spark, t) and "sprint" in live(spark, t)
+    t.drop_branch("stale")
+
+
+def test_branch_changelog_deferred_until_publish(spark, tmp_path):
+    """No commit-* log may exist for a staged sid (stream_changes tails
+    that glob); publish(spark=...) writes the published commits' logs in
+    order and the fold path then serves the window."""
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    t.materialize_changelog(spark)
+    base = t.snapshot_id
+    b = t.branch("stage")
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "s1", 50, "v")]),
+        offsets(2), scrub=False,
+    )
+    delete_where(spark, b, condition="path = 'p1'")
+    head = b.snapshot_id
+    for sid in range(base + 1, head + 1):
+        assert not t.changelog_ready(sid), "staged log must not leak"
+    assert b.materialize_changelog(spark) is None  # deferred, by contract
+
+    t.publish_branch("stage", spark)
+    for sid in range(base + 1, head + 1):
+        assert t.changelog_ready(sid)
+    ch = t.read_changes(spark, base, use_changelog=True)
+    got = {(r["path"], r["_change_type"]) for r in ch.collect()}
+    assert got == {("s1", "upsert"), ("p1", "delete")}
+
+
+def test_expire_pins_live_branch_head(spark, tmp_path):
+    """Main-handle expiry retains the branch head's manifest and every
+    shard/file it references; the branch keeps reading and publishing."""
+    t = make_table(spark, tmp_path)
+    for i in range(3):  # history for expiry to chew on
+        merge_into(
+            spark, t,
+            batch_df(spark, [(50 + i, "add", "r", f"h{i}", 90 + i, "x")]),
+            offsets(2 + i), scrub=False,
+        )
+    b = t.branch("keep")
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "staged", 50, "s")]),
+        offsets(9), scrub=False,
+    )
+    t.expire_snapshots(keep_last=1)
+    assert "staged" in live(spark, b), "expire must not break a live branch"
+    t.publish_branch("keep")
+    assert "staged" in live(spark, t)
+    # maintenance is a main-handle operation
+    b2 = t.branch("nope")
+    with pytest.raises(ValueError, match="main table handle"):
+        b2.expire_snapshots(keep_last=1)
+    t.drop_branch("nope")
+
+
+def test_branch_maintenance_ops_stay_staged(spark, tmp_path):
+    """update_where / delete_where / compact through a branch handle are
+    staged like any commit."""
+    t = make_table(spark, tmp_path)
+    b = t.branch("fix")
+    update_where(spark, b, set={"content": "'fixed'"}, condition="ts < 3")
+    delete_where(spark, b, condition="ts = 5")
+    b.compact(spark, min_files_per_bucket=1)
+    assert live(spark, t)["p0"] == "v0" and "p5" in live(spark, t)
+    assert live(spark, b)["p0"] == "fixed" and "p5" not in live(spark, b)
+    t.publish_branch("fix")
+    assert live(spark, t)["p0"] == "fixed" and "p5" not in live(spark, t)
+
+
+def test_ref_namespace_guards(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.branch("v1")
+    t.branch("dev")
+    with pytest.raises(ValueError, match="cannot shadow"):
+        t.tag("dev")
+    with pytest.raises(ValueError, match="is a branch"):
+        t.drop_tag("dev")
+    with pytest.raises(ValueError, match="is a branch"):
+        t.read(spark, tag="dev")
+    with pytest.raises(ValueError, match="main table handle"):
+        t.branch_handle("dev").branch("nested")
+    with pytest.raises(ValueError, match="no branch"):
+        t.publish_branch("ghost")
+    with pytest.raises(ValueError, match="no branch"):
+        t.drop_branch("ghost")
+    with pytest.raises(ValueError, match="bad branch name"):
+        t.branch("../evil")
+    # empty branch: publish is pure ref cleanup
+    res = t.publish_branch("dev")
+    assert res["commits"] == 0 and "dev" not in t.refs()
+
+
+def test_branch_cli_and_run_ingest_branch(spark, tmp_path, capsys, monkeypatch):
+    """The branch subcommand + `ingest --branch` cover the WAP loop from
+    the CLI; staged ingest commits publish atomically."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from image_deid_etl_spark import cli
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def chunk(idx, rows):
+        pd.DataFrame(
+            {
+                "seq": np.array([r[0] for r in rows], dtype=np.int64),
+                "op": [r[1] for r in rows],
+                "repo": "r",
+                "path": [r[2] for r in rows],
+                "commit": "c",
+                "lang": "py",
+                "content": [r[3] for r in rows],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    chunk(0, [(1, "add", "A", "a")])
+    root = str(tmp_path / "t")
+    run_ingest(spark, root, str(feed), auto_compact_files=None)
+    t = open_table(root)
+    base = t.snapshot_id
+
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    cli.main(["branch", "--table", root, "wap"])
+    chunk(1, [(2, "add", "B", "b")])
+    run_ingest(spark, root, str(feed), auto_compact_files=None, branch="wap")
+    assert open_table(root).snapshot_id == base
+    cli.main(["branch", "--table", root])
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert listed == {"wap": {"base": base, "head": base + 1}}
+    cli.main(["branch", "--table", root, "--publish", "wap"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["snapshot_id"] == base + 1
+    t = open_table(root)
+    assert {r["path"] for r in t.read(spark).collect()} == {"A", "B"}
+    # the published table's frontier carries on from the branch commits
+    chunk(2, [(3, "add", "C", "c")])
+    run_ingest(spark, root, str(feed), auto_compact_files=None)
+    assert {r["path"] for r in open_table(root).read(spark).collect()} == {
+        "A", "B", "C",
+    }

@@ -590,3 +590,55 @@ def test_changelog_fold_across_schema_evolution(spark, tmp_path):
         slow = fr(t.read_changes(spark, a, use_changelog=False))
         pd.testing.assert_frame_equal(fast, slow, obj=f"from={a}")
     assert (fr(t.read_changes(spark, snaps[1]))["license"] != "-").any()
+
+
+def test_same_seq_conflict_flip_is_visible_to_changes(spark, tmp_path):
+    """Row identity in the snapshot diff is (key, seq, PAYLOAD HASH):
+    a later commit re-delivering a key's max seq with a DIFFERENT
+    payload (producer bug / re-export — the same-seq conflict the LWW
+    tie-break exists for) can flip the stored winner. The window whose
+    interior holds that flip must report it, or applying the change
+    feed to the `from` state cannot reproduce `to` — keying the diff on
+    (key, seq) alone silently dropped exactly this case. Both delivery
+    orders are exercised: one flips the winner (hash order), the other
+    nets to no change; the apply contract must hold for BOTH, on BOTH
+    physical paths (materialized fold + snapshot diff)."""
+    import numpy as np
+
+    flips = 0
+    for tag, contents in (("xy", ["pay-X", "pay-Y"]), ("yx", ["pay-Y", "pay-X"])):
+        feed = tmp_path / f"f{tag}"
+        feed.mkdir()
+        for idx, content in enumerate(contents):
+            pd.DataFrame(
+                {
+                    "seq": np.array([7], dtype=np.int64),
+                    "op": ["add"],
+                    "repo": "r",
+                    "path": ["K"],
+                    "commit": "c",
+                    "lang": "py",
+                    "content": [content],
+                    "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+                }
+            ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+        root = str(tmp_path / f"t{tag}")
+        run_ingest(
+            spark, root, feed, max_files_per_batch=1, auto_compact_files=None,
+            changelog=True,
+        )
+        t = open_table(root)
+        s1, s2 = t.snapshots()[1], t.snapshots()[2]
+        from_state = _frame(t.read(spark, snapshot_id=s1))
+        to_state = _frame(t.read(spark, snapshot_id=s2))
+        fast, slow = _both_paths(t, spark, s1, s2)
+        pd.testing.assert_frame_equal(fast, slow, obj=f"order {tag}")
+        applied = _apply_changes(from_state, fast)
+        pd.testing.assert_frame_equal(applied, to_state, check_dtype=False)
+        if not from_state.equals(to_state):
+            flips += 1
+            assert list(fast["_change_type"]) == ["upsert"], tag
+            assert fast.loc[0, "sha"] == to_state.loc[0, "sha"]
+    # hash order makes exactly one delivery order flip the winner; if
+    # neither flipped, the diff-identity fix is vacuous in this test
+    assert flips == 1

@@ -1,0 +1,291 @@
+"""Row-level predicate UPDATE (`cdc/merge.py` `update_where`).
+
+UPDATE is a copy-on-write rewrite of exactly the files holding a matched
+row — these tests pin the physical bound (untouched files carried by
+path), the semantic contract (payload changes, identity and commit_seq
+do not), its interplay with CDC ordering (a strictly newer feed seq
+still supersedes the updated row), stats-bounded matching, unresolved
+(MoR) bucket resolve-rewrites, crash atomicity, and visibility in the
+change feed via the (key, seq, payload-hash) diff identity.
+
+Reference analog: the in-place metadata fixups (`custom_etl.py:200-258`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.merge import (
+    SimulatedCrash,
+    merge_into,
+    update_where,
+)
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+from tests.test_delete import SCHEMA, batch_df, make_table, offsets  # noqa: F401
+
+
+def rows_by_path(spark, t, **kw):
+    return {
+        r["path"]: (r["content"], r["commit_seq"])
+        for r in t.read(spark, **kw).select("path", "content", "commit_seq").collect()
+    }
+
+
+def test_update_where_condition(spark, tmp_path):
+    """UPDATE rewrites exactly the matching rows' payload; identity
+    (key, commit_seq) is untouched; pre-update snapshots still show the
+    old values; offsets are carried (data-only commit)."""
+    t = make_table(spark, tmp_path)
+    pre_snap = t.snapshot_id
+    before = rows_by_path(spark, t)
+    res = update_where(
+        spark, t, set={"content": F.concat(F.col("content"), F.lit("!"))},
+        condition="ts < 10",
+    )
+    assert res["updated"] == 10
+    assert res["snapshot_id"] == pre_snap + 1
+    after = rows_by_path(spark, t)
+    for p, (content, seq) in after.items():
+        old_content, old_seq = before[p]
+        assert seq == old_seq, "UPDATE must not mint or move commit_seq"
+        i = int(p[1:])
+        assert content == (old_content + "!" if i < 10 else old_content)
+    # time travel: the pre-update snapshot is untouched
+    assert rows_by_path(spark, t, snapshot_id=pre_snap) == before
+    assert t.offsets()["max_seq_seen"] == 1000
+
+
+def test_update_rewrites_only_matched_files(spark, tmp_path):
+    """The physical bound: files holding no matched row are carried
+    forward by path, untouched on disk."""
+    t = make_table(spark, tmp_path, target_file_rows=8)
+    files_before = {f["path"] for f in t.manifest()["files"]}
+    res = update_where(
+        spark, t, set={"content": "'patched'"}, condition="path = 'p7'"
+    )
+    assert res["updated"] == 1
+    files_after = {f["path"] for f in t.manifest()["files"]}
+    carried = files_before & files_after
+    assert len(files_before - files_after) == res["files_rewritten"] == 1
+    assert len(carried) == len(files_before) - 1, (
+        "every file without a matched row must be carried by path"
+    )
+
+
+def test_update_set_expression_sees_old_row(spark, tmp_path):
+    """SET expressions evaluate over the OLD row (SQL UPDATE semantics)
+    and cast to the column's type; multiple SET columns apply to the
+    same matched row set."""
+    t = make_table(spark, tmp_path)
+    update_where(
+        spark, t,
+        set={"content": "concat(path, ':', content)", "ts": "ts + 100"},
+        condition="ts >= 38",
+    )
+    got = {
+        r["path"]: (r["content"], r["ts"])
+        for r in t.read(spark).filter("ts >= 100").collect()
+    }
+    assert got == {"p38": ("p38:v38", 138), "p39": ("p39:v39", 139)}
+
+
+def test_update_validation_errors(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="key column"):
+        update_where(spark, t, set={"path": "'x'"}, condition="ts < 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, t, set={"nope": "'x'"}, condition="ts < 1")
+    with pytest.raises(ValueError, match="condition"):
+        update_where(spark, t, set={"content": "'x'"})
+    with pytest.raises(ValueError, match="SET"):
+        update_where(spark, t, set={}, condition="ts < 1")
+
+
+def test_update_empty_match_is_noop(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    snap = t.snapshot_id
+    res = update_where(spark, t, set={"content": "'x'"}, condition="ts > 10000")
+    assert res == {"updated": 0, "files_rewritten": 0, "snapshot_id": snap}
+    assert t.snapshot_id == snap
+
+
+def test_update_newer_feed_seq_still_supersedes(spark, tmp_path):
+    """The update keeps the row's original seq: a feed event with a
+    strictly newer seq supersedes the updated row exactly as it would
+    have the original — and a REPLAY of the original event (same seq,
+    old payload) does not clobber the update on the CoW path (the old
+    version was physically replaced; the replay ties on seq and the
+    same-seq conflict resolves deterministically, pinned here only for
+    the newer-seq case real sources exercise)."""
+    t = make_table(spark, tmp_path)
+    update_where(spark, t, set={"content": "'patched'"}, condition="path = 'p5'")
+    assert rows_by_path(spark, t)["p5"] == ("patched", 6)
+    new = batch_df(spark, [(2000, "add", "r", "p5", 5, "fresh")])
+    merge_into(spark, t, new, offsets(2), scrub=False)
+    assert rows_by_path(spark, t)["p5"] == ("fresh", 2000)
+
+
+def test_update_where_stats_bounds_prune_and_match(spark, tmp_path):
+    """`where` bounds file-prune the matching scan via stats_cols AND
+    combine exactly with the residual condition — out-of-range files
+    are never listed, in-range unmatched files are never rewritten."""
+    t = make_table(
+        spark, tmp_path,
+        properties={"stats_cols": ["ts"]},
+        target_file_rows=8,
+    )
+    res = update_where(
+        spark, t, set={"content": "'w'"},
+        condition="path != 'p3'", where={"ts": (0, 9)},
+    )
+    assert res["updated"] == 9
+    got = rows_by_path(spark, t)
+    assert got["p3"] == ("v3", 4)
+    for i in range(40):
+        want = "w" if (i < 10 and i != 3) else f"v{i}"
+        assert got[f"p{i}"][0] == want
+
+
+def test_update_crash_then_replay_is_idempotent(spark, tmp_path):
+    """Crash between apply and commit leaves the table untouched
+    (atomic pointer); re-running converges; the crashed attempt's
+    orphaned files are reclaimed by the expire sweep."""
+    t = make_table(spark, tmp_path)
+    snap = t.snapshot_id
+    before = rows_by_path(spark, t)
+    with pytest.raises(SimulatedCrash):
+        update_where(
+            spark, t, set={"content": "'u'"}, condition="ts < 10",
+            fail_before_commit=True,
+        )
+    assert t.snapshot_id == snap
+    assert rows_by_path(spark, t) == before
+    res = update_where(spark, t, set={"content": "'u'"}, condition="ts < 10")
+    assert res["updated"] == 10
+    assert sum(1 for v in rows_by_path(spark, t).values() if v[0] == "u") == 10
+    # the crashed attempt's uuid dir is referenced by no manifest
+    swept = t.expire_snapshots(keep_last=1)
+    assert swept["removed_orphan_files"] >= 1
+
+
+def test_update_anchors_concurrency_at_scan_time(spark, tmp_path):
+    """A commit landing between the update's matching scan and its
+    commit must fail the update, not let a stale-matched rewrite land
+    over the new state. (Staged via expected_parent: the racing commit
+    moves the table after the anchor is taken.)"""
+    from image_deid_etl_spark.lake.table import ConcurrentCommitError
+
+    t = make_table(spark, tmp_path)
+    # racing writer lands between our (simulated) scan and commit: take
+    # the update's view, then advance the table, then try to commit
+    race = batch_df(spark, [(500, "add", "r", "race", 99, "x")])
+
+    orig = t.write_snapshot_files
+
+    def hijack(df, snap_id, **kw):
+        out = orig(df, snap_id, **kw)
+        t.write_snapshot_files = orig  # restore BEFORE the racing merge
+        merge_into(spark, t, race, offsets(2), scrub=False)
+        return out
+
+    t.write_snapshot_files = hijack
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            update_where(spark, t, set={"content": "'u'"}, condition="ts < 10")
+    finally:
+        t.write_snapshot_files = orig
+    assert rows_by_path(spark, t)["p0"] == ("v0", 1), "stale rewrite must not land"
+
+
+def test_update_on_unresolved_mor_bucket_resolves_it(spark, tmp_path):
+    """On a merge-on-read table the matching runs on the RESOLVED state
+    (a raw-file match could update a superseded loser or miss a winner);
+    the matched buckets are resolve-rewritten whole and leave the commit
+    resolved — the update doubles as compaction there."""
+    t = make_table(spark, tmp_path, properties={"merge_mode": "mor"})
+    # second version for p5: predicate must see the NEW payload, not the
+    # superseded v5 original
+    up = batch_df(spark, [(1001, "add", "r", "p5", 5, "zz")])
+    merge_into(spark, t, up, offsets(2), scrub=False)
+    assert t.unresolved_buckets()
+    res = update_where(
+        spark, t, set={"content": "concat(content, '+')"},
+        condition="content = 'zz'",
+    )
+    assert res["updated"] == 1
+    assert rows_by_path(spark, t)["p5"] == ("zz+", 1001)
+    # the superseded original must not have been resurrected or updated
+    raw_p5 = t.read_raw(spark).filter("path = 'p5'")
+    assert raw_p5.count() == 1, "resolve-rewrite folds superseded versions"
+    # matched buckets left the unresolved set; unmatched ones keep theirs
+    from image_deid_etl_spark.lake.table import bucket_expr
+
+    b5 = (
+        batch_df(spark, [(0, "add", "r", "p5", 0, "")])
+        .select(bucket_expr(4, ["repo", "path"]).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert b5 not in t.unresolved_buckets()
+
+
+def test_update_visible_to_change_feed_both_paths(spark, tmp_path):
+    """A payload rewrite at UNCHANGED seq is a live-state change: the
+    (key, seq, payload-hash) diff identity reports it as an update on
+    both physical paths, and the apply contract reproduces the
+    post-update state."""
+    import pandas as pd
+
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    t.materialize_changelog(spark)
+    frm = t.snapshot_id
+    res = update_where(spark, t, set={"content": "'u'"}, condition="ts < 5")
+    for use_log in (True, False):
+        ch = t.read_changes(spark, frm, res["snapshot_id"], use_changelog=use_log)
+        got = {
+            (r["path"], r["content"], r["commit_seq"], r["_change_type"])
+            for r in ch.collect()
+        }
+        assert got == {(f"p{i}", "u", i + 1, "upsert") for i in range(5)}, use_log
+    # the per-commit log classifies them as updates with preimages
+    log = (
+        t.read_changes(spark, frm, res["snapshot_id"])
+        .sparkSession.read.schema(t.changelog_read_schema())
+        .parquet(t._changelog_dir(res["snapshot_id"]))
+    )
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in log.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {"update": 5, "update_preimage": 5}
+    pre = {r["content"] for r in log.filter("_change_type = 'update_preimage'").collect()}
+    assert pre == {f"v{i}" for i in range(5)}
+
+
+def test_update_cli(spark, tmp_path, capsys, monkeypatch):
+    """The `update` subcommand parses --set/--condition/--where and
+    reports the result JSON."""
+    import json
+
+    from image_deid_etl_spark import cli
+
+    t = make_table(spark, tmp_path, properties={"stats_cols": ["ts"]})
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    cli.main(
+        [
+            "update",
+            "--table", t.root,
+            "--set", "content", "upper(content)",
+            "--condition", "path like 'p1%'",
+            "--where", "ts", "0", "19",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["updated"] == 11  # p1, p10..p19
+    got = rows_by_path(spark, t)
+    assert got["p1"][0] == "V1"
+    assert got["p19"][0] == "V19"
+    assert got["p2"][0] == "v2"
