@@ -996,10 +996,21 @@ def update_where(
         return m
 
     def _transform(df):
+        # ONE projection: every SET expression AND the match guard
+        # evaluate against the OLD row (SQL UPDATE semantics — a
+        # sequential withColumn chain would feed later expressions, and
+        # the re-evaluated guard, already-updated values: set={'a': 'b',
+        # 'b': 'a'} must swap, and a SET that falsifies its own
+        # condition must still apply the remaining columns)
         guard = _matched()
-        for c, e in set_exprs.items():
-            df = df.withColumn(c, F.when(guard, e).otherwise(F.col(c)))
-        return df
+        return df.select(
+            *[
+                F.when(guard, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     read_schema = table._read_schema()
     unres = table.unresolved_buckets()
@@ -1037,16 +1048,18 @@ def update_where(
     u_matched = {*()}
     n_unres = 0
     live_u = None
-    if unres:
-        # ONE resolve fold serves both the match count and the rewrite
-        live_u = _lww_latest_versions(
-            table.read_raw(spark, buckets=sorted(unres)), key_cols=key_cols
-        ).persist()
-        for r in live_u.filter(_matched()).groupBy("_bucket").count().collect():
-            u_matched.add(r["_bucket"])
-            n_unres += r["count"]
-
     try:
+        if unres:
+            # ONE resolve fold serves both the match count and the rewrite
+            live_u = _lww_latest_versions(
+                table.read_raw(spark, buckets=sorted(unres)), key_cols=key_cols
+            ).persist()
+            for r in (
+                live_u.filter(_matched()).groupBy("_bucket").count().collect()
+            ):
+                u_matched.add(r["_bucket"])
+                n_unres += r["count"]
+
         n = n_resolved + n_unres
         if n == 0:
             return {"updated": 0, "files_rewritten": 0, "snapshot_id": anchor}
@@ -1070,7 +1083,12 @@ def update_where(
         for p in parts[1:]:
             df = df.unionByName(p)
 
-        new_entries = table.write_snapshot_files(df, table.snapshot_id + 1)
+        # preserve the table's clustering on rewrite (same rule as
+        # compact — an update of a cluster_by table must not widen the
+        # per-file col_stats ranges read(where=...) prunes on)
+        new_entries = table.write_snapshot_files(
+            df, table.snapshot_id + 1, cluster_by=table.cluster_by() or None
+        )
     finally:
         if live_u is not None:
             live_u.unpersist()

@@ -64,10 +64,19 @@ def cmd_check(args) -> None:
 
 
 def cmd_ingest(args) -> None:
+    if args.branch:
+        if args.streaming:
+            sys.exit("error: --branch is batch-only (stage, audit, publish)")
+        # validate BEFORE building the session or creating anything: an
+        # unknown branch must not leave a freshly-created empty table
+        from .cdc.engine import open_table
+
+        try:
+            open_table(args.table).branch_handle(args.branch)
+        except (FileNotFoundError, ValueError) as e:
+            sys.exit(f"error: {e}")
     spark = _spark(args.cpus)
     if args.streaming:
-        if args.branch:
-            sys.exit("error: --branch is batch-only (stage, audit, publish)")
         from .streaming.ingest import stream_ingest
 
         stream_ingest(

@@ -791,7 +791,12 @@ class SnapshotTable:
             os.remove(os.path.join(self.root, self._branch_pointer(name)))
         except FileNotFoundError:
             pass
-        doomed = range(base + 1, head + 1)
+        # never sweep an id the PUBLISHED line owns: after a
+        # publish_branch crash between the `_current` swap and the ref
+        # cleanup, the leftover branch covers ids that are now published
+        # history — dropping it must only finish the ref cleanup, not
+        # delete the live table out from under `_current`
+        doomed = range(max(base, self.snapshot_id) + 1, head + 1)
         for sid in doomed:
             for p in (
                 self._manifest_path(sid),
@@ -815,7 +820,7 @@ class SnapshotTable:
                     m = re.match(r"snap-(\d{10})-", dn)
                     if m and m.group(1) in sids:
                         shutil.rmtree(os.path.join(ddir, dn), ignore_errors=True)
-        return {"dropped": name, "commits_discarded": max(0, head - base)}
+        return {"dropped": name, "commits_discarded": len(doomed)}
 
     def snapshot_as_of(self, ts: float) -> int:
         """Timestamp time travel (Iceberg semantics): the snapshot that
@@ -1325,8 +1330,12 @@ class SnapshotTable:
         taken from the FIRST event's commit (its ``update_preimage`` or
         ``delete`` row — by definition the state at `from`, since no
         earlier window commit touched the key). The strict LWW total
-        order makes any logged key's net state differ from `from`, so
-        no self-cancelling upserts exist. Cost: O(changes in window).
+        order makes feed events' net state differ from `from`; the one
+        self-cancelling shape — a payload rewritten A→B→A at unchanged
+        seq by two `update_where` commits — is dropped by comparing the
+        last postimage to the first preimage under the diff's own row
+        identity (seq + payload hash), keeping exact parity with the
+        snapshot-diff path. Cost: O(changes in window).
         """
         if not sids:
             return self._empty_changes(spark, to_id)
@@ -1350,14 +1359,38 @@ class SnapshotTable:
             F.col("_change_type").isin("update_preimage", "delete"), F.col("_sid")
         )
         row_s = F.struct(*[F.col(c) for c in cols])
+        # row identity hash (same definition as the snapshot diff): lets
+        # the fold drop a key whose net state REVERTED to its `from` row
+        # inside the window (payload rewritten A→B→A at unchanged seq —
+        # only `update_where` can produce it), keeping exact parity with
+        # the snapshot diff, which sees identical rows and emits nothing
+        ph = lww_payload_hash(
+            [f for f in self.changelog_read_schema(to_id).fields if f.name in cols]
+        )
+        logs = logs.withColumn("_ph", ph)
         g = logs.groupBy(*key_cols).agg(
             F.max_by(row_s, ev_sid).alias("_last"),      # final event's row
             F.max_by("_change_type", ev_sid).alias("_last_ct"),
             F.min_by("_change_type", ev_sid).alias("_first_ct"),
             F.min_by(row_s, pre_sid).alias("_pre"),      # first preimage row
+            F.max_by("_ph", ev_sid).alias("_last_ph"),
+            F.min_by("_ph", pre_sid).alias("_pre_ph"),
         )
         ups = (
-            g.filter(F.col("_last_ct") != "delete")
+            g.filter(
+                (F.col("_last_ct") != "delete")
+                # net no-op: key was live at `from` (first event not an
+                # insert) and the last postimage IS the from-row — same
+                # seq, same payload hash (the diff's row identity).
+                # coalesce: a null comparison (missing preimage in a
+                # legacy/partial log) must KEEP the upsert, never drop it
+                & ~F.coalesce(
+                    (F.col("_first_ct") != "insert")
+                    & (F.col("_last.commit_seq") == F.col("_pre.commit_seq"))
+                    & (F.col("_last_ph") == F.col("_pre_ph")),
+                    F.lit(False),
+                )
+            )
             .select(*[F.col(f"_last.{c}").alias(c) for c in cols])
             .withColumn("_change_type", F.lit("upsert"))
         )
@@ -1988,9 +2021,17 @@ class SnapshotTable:
             if isinstance(v, dict) and v.get("type") == "branch":
                 try:
                     h = self.branch_handle(name)
-                    branch_heads.append(h.manifest())  # via the branch ptr
+                    head_m = h.manifest()  # via the branch ptr
                 except (FileNotFoundError, ValueError):
-                    pass  # half-dropped branch: nothing to pin
+                    continue  # half-dropped branch: nothing to pin
+                if head_m["snapshot_id"] <= current:
+                    # a STALE branch (no staged commits; published line
+                    # moved past its base) points INSIDE main history —
+                    # retain its head like a tag, or the still-live
+                    # pointer would dangle
+                    retained.add(head_m["snapshot_id"])
+                else:
+                    branch_heads.append(head_m)
             elif v in snaps:
                 retained.add(v)
         expired = [s for s in snaps if s not in retained]

@@ -311,3 +311,67 @@ def test_branch_cli_and_run_ingest_branch(spark, tmp_path, capsys, monkeypatch):
     assert {r["path"] for r in open_table(root).read(spark).collect()} == {
         "A", "B", "C",
     }
+
+
+def test_drop_branch_after_publish_crash_spares_published_data(spark, tmp_path):
+    """publish_branch crashing between the `_current` swap and the ref
+    cleanup leaves a branch whose ids are now PUBLISHED history — a
+    subsequent drop_branch must only finish the ref cleanup, never sweep
+    the live table out from under `_current`. (Re-publish is the other
+    valid recovery; both must be safe.)"""
+    t = make_table(spark, tmp_path)
+    b = t.branch("wap")
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "staged", 50, "s")]),
+        offsets(2), scrub=False,
+    )
+    head = b.snapshot_id
+    # simulate the crash: pointer swapped, refs/pointer cleanup skipped
+    with open(os.path.join(t.root, "_branch-wap")) as f:
+        head_manifest = f.read().strip()
+    t._swap_pointer("_current", head_manifest)
+    assert t.snapshot_id == head and "wap" in t.refs()
+
+    res = t.drop_branch("wap")
+    assert res == {"dropped": "wap", "commits_discarded": 0}
+    assert t.snapshot_id == head
+    assert live(spark, t)["staged"] == "s", "published data must survive"
+    assert os.path.exists(t._manifest_path(head))
+    t.compact(spark, min_files_per_bucket=1)  # table still fully operational
+    assert live(spark, t)["staged"] == "s"
+
+
+def test_expire_retains_stale_empty_branch_head(spark, tmp_path):
+    """An empty branch whose base fell behind the published head (legal:
+    it staged nothing) still pins its head manifest against expiry — its
+    pointer must not dangle."""
+    t = make_table(spark, tmp_path)
+    b = t.branch("stale")
+    stale_head = b.snapshot_id
+    for i in range(3):  # push the published head well past the branch
+        merge_into(
+            spark, t,
+            batch_df(spark, [(50 + i, "add", "r", f"h{i}", 90 + i, "x")]),
+            offsets(2 + i), scrub=False,
+        )
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(t._manifest_path(stale_head))
+    assert t.branch_handle("stale").snapshot_id == stale_head
+    assert t.branches()["stale"]["head"] == stale_head
+    t.drop_branch("stale")
+    t.expire_snapshots(keep_last=1)
+    assert not os.path.exists(t._manifest_path(stale_head))
+
+
+def test_ingest_cli_unknown_branch_is_clean_error(tmp_path, capsys):
+    """`ingest --branch typo` must exit with a clean error and must NOT
+    create a table as a side effect."""
+    from image_deid_etl_spark import cli
+
+    root = str(tmp_path / "absent")
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["ingest", "--table", root, "--feed", str(tmp_path), "--branch", "x"]
+        )
+    assert not os.path.exists(root), "no side-effect table creation"

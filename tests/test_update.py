@@ -289,3 +289,75 @@ def test_update_cli(spark, tmp_path, capsys, monkeypatch):
     assert got["p1"][0] == "V1"
     assert got["p19"][0] == "V19"
     assert got["p2"][0] == "v2"
+
+
+def test_update_multi_set_sees_old_row_swap_and_self_falsifying(spark, tmp_path):
+    """All SET expressions AND the match guard evaluate against the OLD
+    row in one projection: a column swap must swap, and a SET that
+    falsifies its own condition must still apply the remaining columns."""
+    t = make_table(spark, tmp_path)
+    # self-falsifying condition: content is both a target and a predicate
+    res = update_where(
+        spark, t,
+        set={"content": "'archived'", "ts": "ts + 1000"},
+        condition="content = 'v7'",
+    )
+    assert res["updated"] == 1
+    got = {r["path"]: (r["content"], r["ts"]) for r in t.read(spark).collect()}
+    assert got["p7"] == ("archived", 1007), (
+        "ts must update even though the SET falsifies the condition"
+    )
+    # swap: ts <-> content-derived value, both referencing old values
+    update_where(
+        spark, t,
+        set={"content": "cast(ts as string)", "ts": "length(content)"},
+        condition="path = 'p8'",
+    )
+    got = {r["path"]: (r["content"], r["ts"]) for r in t.read(spark).collect()}
+    assert got["p8"] == ("8", 2), "swap must read OLD values on both sides"
+
+
+def test_update_preserves_cluster_by_stats(spark, tmp_path):
+    """Rewritten files of a cluster_by table keep tight col_stats — the
+    update must not undo the clustering compact() established."""
+    t = make_table(
+        spark, tmp_path,
+        properties={"stats_cols": ["ts"], "cluster_by": ["ts"]},
+        target_file_rows=8,
+    )
+    t.compact(spark, min_files_per_bucket=1)  # establish clustering
+
+    def max_span():
+        spans = []
+        for f in t.manifest()["files"]:
+            rng = (f.get("col_stats") or {}).get("ts")
+            if rng and rng[0] is not None:
+                spans.append(rng[1] - rng[0])
+        return max(spans)
+
+    span_before = max_span()
+    update_where(spark, t, set={"content": "'x'"}, condition="ts % 2 = 0")
+    assert max_span() <= span_before, (
+        "update rewrite must preserve the clustered layout's stat ranges"
+    )
+
+
+def test_update_revert_fold_diff_parity(spark, tmp_path):
+    """A→B→A payload revert across two update commits: the snapshot diff
+    sees identical from/to rows and emits nothing; the changelog fold
+    must agree (net no-op dropped under the seq+payload-hash identity)."""
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    t.materialize_changelog(spark)
+    frm = t.snapshot_id
+    update_where(spark, t, set={"content": "'B'"}, condition="path = 'p4'")
+    update_where(spark, t, set={"content": "'v4'"}, condition="path = 'p4'")
+    for use_log in (True, False):
+        ch = t.read_changes(spark, frm, use_changelog=use_log).collect()
+        assert ch == [], f"revert must net to nothing (use_changelog={use_log})"
+    # a half-revert (different final payload) still reports exactly once
+    update_where(spark, t, set={"content": "'C'"}, condition="path = 'p4'")
+    for use_log in (True, False):
+        ch = t.read_changes(spark, frm, use_changelog=use_log).collect()
+        assert [(r["path"], r["content"], r["_change_type"]) for r in ch] == [
+            ("p4", "C", "upsert")
+        ], use_log
