@@ -361,3 +361,31 @@ def test_update_revert_fold_diff_parity(spark, tmp_path):
         assert [(r["path"], r["content"], r["_change_type"]) for r in ch] == [
             ("p4", "C", "upsert")
         ], use_log
+
+
+def test_update_matching_scan_is_narrow(spark, tmp_path):
+    """The 100 TB claim in update_where's docstring, pinned in the plan:
+    the file-finding scan reads ONLY the condition's columns (+ the
+    _metadata.file_path constant) — parquet column pruning must strip
+    the payload, and the residual predicate must be pushed to the scan."""
+    import os
+
+    t = make_table(spark, tmp_path)
+    paths = [os.path.join(t.root, f["path"]) for f in t.manifest()["files"]]
+    # the exact scan shape update_where builds for matching
+    cand = spark.read.schema(t._read_schema()).parquet(*paths)
+    narrow = (
+        cand.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False)) & F.expr("ts < 10")
+        )
+        .select(F.col("_metadata.file_path").alias("_fp"))
+        .groupBy("_fp")
+        .count()
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        narrow._jdf.queryExecution(), "formatted"
+    )
+    read_schema = p.split("ReadSchema")[1][:300]
+    assert "ts" in read_schema and "_deleted" in read_schema
+    assert "content" not in read_schema, "payload must be pruned from the scan"
+    assert "PushedFilters" in p and "ts" in p.split("PushedFilters")[1][:200]
