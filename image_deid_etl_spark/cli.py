@@ -242,13 +242,9 @@ def cmd_expire(args) -> None:
 
 
 def cmd_compact(args) -> None:
-    from .cdc.engine import open_table
     from .session import build_session
 
-    try:
-        table = open_table(args.table)
-    except FileNotFoundError as e:
-        sys.exit(f"error: {e}")
+    table = _open_maybe_branch(args.table, args.branch)
     spark = build_session(app_name="compact")
     res = table.compact(
         spark,
@@ -291,17 +287,25 @@ def _parse_bound(v: str, dtype):
     return v
 
 
-def cmd_delete(args) -> None:
+def _open_maybe_branch(table_root: str, branch: str | None):
+    """Open a table, optionally bound to a branch — lifecycle commands
+    (delete/update/compact/changes) stage on a branch like any commit."""
     from .cdc.engine import open_table
+
+    try:
+        t = open_table(table_root)
+        return t.branch_handle(branch) if branch else t
+    except (FileNotFoundError, ValueError) as e:
+        sys.exit(f"error: {e}")
+
+
+def cmd_delete(args) -> None:
     from .cdc.merge import delete_where
     from .session import build_session
 
     if args.condition is None and not args.where:
         sys.exit("error: pass --condition and/or --where")
-    try:
-        table = open_table(args.table)
-    except FileNotFoundError as e:
-        sys.exit(f"error: {e}")
+    table = _open_maybe_branch(args.table, args.branch)
     where = None
     if args.where:
         types = {f.name: f.dataType for f in table.schema().fields}
@@ -322,7 +326,6 @@ def cmd_delete(args) -> None:
 
 
 def cmd_update(args) -> None:
-    from .cdc.engine import open_table
     from .cdc.merge import update_where
     from .session import build_session
 
@@ -330,10 +333,7 @@ def cmd_update(args) -> None:
         sys.exit("error: pass --condition and/or --where")
     if not args.set:
         sys.exit("error: pass at least one --set COL EXPR")
-    try:
-        table = open_table(args.table)
-    except FileNotFoundError as e:
-        sys.exit(f"error: {e}")
+    table = _open_maybe_branch(args.table, args.branch)
     where = None
     if args.where:
         types = {f.name: f.dataType for f in table.schema().fields}
@@ -432,13 +432,9 @@ def cmd_rebucket(args) -> None:
 def cmd_changes(args) -> None:
     from pyspark.sql import functions as F
 
-    from .cdc.engine import open_table
     from .session import build_session
 
-    try:
-        table = open_table(args.table)
-    except FileNotFoundError as e:
-        sys.exit(f"error: {e}")
+    table = _open_maybe_branch(args.table, args.branch)
     spark = build_session(app_name="changes")
     df = table.read_changes(
         spark, args.from_snapshot, args.to_snapshot,
@@ -594,6 +590,7 @@ def main(argv: list[str] | None = None) -> None:
         help="force a plain key-clustered rewrite, overriding the table's "
         "cluster_by property (restores tight key ranges for MERGE pruning)",
     )
+    k.add_argument("--branch", default=None, help="operate on an existing branch (stage the commit for write-audit-publish)")
     k.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser(
@@ -612,6 +609,7 @@ def main(argv: list[str] | None = None) -> None:
         "retention sweep should use so cold files are never listed. "
         "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
     )
+    dl.add_argument("--branch", default=None, help="operate on an existing branch (stage the commit for write-audit-publish)")
     dl.set_defaults(fn=cmd_delete)
 
     up = sub.add_parser(
@@ -635,6 +633,7 @@ def main(argv: list[str] | None = None) -> None:
         "scan via the table's stats_cols manifest ranges. "
         "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
     )
+    up.add_argument("--branch", default=None, help="operate on an existing branch (stage the commit for write-audit-publish)")
     up.set_defaults(fn=cmd_update)
 
     tg = sub.add_parser(
@@ -658,6 +657,7 @@ def main(argv: list[str] | None = None) -> None:
         help="force the snapshot-diff path even when materialized logs "
              "cover the window (parity debugging)",
     )
+    h.add_argument("--branch", default=None, help="audit a staged branch: diff its snapshots before publish")
     h.set_defaults(fn=cmd_changes)
 
     rb = sub.add_parser(

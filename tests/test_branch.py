@@ -375,3 +375,36 @@ def test_ingest_cli_unknown_branch_is_clean_error(tmp_path, capsys):
             ["ingest", "--table", root, "--feed", str(tmp_path), "--branch", "x"]
         )
     assert not os.path.exists(root), "no side-effect table creation"
+
+
+def test_lifecycle_cli_ops_stage_on_branch(spark, tmp_path, capsys, monkeypatch):
+    """delete/update/compact/changes accept --branch: lifecycle commits
+    stage like any other, and the audit diff reads the branch."""
+    import json
+
+    from image_deid_etl_spark import cli
+
+    t = make_table(spark, tmp_path)
+    base = t.snapshot_id
+    t.branch("fix")
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    cli.main(["delete", "--table", t.root, "--condition", "ts = 5",
+              "--branch", "fix"])
+    cli.main(["update", "--table", t.root, "--set", "content", "'u'",
+              "--condition", "ts = 6", "--branch", "fix"])
+    cli.main(["changes", "--table", t.root, "--from-snapshot", str(base),
+              "--branch", "fix"])
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
+    assert out[0]["deleted"] == 1 and out[1]["updated"] == 1
+    assert out[2]["by_type"] == {"delete": 1, "upsert": 1}
+    # nothing staged reached the published table
+    assert t.snapshot_id == base
+    assert "p5" in live(spark, t) and live(spark, t)["p6"] == "v6"
+    t.publish_branch("fix")
+    assert "p5" not in live(spark, t) and live(spark, t)["p6"] == "u"
+    # unknown branch on a lifecycle op: clean error
+    with pytest.raises(SystemExit):
+        cli.main(["compact", "--table", t.root, "--branch", "ghost"])
