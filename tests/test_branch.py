@@ -408,3 +408,149 @@ def test_lifecycle_cli_ops_stage_on_branch(spark, tmp_path, capsys, monkeypatch)
     # unknown branch on a lifecycle op: clean error
     with pytest.raises(SystemExit):
         cli.main(["compact", "--table", t.root, "--branch", "ghost"])
+
+
+def test_branch_torture_crash_stage_drop_restage_publish(spark, tmp_path):
+    """Branch staging under the engine's torture conditions: a crash
+    inside a BRANCH commit resumes on the branch; a poisoned branch is
+    dropped, re-staged and published; the published end state equals the
+    oracle fold of exactly the published chunks; changelog fold/diff
+    parity holds across the publish window."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.merge import SimulatedCrash
+    from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    frames = []
+
+    def chunk(idx, ids, seq0, tag):
+        df = pd.DataFrame(
+            {
+                "seq": np.arange(seq0, seq0 + len(ids), dtype=np.int64),
+                "op": "add",
+                "repo": "r",
+                "path": [f"k{i:04d}" for i in ids],
+                "commit": "c",
+                "lang": "py",
+                "content": [f"{tag}{i}" for i in ids],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        )
+        df.to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+        frames.append(df)
+
+    import pandas as pd  # noqa: F811  (local alias for the helper above)
+
+    chunk(0, range(0, 120), 0, "a")      # published base
+    chunk(1, range(60, 180), 200, "b")   # staged half 1 (overwrites 60-119)
+    chunk(2, range(0, 60), 400, "c")     # staged half 2 (overwrites 0-59)
+    root = str(tmp_path / "t")
+    run_ingest(spark, root, str(feed), max_files_per_batch=1, max_batches=1,
+               auto_compact_files=None, changelog=True)
+    t = open_table(root)
+    base = t.snapshot_id
+    base_sha = sha256_state(fold_feed(frames[0]))
+
+    t.branch("stage")
+    # crash INSIDE a branch commit; the published table must be unmoved
+    with pytest.raises(SimulatedCrash):
+        run_ingest(spark, root, str(feed), max_files_per_batch=1,
+                   auto_compact_files=None, branch="stage",
+                   fail_before_commit_on_batch=1)
+    assert t.snapshot_id == base
+
+    def sha_of(handle):
+        got = (
+            handle.read(spark)
+            .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+            .orderBy("repo", "path").toPandas().reset_index(drop=True)
+        )
+        return got
+
+    pd.testing.assert_frame_equal(sha_of(t), base_sha, check_dtype=False)
+    # resume ON the branch: exactly-once offsets live in the branch line
+    run_ingest(spark, root, str(feed), max_files_per_batch=1,
+               auto_compact_files=None, branch="stage")
+    full_sha = sha256_state(fold_feed(pd.concat(frames)))
+    pd.testing.assert_frame_equal(
+        sha_of(t.branch_handle("stage")), full_sha, check_dtype=False
+    )
+    pd.testing.assert_frame_equal(sha_of(t), base_sha, check_dtype=False)
+
+    # poison path: drop the whole staged line, re-stage, publish
+    t.drop_branch("stage")
+    pd.testing.assert_frame_equal(sha_of(t), base_sha, check_dtype=False)
+    t.branch("stage2")
+    run_ingest(spark, root, str(feed), max_files_per_batch=1,
+               auto_compact_files=None, branch="stage2")
+    res = t.publish_branch("stage2", spark)
+    assert res["commits"] == 2
+    pd.testing.assert_frame_equal(sha_of(t), full_sha, check_dtype=False)
+    # fold/diff parity across the publish window (logs written at publish)
+    fast = t.read_changes(spark, base, use_changelog=True)
+    slow = t.read_changes(spark, base, use_changelog=False)
+    cols = ["repo", "path", "content", "commit_seq", "_change_type"]
+    f_pd = fast.select(*cols).orderBy("path").toPandas().reset_index(drop=True)
+    s_pd = slow.select(*cols).orderBy("path").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(f_pd, s_pd)
+    assert len(f_pd) == 180  # every key rewritten by the staged chunks
+
+
+def test_stream_changes_consumer_across_publish(spark, tmp_path):
+    """A checkpointed stream_changes consumer sees NOTHING while commits
+    are staged on a branch, then exactly the published commits' events
+    once publish materializes their logs — in order, once."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.streaming.ingest import stream_changes
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+
+    def chunk(idx, rows):
+        pd.DataFrame(
+            {
+                "seq": np.array([r[0] for r in rows], dtype=np.int64),
+                "op": [r[1] for r in rows],
+                "repo": "r",
+                "path": [r[2] for r in rows],
+                "commit": "c",
+                "lang": "py",
+                "content": [r[3] for r in rows],
+                "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+            }
+        ).to_parquet(feed / f"feed-{idx:05d}.parquet", index=False)
+
+    import pandas as pd  # noqa: F811
+
+    chunk(0, [(1, "add", "A", "a1")])
+    root = str(tmp_path / "t")
+    run_ingest(spark, root, str(feed), max_files_per_batch=1,
+               auto_compact_files=None, changelog=True)
+    t = open_table(root)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rows = []
+        q = (
+            stream_changes(spark, root)
+            .writeStream.foreachBatch(lambda df, eid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r["path"], r["_change_type"], r["_commit_snapshot"]) for r in rows}
+
+    assert drain() == {("A", "insert", 1)}
+    t.branch("stage")
+    chunk(1, [(2, "add", "B", "b1"), (3, "delete", "A", None)])
+    run_ingest(spark, root, str(feed), max_files_per_batch=1,
+               auto_compact_files=None, branch="stage")
+    assert drain() == set(), "staged commits must be invisible to the stream"
+    t.publish_branch("stage", spark)
+    assert drain() == {("B", "insert", 2), ("A", "delete", 2)}
