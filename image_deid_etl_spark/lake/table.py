@@ -29,9 +29,13 @@ Layout::
 
     root/
       _current                      # "manifest-0000000003.json"
-      _manifests/manifest-*.json
+      _branch-<name>                # branch pointer, same format (WAP staging)
+      _refs.json                    # named refs: tags (int) + branches (dict)
+      _manifests/manifest-*.json    # + shard-<snap>-b<bucket>-*.json
       _lineage/lineage-<snap>.json
-      data/snap-<snap>/_pb=<bucket>/part-*.parquet
+      _changelog/commit-<snap>/     # opt-in materialized per-commit changes
+      _blooms/*.bin                 # per-file key bloom sidecars
+      data/snap-<snap>-<attempt>/_pb=<bucket>/part-*.parquet
 
 Data files carry engine columns in addition to the table schema:
 ``commit_seq`` (long — LWW ordering, exposed to readers), ``_deleted``
