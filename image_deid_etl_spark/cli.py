@@ -69,12 +69,7 @@ def cmd_ingest(args) -> None:
             sys.exit("error: --branch is batch-only (stage, audit, publish)")
         # validate BEFORE building the session or creating anything: an
         # unknown branch must not leave a freshly-created empty table
-        from .cdc.engine import open_table
-
-        try:
-            open_table(args.table).branch_handle(args.branch)
-        except (FileNotFoundError, ValueError) as e:
-            sys.exit(f"error: {e}")
+        _open_maybe_branch(args.table, args.branch)
     spark = _spark(args.cpus)
     if args.streaming:
         from .streaming.ingest import stream_ingest

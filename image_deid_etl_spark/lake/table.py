@@ -2025,17 +2025,17 @@ class SnapshotTable:
             if isinstance(v, dict) and v.get("type") == "branch":
                 try:
                     h = self.branch_handle(name)
-                    head_m = h.manifest()  # via the branch ptr
+                    head_sid = h.manifest(with_files=False)["snapshot_id"]
                 except (FileNotFoundError, ValueError):
                     continue  # half-dropped branch: nothing to pin
-                if head_m["snapshot_id"] <= current:
+                if head_sid <= current:
                     # a STALE branch (no staged commits; published line
                     # moved past its base) points INSIDE main history —
                     # retain its head like a tag, or the still-live
                     # pointer would dangle
-                    retained.add(head_m["snapshot_id"])
+                    retained.add(head_sid)
                 else:
-                    branch_heads.append(head_m)
+                    branch_heads.append(h.manifest())  # staged head: pin contents
             elif v in snaps:
                 retained.add(v)
         expired = [s for s in snaps if s not in retained]
