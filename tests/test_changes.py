@@ -642,3 +642,94 @@ def test_same_seq_conflict_flip_is_visible_to_changes(spark, tmp_path):
     # hash order makes exactly one delivery order flip the winner; if
     # neither flipped, the diff-identity fix is vacuous in this test
     assert flips == 1
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_randomized_lifecycle_ops_fold_matches_diff(spark, tmp_path, seed):
+    """Property-style parity with the r5 lifecycle ops in the history:
+    random feed chunks interleaved with update_where (including exact
+    reverts of a prior update), delete_where and compaction — the log
+    fold, the snapshot diff and the apply contract must agree to the row
+    over random windows spanning every commit class."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.merge import delete_where, update_where
+
+    rng = np.random.default_rng(seed)
+    spec = FeedSpec(
+        n_events=int(rng.integers(400, 900)),
+        n_keys=int(rng.integers(40, 120)),
+        n_repos=4,
+        seed=seed,
+        p_update=0.4,
+        p_delete=0.1,
+        n_files=4,
+        shuffle=True,
+    )
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, spec)
+    run_ingest(
+        spark, root, feed, max_files_per_batch=2, auto_compact_files=None,
+        changelog=True,
+    )
+    t = open_table(root)
+    # lifecycle commits, each materializing its own log
+    update_where(spark, t, set={"content": "concat(content, '!')"},
+                 condition="length(path) % 3 = 0")
+    delete_where(spark, t, condition="length(path) % 7 = 0")
+    update_where(  # exact revert of the first update (strip the suffix)
+        spark, t,
+        set={"content": "substring(content, 1, length(content) - 1)"},
+        condition="length(path) % 3 = 0 AND content LIKE '%!'",
+    )
+    t.compact(spark, min_files_per_bucket=1)
+    update_where(spark, t, set={"lang": "upper(lang)"},
+                 condition="lang IS NOT NULL AND length(path) % 5 = 0")
+    snaps = t.snapshots()
+    windows = {(snaps[0], snaps[-1]), (snaps[-6], snaps[-1])}
+    wrng = np.random.default_rng(seed + 1)
+    while len(windows) < 6:
+        i, j = sorted(int(x) for x in wrng.choice(len(snaps), 2, replace=False))
+        windows.add((snaps[i], snaps[j]))
+
+    def frame(df):
+        return (
+            df.select(
+                "repo", "path",
+                F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"),
+                F.coalesce("lang", F.lit("-")).alias("lang"),
+                "commit_seq", "_change_type",
+            )
+            .toPandas()
+            .sort_values(["repo", "path", "sha"])
+            .reset_index(drop=True)
+        )
+
+    for a, b in sorted(windows):
+        fast = frame(t.read_changes(spark, a, b, use_changelog=True))
+        slow = frame(t.read_changes(spark, a, b, use_changelog=False))
+        pd.testing.assert_frame_equal(fast, slow, obj=f"window ({a}, {b}]")
+        # apply contract on the full-schema state
+        base = (
+            t.read(spark, snapshot_id=a)
+            .select("repo", "path",
+                    F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"),
+                    F.coalesce("lang", F.lit("-")).alias("lang"))
+            .toPandas().set_index(["repo", "path"]).sort_index()
+        )
+        ch = fast.set_index(["repo", "path"])
+        base = base.drop(index=ch.index.intersection(base.index))
+        ups = ch[ch["_change_type"] == "upsert"][["sha", "lang"]]
+        applied = (
+            pd.concat([base, ups]).sort_index().reset_index()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        want = (
+            t.read(spark, snapshot_id=b)
+            .select("repo", "path",
+                    F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"),
+                    F.coalesce("lang", F.lit("-")).alias("lang"))
+            .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(applied, want, check_dtype=False,
+                                      obj=f"apply ({a}, {b}]")
