@@ -8,6 +8,14 @@ can't execute directly. Submit this file instead::
     spark-submit --master <cluster> --py-files pkg.zip submit.py \
         ingest --table s3://lake/repos --feed s3://wal/chunks
 
+    # write-audit-publish on a cluster: stage, audit, fast-forward
+    spark-submit ... submit.py branch --table s3://lake/repos audit
+    spark-submit ... submit.py ingest --table s3://lake/repos \
+        --feed s3://wal/chunks --branch audit
+    spark-submit ... submit.py changes --table s3://lake/repos \
+        --from-snapshot <base> --branch audit
+    spark-submit ... submit.py branch --table s3://lake/repos --publish audit
+
 The --py-files zip puts the package on every executor's PYTHONPATH; this
 shim only needs the driver to find it (zip or repo checkout).
 """
