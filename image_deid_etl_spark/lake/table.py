@@ -215,27 +215,29 @@ def _with_diff_identity(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFram
     whose later delivery flipped the LWW winner) is a real live-state
     change; keying on seq alone would silently drop it from
     `read_changes` / the materialized changelog and break the apply
-    contract. Hashes the COMMON payload columns in the ``b`` (newer)
-    schema's order, casting ``a``'s copies to ``b``'s types first so a
-    type widening inside the window (int→long, float→double) cannot
-    split the identity of an unchanged value."""
+    contract. Hashes ``b``'s (newer) payload columns in schema order;
+    ``a``'s copies are cast to ``b``'s types first so a type widening
+    inside the window (int→long, float→double) cannot split the
+    identity of an unchanged value, and columns ADDED inside the window
+    ride along as typed NULLs on the ``a`` side — Spark's hash skips
+    null inputs identically on both sides, so a still-null added column
+    changes nothing, while an `update_where` backfilling it at an
+    unchanged seq is the state change it looks like."""
     b_fields = {f.name: f for f in b.schema.fields}
-    common = [
-        f
-        for f in b.schema.fields
-        if f.name in {g.name for g in a.schema.fields}
-    ]
     a_types = {f.name: f.dataType for f in a.schema.fields}
     a_aligned = a.select(
         *[
-            F.col(f.name).cast(b_fields[f.name].dataType).alias(f.name)
-            if a_types[f.name] != b_fields[f.name].dataType
-            else F.col(f.name)
-            for f in a.schema.fields
-            if f.name in b_fields
+            (
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if a_types[f.name] != f.dataType
+                else F.col(f.name)
+            )
+            if f.name in a_types
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in b.schema.fields
         ]
     )
-    ph = lww_payload_hash(common)
+    ph = lww_payload_hash(b.schema.fields)
     return a_aligned.withColumn("_ph", ph), b.withColumn("_ph", ph)
 
 

@@ -389,3 +389,44 @@ def test_update_matching_scan_is_narrow(spark, tmp_path):
     assert "ts" in read_schema and "_deleted" in read_schema
     assert "content" not in read_schema, "payload must be pruned from the scan"
     assert "PushedFilters" in p and "ts" in p.split("PushedFilters")[1][:200]
+
+
+def test_update_on_window_added_column_visible_to_changes(spark, tmp_path):
+    """A column ADDED inside the window, then backfilled by update_where
+    at unchanged seq: the diff identity hashes b-only columns as typed
+    nulls on the `from` side, so the backfill is reported (and a key
+    whose added column stayed null is NOT)."""
+    import numpy as np
+    import pandas as pd
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+
+    feed = tmp_path / "f"
+    feed.mkdir()
+    base_cols = {
+        "op": "add", "repo": "r", "commit": "c", "lang": "py",
+        "ts": pd.Timestamp("2024-01-01").as_unit("us"),
+    }
+    pd.DataFrame(
+        {"seq": np.array([1, 2], dtype=np.int64), "path": ["A", "B"],
+         "content": ["a1", "b1"], **base_cols}
+    ).to_parquet(feed / "feed-00000.parquet", index=False)
+    # evolution chunk: 'license' appears (null for untouched old rows)
+    pd.DataFrame(
+        {"seq": np.array([3], dtype=np.int64), "path": ["C"],
+         "content": ["c1"], "license": ["mit"], **base_cols}
+    ).to_parquet(feed / "feed-00001.parquet", index=False)
+    root = str(tmp_path / "t")
+    run_ingest(spark, root, str(feed), max_files_per_batch=1,
+               auto_compact_files=None, changelog=True)
+    t = open_table(root)
+    frm = t.snapshots()[1]  # BEFORE the license column existed
+    update_where(spark, t, set={"license": "'apache'"}, condition="path = 'A'")
+    for use_log in (True, False):
+        ch = t.read_changes(spark, frm, use_changelog=use_log)
+        got = {
+            (r["path"], r["license"], r["_change_type"]) for r in ch.collect()
+        }
+        # A: backfilled at unchanged seq -> visible; B: license still
+        # null, payload unchanged -> silent; C: inserted in-window
+        assert got == {("A", "apache", "upsert"), ("C", "mit", "upsert")}, use_log
