@@ -146,7 +146,16 @@ def cmd_validate(args) -> None:
 
     fsck = {"missing_data_files": 0, "missing_blooms": 0, "bad_key_ranges": 0,
             "row_mismatch_files": 0, "missing_shards": 0,
-            "dangling_unresolved_buckets": 0}
+            "dangling_unresolved_buckets": 0, "broken_branch_refs": 0}
+    # branch refs must resolve: a registered branch whose pointer file or
+    # head manifest is gone (crash inside branch/drop_branch) is a broken
+    # ref — drop_branch clears it; until then handles raise confusingly
+    for _bname, _binfo in table.refs().items():
+        if isinstance(_binfo, dict) and _binfo.get("type") == "branch":
+            try:
+                table.branch_handle(_bname).manifest(with_files=False)
+            except (FileNotFoundError, ValueError):
+                fsck["broken_branch_refs"] += 1
     # sharded manifests: verify every referenced bucket shard exists
     # before materializing the file list through them
     top = table.manifest(with_files=False)

@@ -965,6 +965,7 @@ class SnapshotTable:
         as_of_timestamp: float | None = None,
         where: dict | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """User-facing scan: live rows, table schema + ``commit_seq``.
 
@@ -980,8 +981,10 @@ class SnapshotTable:
 
         ``as_of_timestamp`` time-travels to the snapshot current at that
         wall-clock (`snapshot_as_of`); ``tag`` reads a named reference
-        (`tag`/`refs` — tags pin snapshots against expiry). The three
-        pinning forms are mutually exclusive.
+        (`tag`/`refs` — tags pin snapshots against expiry); ``branch``
+        reads a staged branch's head (audit sugar for
+        `branch_handle(name).read`). The four pinning forms are
+        mutually exclusive.
 
         ``where`` maps column -> ``(lo, hi)`` inclusive bounds (either
         side ``None`` = open) and does two things: (a) per-FILE manifest
@@ -996,8 +999,14 @@ class SnapshotTable:
         so dropping its file before the LWW window could resurrect the
         stale row — those buckets read fully, resolve, then filter.
         """
-        if sum(x is not None for x in (snapshot_id, as_of_timestamp, tag)) > 1:
-            raise ValueError("pass at most one of snapshot_id / as_of_timestamp / tag")
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp, tag, branch)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / as_of_timestamp / tag / branch"
+            )
+        if branch is not None:
+            # audit sugar: the staged state, scanned through the branch
+            # pointer (same as branch_handle(branch).read(...))
+            return self.branch_handle(branch).read(spark, where=where)
         if tag is not None:
             try:
                 snapshot_id = self.refs()[tag]

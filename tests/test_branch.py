@@ -554,3 +554,39 @@ def test_stream_changes_consumer_across_publish(spark, tmp_path):
     assert drain() == set(), "staged commits must be invisible to the stream"
     t.publish_branch("stage", spark)
     assert drain() == {("B", "insert", 2), ("A", "delete", 2)}
+
+
+def test_read_branch_sugar_and_fsck_broken_ref(spark, tmp_path, capsys, monkeypatch):
+    """read(branch=...) is audit sugar for branch_handle().read();
+    validate's fsck flags a registered branch whose pointer is gone."""
+    import json
+
+    from image_deid_etl_spark import cli
+
+    t = make_table(spark, tmp_path)
+    b = t.branch("aud")
+    merge_into(
+        spark, b,
+        batch_df(spark, [(100, "add", "r", "staged", 50, "s")]),
+        offsets(2), scrub=False,
+    )
+    got = {r["path"] for r in t.read(spark, branch="aud").collect()}
+    assert "staged" in got
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(spark, branch="aud", snapshot_id=1)
+    with pytest.raises(ValueError, match="no branch"):
+        t.read(spark, branch="ghost")
+
+    # break the ref: remove the pointer file, keep the registry entry
+    os.remove(os.path.join(t.root, "_branch-aud"))
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    with pytest.raises(SystemExit):  # fsck failure exits 2
+        cli.main(["validate", "--table", t.root])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["fsck"]["broken_branch_refs"] == 1
+    t.drop_branch("aud")  # tolerant cleanup clears the broken ref
+    cli.main(["validate", "--table", t.root])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["fsck"]["broken_branch_refs"] == 0
