@@ -389,6 +389,24 @@ def cmd_tag(args) -> None:
         sys.exit(f"error: {e}")
 
 
+def cmd_rollback(args) -> None:
+    table = _open_maybe_branch(args.table, args.branch)
+    spark = None
+    if table.changelog_enabled():
+        from .session import build_session
+
+        spark = build_session(app_name="rollback")
+    try:
+        snap = table.rollback(args.to, spark=spark)
+    except ValueError as e:
+        sys.exit(f"error: {e}")
+    print(
+        json.dumps(
+            {"rolled_back_to": args.to, "snapshot_id": snap, "offsets": table.offsets()}
+        )
+    )
+
+
 def cmd_branch(args) -> None:
     from .cdc.engine import open_table
     from .lake.table import ConcurrentCommitError
@@ -416,6 +434,55 @@ def cmd_branch(args) -> None:
         else:
             print(json.dumps(table.branches()))
     except (ValueError, ConcurrentCommitError) as e:
+        sys.exit(f"error: {e}")
+
+
+def cmd_view(args) -> None:
+    from .cdc.engine import open_table
+    from .lake.views import AggView, list_views
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    if args.action == "list":
+        print(json.dumps({"views": list_views(table)}))
+        return
+    if not args.name:
+        sys.exit(f"error: {args.action} needs a view name")
+    spark = build_session(app_name="view")
+    try:
+        if args.action == "create":
+            if not args.group:
+                sys.exit("error: create needs --group")
+            v = AggView.create(
+                spark, table, args.name, args.group, args.sum or []
+            )
+            m = v.meta()
+            print(
+                json.dumps(
+                    {
+                        "created": args.name,
+                        "group_cols": m["group_cols"],
+                        "sum_cols": m["sum_cols"],
+                        "applied_snapshot_id": m["applied_snapshot_id"],
+                    }
+                )
+            )
+        elif args.action == "refresh":
+            print(json.dumps(AggView(table, args.name).refresh(spark)))
+        elif args.action == "read":
+            df = AggView(table, args.name).read(spark)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"groups": df.count(), "out": args.out}))
+            else:
+                for row in df.orderBy(*df.columns[:1]).collect():
+                    print(json.dumps(row.asDict(), default=str))
+    except FileNotFoundError:
+        sys.exit(f"error: view {args.name!r} does not exist")
+    except ValueError as e:
         sys.exit(f"error: {e}")
 
 
@@ -648,6 +715,31 @@ def main(argv: list[str] | None = None) -> None:
     tg.add_argument("--snapshot", type=int, default=None, help="snapshot to pin (default: current)")
     tg.add_argument("--drop", metavar="NAME", default=None, help="remove a tag instead")
     tg.set_defaults(fn=cmd_tag)
+
+    vw = sub.add_parser(
+        "view",
+        help="materialized aggregate views: create/refresh/read/list "
+        "(delta-maintained from the change feed, never rescans the table)",
+    )
+    vw.add_argument("--table", required=True)
+    vw.add_argument(
+        "action", choices=["create", "refresh", "read", "list"],
+    )
+    vw.add_argument("name", nargs="?", default=None, help="view name")
+    vw.add_argument("--group", nargs="+", default=None, help="group-by columns")
+    vw.add_argument("--sum", nargs="+", default=None, help="columns to SUM/AVG")
+    vw.add_argument("--out", default=None, help="write `read` result as parquet")
+    vw.set_defaults(fn=cmd_view)
+
+    ro = sub.add_parser(
+        "rollback",
+        help="revert to an earlier snapshot as a new commit (data, schema, "
+        "offsets restored; re-ingest replays the feed from there)",
+    )
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--to", type=int, required=True, help="target snapshot id")
+    ro.add_argument("--branch", default=None, help="roll back a staged branch head")
+    ro.set_defaults(fn=cmd_rollback)
 
     h = sub.add_parser(
         "changes", help="incremental diff between snapshots (Delta-CDF style)"

@@ -606,6 +606,111 @@ class SnapshotTable:
         self._write_refs(refs)
         return sid
 
+    def rollback(
+        self, to_snapshot_id: int, spark: SparkSession | None = None
+    ) -> int:
+        """Revert the table to an earlier RETAINED snapshot, as a NEW
+        commit (Iceberg ``rollback_to_snapshot`` analog). The recovery
+        loop this exists for: a bad batch landed → roll back to the
+        snapshot before it → re-ingest the corrected feed, exactly the
+        manual re-run discipline of the reference's cron pipeline
+        (`__main__.py:98-150`) made a first-class table operation.
+
+        O(n_buckets) METADATA: the new manifest references the target's
+        shard names VERBATIM (shards are immutable, uuid-named), so no
+        data file is read, written, or moved, and `expire_snapshots`'
+        retained-manifest liveness keeps those shards/files alive even
+        after the target itself expires. Because rollback is a normal
+        commit — not a pointer rewind — history stays intact: time
+        travel into the rolled-over snapshots works until they expire,
+        and `read_changes` across the rollback reports the revert as an
+        ordinary diff (the A→B→A fold nets untouched keys to nothing).
+
+        Restored WHOLESALE from the target: file references, schema,
+        partition spec, ``offsets`` (the feed replays from the target's
+        frontier — the recovery point), ``seq_high`` (a later tombstone
+        minted at it ties-and-beats the reverted events' seqs, the same
+        contract as before the rollback), unresolved-bucket marks and
+        version bases. Kept CURRENT: table ``properties`` — config
+        (merge_mode, changelog, stats_cols) is not data and does not
+        revert.
+
+        Lineage records the precise changed-bucket set (shard-name diff
+        vs the parent) so incremental reads across the rollback stay
+        bucket-pruned; across a rebucket or legacy inline manifest it
+        records ``null`` = diff unpruned, still correct. Works on branch
+        handles (staged-line exclusivity enforced as for any commit).
+        Pass ``spark`` to materialize the revert's changelog on
+        changelog-enabled tables; without it the window serves from the
+        snapshot-diff fallback."""
+        cur = self.manifest(with_files=False)
+        if to_snapshot_id == cur["snapshot_id"]:
+            raise ValueError(f"table is already at snapshot {to_snapshot_id}")
+        if to_snapshot_id not in self.snapshots():
+            raise ValueError(
+                f"snapshot {to_snapshot_id} does not exist or has expired"
+            )
+        tgt = self.manifest(to_snapshot_id, with_files=False)
+        snap = cur["snapshot_id"] + 1
+        self._guard_staged_sid(snap)
+
+        # precise changed-bucket set: shards are immutable and uuid-named,
+        # so an EQUAL shard name proves the bucket's file set is identical
+        changed: list[int] | None
+        if (
+            "file_shards" in cur
+            and "file_shards" in tgt
+            and cur["partition_spec"]["n_buckets"]
+            == tgt["partition_spec"]["n_buckets"]
+        ):
+            a, b = cur["file_shards"], tgt["file_shards"]
+            changed = sorted(
+                int(k) for k in set(a) | set(b) if a.get(k) != b.get(k)
+            )
+        else:
+            changed = None  # rebucket/legacy inside the window: unpruned
+
+        manifest = {
+            "snapshot_id": snap,
+            "parent_id": cur["snapshot_id"],
+            "schema": tgt["schema"],
+            "schema_version": cur["schema_version"]
+            + (0 if tgt["schema"] == cur["schema"] else 1),
+            "partition_spec": tgt["partition_spec"],
+            "offsets": tgt["offsets"],
+            "properties": cur["properties"],
+            "unresolved_buckets": tgt.get("unresolved_buckets", []),
+            "version_base_rows": tgt.get("version_base_rows", {}),
+            "seq_high": tgt.get("seq_high"),
+        }
+        if "file_shards" in tgt:
+            manifest["file_shards"] = dict(tgt["file_shards"])
+        else:  # legacy inline manifest: carry the file list verbatim
+            manifest["files"] = self.manifest(to_snapshot_id)["files"]
+        lineage = {
+            "snapshot_id": snap,
+            "committed_at": time.time(),
+            "batch_id": tgt["offsets"].get("batch_id"),
+            "partitions": [],
+            "duration_ms": None,
+            "rollback": {
+                "to": to_snapshot_id,
+                "of": cur["snapshot_id"],
+                "changed_buckets": changed,
+            },
+        }
+        lpath = os.path.join(self.root, LINEAGE, f"lineage-{snap:010d}.json")
+        ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
+        with open(ltmp, "w") as f:
+            json.dump(lineage, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ltmp, lpath)
+        self._write_manifest(manifest)
+        if spark is not None and self.changelog_enabled():
+            self.materialize_changelog(spark, snap)
+        return snap
+
     # ------------------------------------------------------------------ #
     # branches (write-audit-publish)
     # ------------------------------------------------------------------ #
@@ -1085,6 +1190,15 @@ class SnapshotTable:
                 # bucket indices mean different key sets on the two sides
                 # of a spec change — pruning by them would be wrong
                 return None
+            if "rollback" in entry:
+                # a rollback writes no files but reverts bucket STATE; its
+                # lineage names the exact shard-diff bucket set (null when
+                # the revert crossed a rebucket/legacy manifest → unpruned)
+                rb = entry["rollback"].get("changed_buckets")
+                if rb is None:
+                    return None
+                touched.update(int(b) for b in rb)
+                continue
             for p in entry.get("partitions", []):
                 part = p.get("partition", "")
                 if not part.startswith("bucket="):
@@ -1206,6 +1320,96 @@ class SnapshotTable:
             *cols, "_change_type"
         )
 
+    def classified_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        use_changelog: bool = True,
+    ) -> DataFrame:
+        """`read_changes` with update PREIMAGES: ``_change_type`` is
+        ``insert`` / ``update`` (postimages) / ``update_preimage`` /
+        ``delete`` (preimages) — the shape delta aggregation needs
+        (`lake.views`): an updated key contributes its postimage with
+        +1 weight and its preimage with −1, so a sum/count view can be
+        maintained from changes alone, never rescanning the table.
+
+        Net-per-key over the window, exactly `read_changes`' semantics
+        split one level finer: an `update` here is an upsert whose key
+        was live at ``from``; its ``update_preimage`` row is the
+        ``from``-winner. A key inserted and deleted inside the window
+        emits nothing; a payload reverted A→B→A nets out. Same two
+        physical strategies (materialized-log fold when every window
+        commit has a log, bucket-pruned snapshot diff otherwise),
+        parity test-pinned. This is also the single-commit diff
+        `materialize_changelog` persists, so the per-commit logs and
+        this window view can never drift."""
+        to_id = self.snapshot_id if to_snapshot_id is None else to_snapshot_id
+        if from_snapshot_id > to_id:
+            raise ValueError(
+                f"from_snapshot {from_snapshot_id} is after to_snapshot {to_id}"
+            )
+        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
+        if use_changelog and self.changelog_enabled():
+            sids = list(range(from_snapshot_id + 1, to_id + 1))
+            if sids and all(self.changelog_ready(s) for s in sids):
+                g, cols = self._fold_grouped(spark, to_id, sids)
+                alive = F.col("_last_ct") != "delete"
+                was_live = F.col("_first_ct") != "insert"
+                ins = (
+                    g.filter(alive & ~was_live)
+                    .select(*[F.col(f"_last.{c}").alias(c) for c in cols])
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+                upd_base = g.filter(alive & was_live & ~self._fold_net_noop())
+                upd = upd_base.select(
+                    *[F.col(f"_last.{c}").alias(c) for c in cols]
+                ).withColumn("_change_type", F.lit("update"))
+                upd_pre = upd_base.select(
+                    *[F.col(f"_pre.{c}").alias(c) for c in cols]
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                dels = (
+                    g.filter(~alive & was_live)
+                    .select(*[F.col(f"_pre.{c}").alias(c) for c in cols])
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                return (
+                    ins.unionByName(upd).unionByName(upd_pre).unionByName(dels)
+                ).select(*cols, "_change_type")
+        touched = self.changed_buckets(from_snapshot_id, to_id)
+        if touched is None:
+            touched = set(
+                range(max(self.n_buckets(from_snapshot_id), self.n_buckets(to_id)))
+            )
+        if not touched:
+            return self._empty_changes(spark, to_id)
+        a = self._live_keyed(spark, from_snapshot_id, touched)
+        b = self._live_keyed(spark, to_id, touched)
+        a, b = _with_diff_identity(a, b)
+        ups = b.join(
+            a.select("_key", "commit_seq", "_ph"),
+            ["_key", "commit_seq", "_ph"],
+            "left_anti",
+        )
+        was = a.select("_key").withColumn("_was", F.lit(1))
+        ups = ups.join(was, "_key", "left").withColumn(
+            "_change_type",
+            F.when(F.col("_was").isNotNull(), F.lit("update")).otherwise(
+                F.lit("insert")
+            ),
+        )
+        upd_pre = a.join(
+            ups.filter(F.col("_change_type") == "update").select("_key"), "_key"
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        dels = a.join(b.select("_key"), ["_key"], "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return (
+            ups.unionByName(upd_pre, allowMissingColumns=True)
+            .unionByName(dels, allowMissingColumns=True)
+            .select(*cols, "_change_type")
+        )
+
     # ------------------------------------------------------------------ #
     # materialized changelog (Delta-CDF-style, opt-in)
     # ------------------------------------------------------------------ #
@@ -1287,39 +1491,9 @@ class SnapshotTable:
         parent = self.manifest(sid, with_files=False)["parent_id"]
         if parent is None:
             raise ValueError("snapshot 0 has no parent to diff against")
-        touched = self.changed_buckets(parent, sid)
-        if touched is None:
-            touched = set(range(max(self.n_buckets(parent), self.n_buckets(sid))))
-        cols = [f.name for f in self.schema(sid).fields] + ["commit_seq"]
-        if not touched:
-            ch = self._empty_changes(spark, sid)
-        else:
-            a = self._live_keyed(spark, parent, touched)
-            b = self._live_keyed(spark, sid, touched)
-            a, b = _with_diff_identity(a, b)
-            ups = b.join(
-                a.select("_key", "commit_seq", "_ph"),
-                ["_key", "commit_seq", "_ph"],
-                "left_anti",
-            )
-            was = a.select("_key").withColumn("_was", F.lit(1))
-            ups = ups.join(was, "_key", "left").withColumn(
-                "_change_type",
-                F.when(F.col("_was").isNotNull(), F.lit("update")).otherwise(
-                    F.lit("insert")
-                ),
-            )
-            upd_pre = a.join(
-                ups.filter(F.col("_change_type") == "update").select("_key"), "_key"
-            ).withColumn("_change_type", F.lit("update_preimage"))
-            dels = a.join(b.select("_key"), ["_key"], "left_anti").withColumn(
-                "_change_type", F.lit("delete")
-            )
-            ch = (
-                ups.unionByName(upd_pre, allowMissingColumns=True)
-                .unionByName(dels, allowMissingColumns=True)
-                .select(*cols, "_change_type")
-            )
+        # single-commit classified snapshot diff (use_changelog=False:
+        # this WRITES the log — it must never read one)
+        ch = self.classified_changes(spark, parent, sid, use_changelog=False)
         import shutil
         import uuid
 
@@ -1330,6 +1504,65 @@ class SnapshotTable:
             shutil.rmtree(path)
         os.rename(tmp, path)
         return path
+
+    def _fold_grouped(
+        self, spark: SparkSession, to_id: int, sids: list[int]
+    ) -> tuple[DataFrame, list[str]]:
+        """Shared per-key fold over the window's materialized logs: one
+        scan relation, ONE partial-aggregating groupBy picking the first
+        preimage and the last event per key. min_by/max_by key on MASKED
+        commit ids (null = row invisible to that aggregate — verified
+        null-skip semantics), because a raw struct min/max cannot order
+        map-typed payload columns. _sid is unique per (key, commit), so
+        the picks are deterministic. Serves `_fold_changelogs` (net
+        upsert/delete) and the classified fold in `classified_changes`
+        (insert/update/preimage/delete for delta aggregation)."""
+        key_cols = self.key_cols()
+        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
+        # ONE scan relation over all per-commit dirs (not a union of N
+        # plans); the commit id rides in from the directory name
+        logs = (
+            spark.read.schema(self.changelog_read_schema(to_id))
+            .parquet(*[self._changelog_dir(s) for s in sids])
+            .withColumn("_sid", self.changelog_sid_col())
+        )
+        ev_sid = F.when(F.col("_change_type") != "update_preimage", F.col("_sid"))
+        pre_sid = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.col("_sid")
+        )
+        row_s = F.struct(*[F.col(c) for c in cols])
+        # row identity hash (same definition as the snapshot diff): lets
+        # the fold drop a key whose net state REVERTED to its `from` row
+        # inside the window (payload rewritten A→B→A at unchanged seq —
+        # only `update_where` can produce it), keeping exact parity with
+        # the snapshot diff, which sees identical rows and emits nothing
+        ph = lww_payload_hash(
+            [f for f in self.changelog_read_schema(to_id).fields if f.name in cols]
+        )
+        logs = logs.withColumn("_ph", ph)
+        g = logs.groupBy(*key_cols).agg(
+            F.max_by(row_s, ev_sid).alias("_last"),      # final event's row
+            F.max_by("_change_type", ev_sid).alias("_last_ct"),
+            F.min_by("_change_type", ev_sid).alias("_first_ct"),
+            F.min_by(row_s, pre_sid).alias("_pre"),      # first preimage row
+            F.max_by("_ph", ev_sid).alias("_last_ph"),
+            F.min_by("_ph", pre_sid).alias("_pre_ph"),
+        )
+        return g, cols
+
+    @staticmethod
+    def _fold_net_noop():
+        """A key whose net window state equals its `from` row: key was
+        live at `from` (first event not an insert) and the last postimage
+        IS the from-row — same seq, same payload hash (the diff's row
+        identity). coalesce: a null comparison (missing preimage in a
+        legacy/partial log) must KEEP the change, never drop it."""
+        return F.coalesce(
+            (F.col("_first_ct") != "insert")
+            & (F.col("_last.commit_seq") == F.col("_pre.commit_seq"))
+            & (F.col("_last_ph") == F.col("_pre_ph")),
+            F.lit(False),
+        )
 
     def _fold_changelogs(
         self, spark: SparkSession, to_id: int, sids: list[int]
@@ -1354,58 +1587,9 @@ class SnapshotTable:
         """
         if not sids:
             return self._empty_changes(spark, to_id)
-        key_cols = self.key_cols()
-        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
-        # ONE scan relation over all per-commit dirs (not a union of N
-        # plans); the commit id rides in from the directory name
-        logs = (
-            spark.read.schema(self.changelog_read_schema(to_id))
-            .parquet(*[self._changelog_dir(s) for s in sids])
-            .withColumn("_sid", self.changelog_sid_col())
-        )
-        # ONE partial-aggregating groupBy serves the whole fold (no second
-        # scan, no join). min_by/max_by key on MASKED commit ids (null =
-        # row invisible to that aggregate — verified null-skip semantics),
-        # because a raw struct min/max cannot order map-typed payload
-        # columns. _sid is unique per (key, commit), so the picks are
-        # deterministic.
-        ev_sid = F.when(F.col("_change_type") != "update_preimage", F.col("_sid"))
-        pre_sid = F.when(
-            F.col("_change_type").isin("update_preimage", "delete"), F.col("_sid")
-        )
-        row_s = F.struct(*[F.col(c) for c in cols])
-        # row identity hash (same definition as the snapshot diff): lets
-        # the fold drop a key whose net state REVERTED to its `from` row
-        # inside the window (payload rewritten A→B→A at unchanged seq —
-        # only `update_where` can produce it), keeping exact parity with
-        # the snapshot diff, which sees identical rows and emits nothing
-        ph = lww_payload_hash(
-            [f for f in self.changelog_read_schema(to_id).fields if f.name in cols]
-        )
-        logs = logs.withColumn("_ph", ph)
-        g = logs.groupBy(*key_cols).agg(
-            F.max_by(row_s, ev_sid).alias("_last"),      # final event's row
-            F.max_by("_change_type", ev_sid).alias("_last_ct"),
-            F.min_by("_change_type", ev_sid).alias("_first_ct"),
-            F.min_by(row_s, pre_sid).alias("_pre"),      # first preimage row
-            F.max_by("_ph", ev_sid).alias("_last_ph"),
-            F.min_by("_ph", pre_sid).alias("_pre_ph"),
-        )
+        g, cols = self._fold_grouped(spark, to_id, sids)
         ups = (
-            g.filter(
-                (F.col("_last_ct") != "delete")
-                # net no-op: key was live at `from` (first event not an
-                # insert) and the last postimage IS the from-row — same
-                # seq, same payload hash (the diff's row identity).
-                # coalesce: a null comparison (missing preimage in a
-                # legacy/partial log) must KEEP the upsert, never drop it
-                & ~F.coalesce(
-                    (F.col("_first_ct") != "insert")
-                    & (F.col("_last.commit_seq") == F.col("_pre.commit_seq"))
-                    & (F.col("_last_ph") == F.col("_pre_ph")),
-                    F.lit(False),
-                )
-            )
+            g.filter((F.col("_last_ct") != "delete") & ~self._fold_net_noop())
             .select(*[F.col(f"_last.{c}").alias(c) for c in cols])
             .withColumn("_change_type", F.lit("upsert"))
         )

@@ -1,0 +1,235 @@
+"""Snapshot rollback (`SnapshotTable.rollback`) — revert-as-a-commit.
+
+The recovery loop: a bad batch landed → roll back to the snapshot
+before it → re-ingest the corrected feed. Pins: state/offsets/schema
+restored wholesale, O(metadata) cost (target's shards referenced
+verbatim, zero data files written), exactly-once replay from the
+restored frontier, incremental reads across the revert (both physical
+paths), expire interplay (target's files survive their own snapshot's
+expiry through the rollback manifest), and the guards.
+
+Reference analog: the manual delete-and-rerun recovery discipline of
+the reference's cron pipeline (`__main__.py:98-150`) made a
+first-class, metadata-only table operation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.merge import merge_into
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+
+from tests.test_delete import batch_df, make_table, offsets  # noqa: F401
+
+
+def live(spark, t, sid=None):
+    return {
+        r["path"]: r["content"]
+        for r in t.read(spark, snapshot_id=sid).select("path", "content").collect()
+    }
+
+
+def file_paths(t, sid=None):
+    return {f["path"] for f in t.manifest(sid)["files"]}
+
+
+def test_rollback_restores_state_offsets_metadata_only(spark, tmp_path):
+    """State, offsets and seq_high revert to the target's; the rollback
+    manifest references the target's files VERBATIM (no data written);
+    history stays time-travelable; a corrected batch lands cleanly."""
+    t = make_table(spark, tmp_path)
+    good = t.snapshot_id
+    good_state = live(spark, t)
+    good_seq_high = t.seq_high(spark)
+    # the bad batch: updates p0..p4, adds bad0..bad4
+    bad_rows = [(100 + i, "add", "r", f"p{i}", 900, "BAD") for i in range(5)] + [
+        (200 + i, "add", "r", f"bad{i}", 900, "BAD") for i in range(5)
+    ]
+    merge_into(spark, t, batch_df(spark, bad_rows), offsets(2), scrub=False)
+    bad = t.snapshot_id
+
+    snap = t.rollback(good)
+    assert snap == bad + 1
+    assert live(spark, t) == good_state
+    assert t.offsets() == {
+        "committed_feed_files": 1, "max_seq_seen": 1000, "batch_id": 0,
+    }
+    assert t.seq_high(spark) == good_seq_high
+    # metadata-only: the new manifest names exactly the target's files
+    assert file_paths(t) == file_paths(t, good)
+    # history intact: the bad snapshot is still time-travelable
+    assert live(spark, t, sid=bad)["p0"] == "BAD"
+    # the corrected batch applies on top as ordinary history
+    fixed = [(100 + i, "add", "r", f"p{i}", 900, f"fix{i}") for i in range(5)]
+    merge_into(spark, t, batch_df(spark, fixed), offsets(2), scrub=False)
+    now = live(spark, t)
+    assert now["p0"] == "fix0" and "bad0" not in now and now["p9"] == "v9"
+
+
+def test_rollback_then_reingest_equals_straight_run(spark, tmp_path):
+    """The flagship recovery contract: rollback restores the feed
+    frontier, so re-running the SAME entry point replays everything
+    after the target and converges to the straight-through state —
+    exactly-once end to end."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=1500, n_keys=120, dup_frac=0.05)
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=2)
+    t = open_or_create_table(root)
+    final = t.snapshot_id
+    assert final >= 3  # several commits to roll across
+    mid = final - 2
+
+    t.rollback(mid)
+    assert t.offsets() == t.manifest(mid, with_files=False)["offsets"]
+    # the frontier replays from the restored offsets; final state matches
+    # the pure-fold oracle byte for byte under the sha256 invariant
+    stats = run_ingest(spark, root, feed, max_files_per_batch=2)
+    assert stats.batches > 0
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_rollback_guards(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="already at"):
+        t.rollback(t.snapshot_id)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rollback(t.snapshot_id + 7)
+    # expired target: commit twice, expire, then ask for the dropped snap
+    merge_into(
+        spark, t, batch_df(spark, [(50, "add", "r", "x", 1, "x")]),
+        offsets(2), scrub=False,
+    )
+    merge_into(
+        spark, t, batch_df(spark, [(51, "add", "r", "y", 1, "y")]),
+        offsets(3), scrub=False,
+    )
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="does not exist or has expired"):
+        t.rollback(0)
+
+
+def test_read_changes_across_rollback_both_paths(spark, tmp_path):
+    """The revert reads as an ordinary incremental window: upserts back
+    to the target's values, deletes of keys the bad batch added — on the
+    snapshot-diff path AND the materialized-changelog fold, identically.
+    Also pins the lineage changed-bucket pruning (rollback writes no
+    files, so `changed_buckets` must learn the set from the marker)."""
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    pre = t.snapshot_id
+    bad_rows = [(100, "add", "r", "p0", 900, "BAD"), (101, "add", "r", "zz", 900, "Z")]
+    merge_into(spark, t, batch_df(spark, bad_rows), offsets(2), scrub=False)
+    bad = t.snapshot_id
+    snap = t.rollback(pre, spark=spark)
+    assert t.changelog_ready(snap)
+
+    # bucket pruning across the revert commit comes from the marker
+    assert t.changed_buckets(bad, snap) == t.changed_buckets(pre, bad)
+
+    want = {("p0", "v0", "upsert"), ("zz", "Z", "delete")}
+    for use_log in (True, False):
+        ch = t.read_changes(spark, bad, snap, use_changelog=use_log)
+        got = {
+            (r["path"], r["content"], r["_change_type"])
+            for r in ch.select("path", "content", "_change_type").collect()
+        }
+        assert got == want, f"use_changelog={use_log}"
+    # the full window bad-batch → revert nets out to NOTHING
+    for use_log in (True, False):
+        assert t.read_changes(spark, pre, snap, use_changelog=use_log).count() == 0
+
+
+def test_rollback_expire_interplay(spark, tmp_path):
+    """After the target snapshot itself expires, its files stay live
+    through the rollback manifest's verbatim shard references; the bad
+    commit's unique files are reclaimed."""
+    t = make_table(spark, tmp_path)
+    good = t.snapshot_id
+    good_state = live(spark, t)
+    merge_into(
+        spark, t,
+        batch_df(spark, [(100, "add", "r", "bad", 900, "BAD")]),
+        offsets(2), scrub=False,
+    )
+    bad = t.snapshot_id
+    bad_only = file_paths(t, bad) - file_paths(t, good)
+    assert bad_only
+    t.rollback(good)
+    # push the tail forward so both `good` and `bad` fall out of keep_last
+    merge_into(
+        spark, t, batch_df(spark, [(110, "add", "r", "new", 1, "n")]),
+        offsets(3), scrub=False,
+    )
+    res = t.expire_snapshots(keep_last=2)
+    assert good in res["expired_snapshots"] and bad in res["expired_snapshots"]
+    for rel in bad_only:
+        assert not os.path.exists(os.path.join(t.root, rel))
+    state = live(spark, t)
+    for p, v in good_state.items():
+        assert state[p] == v
+    assert state["new"] == "n"
+
+
+def test_rollback_across_schema_evolution(spark, tmp_path):
+    """Rolling back over a column-add restores the target's schema; the
+    schema_version counter stays monotonic (a new version, not a rewind);
+    re-evolving afterwards works."""
+    import pyspark.sql.types as T
+
+    t = make_table(spark, tmp_path)
+    good = t.snapshot_id
+    base_fields = [f.name for f in t.schema().fields]
+    evolved = batch_df(spark, [(100, "add", "r", "p0", 1, "e")]).withColumn(
+        "lang", F.lit("py")
+    )
+    merge_into(spark, t, evolved, offsets(2), scrub=False)
+    assert "lang" in [f.name for f in t.schema().fields]
+    ver_before = t.manifest(with_files=False)["schema_version"]
+
+    t.rollback(good)
+    assert [f.name for f in t.schema().fields] == base_fields
+    assert t.manifest(with_files=False)["schema_version"] == ver_before + 1
+    assert t.read(spark).count() == 40
+    # the evolved column can come back later, as a fresh evolution
+    merge_into(spark, t, evolved, offsets(2), scrub=False)
+    assert "lang" in [f.name for f in t.schema().fields]
+    assert live(spark, t)["p0"] == "e"
+
+
+def test_rollback_on_branch_handle(spark, tmp_path):
+    """A staged branch can roll back its own head (ids stay on the
+    branch line); publish carries the reverted state."""
+    t = make_table(spark, tmp_path)
+    base = t.snapshot_id
+    b = t.branch("audit")
+    merge_into(
+        spark, b, batch_df(spark, [(100, "add", "r", "keep", 1, "k")]),
+        offsets(2), scrub=False,
+    )
+    keep_sid = b.snapshot_id
+    merge_into(
+        spark, b, batch_df(spark, [(101, "add", "r", "oops", 1, "o")]),
+        offsets(3), scrub=False,
+    )
+    snap = b.rollback(keep_sid)
+    assert snap == keep_sid + 2
+    assert t.snapshot_id == base  # published line untouched
+    assert "oops" not in live(spark, b) and "keep" in live(spark, b)
+    t.publish_branch("audit")
+    got = live(spark, t)
+    assert "keep" in got and "oops" not in got

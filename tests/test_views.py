@@ -1,0 +1,224 @@
+"""Incremental materialized aggregate views (`lake/views.py`).
+
+The invariant every test here reduces to: after any sequence of table
+mutations, an incrementally-refreshed view EQUALS the full groupBy
+recompute of the same snapshot — COUNT(*)/SUM/AVG with exact SQL null
+semantics — while never rescanning the table (the refresh consumes
+`classified_changes`). Pinned: inserts/updates/deletes, group-moving
+updates, NULL group values and NULL measures, maintenance ops
+(compact) producing ZERO spurious delta, rollback windows, the
+materialized-log fold catching a lagging view up across EXPIRED
+snapshots, crash-orphan sweep + idempotent no-op refresh, and create
+validation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into, update_where
+from image_deid_etl_spark.lake.table import SnapshotTable
+from image_deid_etl_spark.lake.views import AggView, list_views
+
+from tests.test_delete import BATCH_SCHEMA, SCHEMA, batch_df, offsets  # noqa: F401
+
+
+def multi_repo_table(spark, tmp_path, with_nulls=False, properties=None):
+    rows = [
+        (i + 1, "add", f"repo{i % 3}", f"p{i}", i * 10, f"v{i}") for i in range(30)
+    ]
+    if with_nulls:
+        rows += [
+            (31, "add", "repo1", "pn1", None, "x"),
+            (32, "add", "repo1", "pn2", 7, None),
+            (33, "add", "repo0", "pn3", None, None),
+        ]
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4, properties=properties
+    )
+    merge_into(spark, t, batch_df(spark, rows), offsets(1), scrub=False)
+    return t
+
+
+def recompute(spark, t, group_cols, sum_cols):
+    agg = [F.count(F.lit(1)).alias("cnt")]
+    for c in sum_cols:
+        agg += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.avg(c).alias(f"avg_{c}"),
+        ]
+    return t.read(spark).groupBy(*group_cols).agg(*agg)
+
+
+def rows_of(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda x: tuple((v is None, v) for v in x),
+    )
+
+
+def assert_view_matches(spark, t, v, group_cols, sum_cols):
+    got = rows_of(v.read(spark).select(*recompute(spark, t, group_cols, sum_cols).columns))
+    want = rows_of(recompute(spark, t, group_cols, sum_cols))
+    assert got == want
+
+
+def test_view_tracks_inserts_updates_deletes(spark, tmp_path):
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "by_repo", ["repo"], ["ts"])
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+    # inserts + updates (ts changes move the SUM, not the COUNT)
+    merge_into(
+        spark, t,
+        batch_df(
+            spark,
+            [(100, "add", "repo0", "p0", 999, "upd")]
+            + [(101 + i, "add", "repo3", f"new{i}", 5, "n") for i in range(4)],
+        ),
+        offsets(2), scrub=False,
+    )
+    res = v.refresh(spark)
+    assert res["applied_snapshot_id"] == t.snapshot_id
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+    # deletes drop counts; a group deleted empty disappears entirely
+    delete_where(spark, t, condition="repo = 'repo3'")
+    delete_where(spark, t, condition="path = 'p3'")
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+    assert v.read(spark).filter(F.col("repo") == "repo3").count() == 0
+
+
+def test_view_group_moving_update(spark, tmp_path):
+    """An update that CHANGES the group column decrements the old group
+    and increments the new one (both from the one weight column)."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "by_ts", ["ts"], [])
+    update_where(spark, t, set={"ts": "ts + 1000"}, condition="path = 'p1'")
+    update_where(spark, t, set={"ts": "0"}, condition="path = 'p2'")
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["ts"], [])
+
+
+def test_view_null_groups_and_measures(spark, tmp_path):
+    """NULL is a real GROUP BY value (null-safe join), and SUM/AVG render
+    NULL for groups with no non-null measure — exact SQL semantics. The
+    group column here is a nullable NON-key column (key columns are
+    non-null by the engine's contract)."""
+    t = multi_repo_table(spark, tmp_path, with_nulls=True)
+    v = AggView.create(spark, t, "null_groups", ["content"], ["ts"])
+    assert_view_matches(spark, t, v, ["content"], ["ts"])
+    # mutate inside the NULL group (pn2: null content, pn3: null both)
+    # and move a row INTO it; refresh across the whole mix
+    merge_into(
+        spark, t,
+        batch_df(spark, [(200, "add", "repo1", "pn1", 50, None),
+                         (201, "add", "repo1", "pn4", None, None)]),
+        offsets(2), scrub=False,
+    )
+    delete_where(spark, t, condition="path = 'pn2'")
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["content"], ["ts"])
+    rows = {r["content"]: r for r in v.read(spark).collect()}
+    assert None in rows  # the NULL group is real and survived the churn
+
+
+def test_view_maintenance_ops_are_silent(spark, tmp_path):
+    """Compaction rewrites files without changing state: the refresh
+    across it must apply ZERO group deltas (the classified diff is
+    empty) — a maintenance pass can never corrupt a view."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "by_repo", ["repo"], ["ts"])
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "repo0", "px", 3, "x")]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    state_before = rows_of(v.state(spark))
+    t.compact(spark, min_files_per_bucket=2)
+    res = v.refresh(spark)
+    assert res["applied_snapshot_id"] == t.snapshot_id
+    assert rows_of(v.state(spark)) == state_before
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+
+
+def test_view_across_rollback(spark, tmp_path):
+    """A rollback window nets out the reverted batch; the view lands on
+    the recompute of the restored state."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "by_repo", ["repo"], ["ts"])
+    good = t.snapshot_id
+    merge_into(
+        spark, t,
+        batch_df(spark, [(100, "add", "repo0", "bad", 7777, "B")]),
+        offsets(2), scrub=False,
+    )
+    t.rollback(good)
+    res = v.refresh(spark)
+    assert res["applied_snapshot_id"] == t.snapshot_id
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+    assert v.read(spark).filter(F.col("repo") == "repo0").first()["sum_ts"] == \
+        recompute(spark, t, ["repo"], ["ts"]).filter(F.col("repo") == "repo0").first()["sum_ts"]
+
+
+def test_view_fold_catches_up_across_expired_snapshots(spark, tmp_path):
+    """The refresh of a LAGGING view works after every interior snapshot
+    (including its own `from`) has been expired, as long as the window's
+    materialized logs exist — CDC retention decoupled from snapshot
+    retention. This is the changelog-fold path end to end."""
+    t = multi_repo_table(spark, tmp_path, properties={"changelog": True})
+    v = AggView.create(spark, t, "lagging", ["repo"], ["ts"])
+    frm = v.meta()["applied_snapshot_id"]
+    for i in range(3):
+        merge_into(
+            spark, t,
+            batch_df(
+                spark,
+                [(100 + i, "add", "repo0", f"p{i}", 1000 * (i + 1), f"u{i}"),
+                 (200 + i, "add", "repo4", f"x{i}", i, "n")],
+            ),
+            offsets(2 + i), scrub=False,
+        )
+        # raw merge_into is the low-level block; the engine loop
+        # (run_ingest) is what materializes logs after each commit
+        t.materialize_changelog(spark)
+    delete_where(spark, t, condition="path = 'p5'")
+    t.expire_snapshots(keep_last=1)
+    assert frm not in t.snapshots()  # the view's own base is GONE
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+
+
+def test_view_idempotent_and_orphan_sweep(spark, tmp_path):
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "by_repo", ["repo"], ["ts"])
+    res = v.refresh(spark)
+    assert res["groups"] == 0 and res["applied_snapshot_id"] == t.snapshot_id
+    # crashed-refresh orphan: a state dir the pointer never adopted
+    orphan = os.path.join(v.dir, "state-deadbeef0000")
+    os.makedirs(orphan)
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "repo0", "q", 1, "q")]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    assert not os.path.exists(orphan)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
+    # rewinding the view is refused (state dirs of older snapshots are
+    # gone; rebuild = create a new view)
+    with pytest.raises(ValueError, match="ahead of"):
+        v.refresh(spark, to_snapshot_id=0)
+
+
+def test_view_create_validation(spark, tmp_path):
+    t = multi_repo_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        AggView.create(spark, t, "bad", ["nope"], ["ts"])
+    with pytest.raises(ValueError, match="at least one group column"):
+        AggView.create(spark, t, "bad", [], ["ts"])
+    AggView.create(spark, t, "ok", ["repo"], [])
+    with pytest.raises(ValueError, match="already exists"):
+        AggView.create(spark, t, "ok", ["repo"], [])
+    assert list_views(t) == ["ok"]
