@@ -390,6 +390,8 @@ def cmd_tag(args) -> None:
 
 
 def cmd_rollback(args) -> None:
+    from .lake.table import ConcurrentCommitError
+
     table = _open_maybe_branch(args.table, args.branch)
     spark = None
     if table.changelog_enabled():
@@ -398,7 +400,7 @@ def cmd_rollback(args) -> None:
         spark = build_session(app_name="rollback")
     try:
         snap = table.rollback(args.to, spark=spark)
-    except ValueError as e:
+    except (ValueError, ConcurrentCommitError) as e:
         sys.exit(f"error: {e}")
     print(
         json.dumps(
@@ -451,6 +453,8 @@ def cmd_view(args) -> None:
         return
     if not args.name:
         sys.exit(f"error: {args.action} needs a view name")
+    if args.action in ("refresh", "read") and args.name not in list_views(table):
+        sys.exit(f"error: view {args.name!r} does not exist")
     spark = build_session(app_name="view")
     try:
         if args.action == "create":
@@ -480,8 +484,14 @@ def cmd_view(args) -> None:
             else:
                 for row in df.orderBy(*df.columns[:1]).collect():
                     print(json.dumps(row.asDict(), default=str))
-    except FileNotFoundError:
-        sys.exit(f"error: view {args.name!r} does not exist")
+    except FileNotFoundError as e:
+        # existence was checked above: this is a missing SNAPSHOT (an
+        # expired refresh window on a non-changelog table), not a
+        # missing view — surface the real path
+        sys.exit(
+            f"error: {e} — the refresh window's snapshot has expired; "
+            "enable the table changelog or refresh before expiring"
+        )
     except ValueError as e:
         sys.exit(f"error: {e}")
 

@@ -628,22 +628,32 @@ class SnapshotTable:
 
         Restored WHOLESALE from the target: file references, schema,
         partition spec, ``offsets`` (the feed replays from the target's
-        frontier — the recovery point), ``seq_high`` (a later tombstone
-        minted at it ties-and-beats the reverted events' seqs, the same
-        contract as before the rollback), unresolved-bucket marks and
-        version bases. Kept CURRENT: table ``properties`` — config
-        (merge_mode, changelog, stats_cols) is not data and does not
-        revert.
+        frontier — the recovery point), unresolved-bucket marks and
+        version bases. Kept CURRENT: table ``properties`` (config is
+        not data and does not revert) and ``seq_high`` (folded with the
+        target's: a `delete_where` issued after the rollback mints its
+        tombstone ABOVE the reverted events' seqs, so the erasure
+        survives the feed replay instead of being resurrected by it).
 
         Lineage records the precise changed-bucket set (shard-name diff
         vs the parent) so incremental reads across the rollback stay
         bucket-pruned; across a rebucket or legacy inline manifest it
         records ``null`` = diff unpruned, still correct. Works on branch
         handles (staged-line exclusivity enforced as for any commit).
-        Pass ``spark`` to materialize the revert's changelog on
-        changelog-enabled tables; without it the window serves from the
-        snapshot-diff fallback."""
+
+        On a changelog-enabled MAIN handle ``spark`` is REQUIRED and the
+        revert's log is materialized with the commit: the engine's
+        catch-up (`materialize_new_changelogs`) deliberately never fills
+        mid-history gaps, so a log-less rollback would leave a permanent
+        hole every spanning window falls through forever. Branch handles
+        defer logs to `publish_branch`, as for any staged commit."""
         cur = self.manifest(with_files=False)
+        if spark is None and self._branch is None and self.changelog_enabled():
+            raise ValueError(
+                "changelog-enabled table: rollback needs `spark` to "
+                "materialize the revert's per-commit log (a skipped log "
+                "is a permanent gap — the catch-up never fills mid-history)"
+            )
         if to_snapshot_id == cur["snapshot_id"]:
             raise ValueError(f"table is already at snapshot {to_snapshot_id}")
         if to_snapshot_id not in self.snapshots():
@@ -679,9 +689,23 @@ class SnapshotTable:
             "partition_spec": tgt["partition_spec"],
             "offsets": tgt["offsets"],
             "properties": cur["properties"],
-            "unresolved_buckets": tgt.get("unresolved_buckets", []),
+            # through the accessor, NOT tgt.get(..., []): a legacy target
+            # manifest without the field means "all buckets may hold
+            # stacked versions" for MoR tables — defaulting to [] would
+            # skip read-time LWW resolution on the restored files
+            "unresolved_buckets": sorted(self.unresolved_buckets(to_snapshot_id)),
             "version_base_rows": tgt.get("version_base_rows", {}),
-            "seq_high": tgt.get("seq_high"),
+            # seq_high does NOT rewind: a tombstone minted after the
+            # rollback must tie-and-beat the reverted events' seqs when
+            # the feed replays them (the documented erasure contract);
+            # max() is safe — the LWW merge never compares events against
+            # seq_high, it only mints tombstones from it
+            "seq_high": (
+                max(cur["seq_high"], tgt["seq_high"])
+                if cur.get("seq_high") is not None
+                and tgt.get("seq_high") is not None
+                else None
+            ),
         }
         if "file_shards" in tgt:
             manifest["file_shards"] = dict(tgt["file_shards"])
@@ -1290,6 +1314,27 @@ class SnapshotTable:
             sids = list(range(from_snapshot_id + 1, to_id + 1))
             if all(self.changelog_ready(s) for s in sids):
                 return self._fold_changelogs(spark, to_id, sids)
+        parts = self._snapshot_diff_parts(spark, from_snapshot_id, to_id)
+        if parts is None:
+            return self._empty_changes(spark, to_id)
+        ups, dels, _a, cols = parts
+        ups = ups.withColumn("_change_type", F.lit("upsert"))
+        # schema evolution inside the window: delete preimages read with
+        # the older from-schema gain nulls for any columns added since
+        return ups.unionByName(dels, allowMissingColumns=True).select(
+            *cols, "_change_type"
+        )
+
+    def _snapshot_diff_parts(
+        self, spark: SparkSession, from_snapshot_id: int, to_id: int
+    ):
+        """Shared core of the bucket-pruned snapshot diff (`read_changes`
+        fallback and `classified_changes`' diff path — ONE definition of
+        the row identity and pruning): returns ``(ups, dels, a, cols)``
+        where ``ups`` is the to-side rows whose (key, seq, payload-hash)
+        identity is absent at ``from`` (not yet labeled/classified),
+        ``dels`` the labeled delete preimages, ``a`` the from-side live
+        state (for preimage joins). ``None`` = no bucket touched."""
         touched = self.changed_buckets(from_snapshot_id, to_id)
         if touched is None:
             # the two snapshots may sit on different bucket specs (a
@@ -1299,7 +1344,7 @@ class SnapshotTable:
                 range(max(self.n_buckets(from_snapshot_id), self.n_buckets(to_id)))
             )
         if not touched:
-            return self._empty_changes(spark, to_id)
+            return None
         a, b = (
             self._live_keyed(spark, from_snapshot_id, touched),
             self._live_keyed(spark, to_id, touched),
@@ -1310,15 +1355,11 @@ class SnapshotTable:
             a.select("_key", "commit_seq", "_ph"),
             ["_key", "commit_seq", "_ph"],
             "left_anti",
-        ).withColumn("_change_type", F.lit("upsert"))
+        )
         dels = a.join(b.select("_key"), ["_key"], "left_anti").withColumn(
             "_change_type", F.lit("delete")
         )
-        # schema evolution inside the window: delete preimages read with
-        # the older from-schema gain nulls for any columns added since
-        return ups.unionByName(dels, allowMissingColumns=True).select(
-            *cols, "_change_type"
-        )
+        return ups, dels, a, cols
 
     def classified_changes(
         self,
@@ -1349,7 +1390,6 @@ class SnapshotTable:
             raise ValueError(
                 f"from_snapshot {from_snapshot_id} is after to_snapshot {to_id}"
             )
-        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
         if use_changelog and self.changelog_enabled():
             sids = list(range(from_snapshot_id + 1, to_id + 1))
             if sids and all(self.changelog_ready(s) for s in sids):
@@ -1376,21 +1416,10 @@ class SnapshotTable:
                 return (
                     ins.unionByName(upd).unionByName(upd_pre).unionByName(dels)
                 ).select(*cols, "_change_type")
-        touched = self.changed_buckets(from_snapshot_id, to_id)
-        if touched is None:
-            touched = set(
-                range(max(self.n_buckets(from_snapshot_id), self.n_buckets(to_id)))
-            )
-        if not touched:
+        parts = self._snapshot_diff_parts(spark, from_snapshot_id, to_id)
+        if parts is None:
             return self._empty_changes(spark, to_id)
-        a = self._live_keyed(spark, from_snapshot_id, touched)
-        b = self._live_keyed(spark, to_id, touched)
-        a, b = _with_diff_identity(a, b)
-        ups = b.join(
-            a.select("_key", "commit_seq", "_ph"),
-            ["_key", "commit_seq", "_ph"],
-            "left_anti",
-        )
+        ups, dels, a, cols = parts
         was = a.select("_key").withColumn("_was", F.lit(1))
         ups = ups.join(was, "_key", "left").withColumn(
             "_change_type",
@@ -1401,9 +1430,6 @@ class SnapshotTable:
         upd_pre = a.join(
             ups.filter(F.col("_change_type") == "update").select("_key"), "_key"
         ).withColumn("_change_type", F.lit("update_preimage"))
-        dels = a.join(b.select("_key"), ["_key"], "left_anti").withColumn(
-            "_change_type", F.lit("delete")
-        )
         return (
             ups.unionByName(upd_pre, allowMissingColumns=True)
             .unionByName(dels, allowMissingColumns=True)

@@ -115,6 +115,14 @@ class AggView:
         run); every later `refresh` is incremental. ``n_partitions``
         sizes the state layout — at scale set it so a partition's
         groups fit an executor (the toy default keeps tests tidy)."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            # same filesystem-safe discipline as branch names: the name
+            # is a path component under <root>/views/
+            raise ValueError(
+                f"view name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+            )
         sum_cols = list(sum_cols or [])
         schema_cols = {f.name for f in table.schema().fields}
         missing = (set(group_cols) | set(sum_cols)) - schema_cols
@@ -122,6 +130,16 @@ class AggView:
             raise ValueError(f"view columns not in the table schema: {sorted(missing)}")
         if not group_cols:
             raise ValueError("at least one group column is required")
+        overlap = set(group_cols) & set(sum_cols)
+        if overlap:
+            # grouping by a column and summing it too would project two
+            # same-named columns into the delta frame — ambiguous on the
+            # very first refresh; reject at definition time
+            raise ValueError(f"columns cannot be both group and sum: {sorted(overlap)}")
+        if len(set(group_cols)) != len(group_cols) or len(set(sum_cols)) != len(
+            sum_cols
+        ):
+            raise ValueError("duplicate columns in group_cols/sum_cols")
         v = cls(table, name)
         if os.path.exists(v._meta_path()):
             raise ValueError(f"view {name!r} already exists")
@@ -274,13 +292,22 @@ class AggView:
         ).filter(F.col("cnt") > 0)
         sdir = self._write_state(merged, m.get("n_partitions", 1), group_cols)
         changed = spark.read.parquet(os.path.join(self.dir, sdir)).count()
-        self._commit_meta({**m, "applied_snapshot_id": to_id, "state_dir": sdir})
-        # every other state dir is dead once the pointer moved: the
-        # superseded state plus any orphan from a crashed refresh
-        # (single-writer; parquet dirs are immutable, so a reader that
-        # resolved the OLD pointer before our swap already has its files)
+        self._commit_meta(
+            {
+                **m,
+                "applied_snapshot_id": to_id,
+                "state_dir": sdir,
+                "prev_state_dir": m["state_dir"],
+            }
+        )
+        # retention: keep the CURRENT and the just-superseded state dirs
+        # (a concurrent reader that resolved the old pointer holds only a
+        # lazily-planned file listing, no open handles — one generation
+        # of grace covers it, the table's expire keep_last in miniature);
+        # everything older, plus orphans from crashed refreshes, is swept
+        live = {sdir, m["state_dir"]}
         for fn in os.listdir(self.dir):
-            if fn.startswith("state-") and fn != sdir:
+            if fn.startswith("state-") and fn not in live:
                 shutil.rmtree(os.path.join(self.dir, fn), ignore_errors=True)
         return {
             "view": self.name,

@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 
 from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
 from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
-from image_deid_etl_spark.cdc.merge import merge_into
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into
 from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+from image_deid_etl_spark.lake.table import SnapshotTable
 
-from tests.test_delete import batch_df, make_table, offsets  # noqa: F401
+from tests.test_delete import SCHEMA, batch_df, make_table, offsets  # noqa: F401
 
 
 def live(spark, t, sid=None):
@@ -209,6 +210,84 @@ def test_rollback_across_schema_evolution(spark, tmp_path):
     merge_into(spark, t, evolved, offsets(2), scrub=False)
     assert "lang" in [f.name for f in t.schema().fields]
     assert live(spark, t)["p0"] == "e"
+
+
+def test_rollback_delete_survives_replay(spark, tmp_path):
+    """seq_high does NOT rewind with the rollback: an erasure issued
+    between the rollback and the feed replay mints its tombstone ABOVE
+    the reverted events' seqs, so replaying them cannot resurrect the
+    deleted key (the PHI-erasure contract this engine exists for)."""
+
+    def off(n, seq):
+        return {"committed_feed_files": n, "max_seq_seen": seq, "batch_id": n - 1}
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    merge_into(
+        spark, t,
+        batch_df(spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(10)]),
+        off(1, 10), scrub=False,
+    )
+    good = t.snapshot_id
+    bad_rows = [(100 + i, "add", "r", f"p{i}", 9, "BAD") for i in range(5)]
+    merge_into(spark, t, batch_df(spark, bad_rows), off(2, 105), scrub=False)
+    t.rollback(good)
+    assert t.seq_high(spark) == 104  # folded (bad batch's stored max), not 10
+    delete_where(spark, t, condition="path = 'p2'")
+    # the replay of the reverted window
+    merge_into(spark, t, batch_df(spark, bad_rows), off(2, 105), scrub=False)
+    lv = live(spark, t)
+    assert "p2" not in lv  # the tombstone beat the replayed seq-102 event
+    assert lv["p0"] == "BAD" and lv["p3"] == "BAD"  # others replayed fine
+
+
+def test_rollback_legacy_target_unresolved_buckets(spark, tmp_path):
+    """A legacy (pre-tracking) target manifest without the
+    `unresolved_buckets` field routes through the conservative accessor
+    — all buckets for a MoR table — instead of a [] default that would
+    skip read-time LWW resolution of the restored stacked versions."""
+    import json as _json
+
+    t = make_table(spark, tmp_path, properties={"merge_mode": "mor"})
+    merge_into(
+        spark, t,
+        batch_df(spark, [(100, "add", "r", "p0", 0, "v0-new")]),
+        offsets(2), scrub=False,
+    )
+    target = t.snapshot_id
+    merge_into(
+        spark, t, batch_df(spark, [(101, "add", "r", "zz", 0, "z")]),
+        offsets(3), scrub=False,
+    )
+    # emulate the legacy manifest format on the target
+    mp = t._manifest_path(target)
+    with open(mp) as f:
+        m = _json.load(f)
+    m.pop("unresolved_buckets", None)
+    m.pop("version_base_rows", None)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+
+    t.rollback(target)
+    assert t.unresolved_buckets() == set(range(4))
+    assert t.read(spark).count() == 40  # stacked p0 versions LWW-resolved
+    assert live(spark, t)["p0"] == "v0-new"
+
+
+def test_rollback_changelog_requires_spark(spark, tmp_path):
+    """A log-less rollback commit would be a PERMANENT changelog gap
+    (the catch-up never fills mid-history) — refused up front."""
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    t.materialize_changelog(spark)
+    good = t.snapshot_id
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "x", 1, "x")]),
+        offsets(2), scrub=False,
+    )
+    t.materialize_changelog(spark)
+    with pytest.raises(ValueError, match="needs `spark`"):
+        t.rollback(good)
+    snap = t.rollback(good, spark=spark)
+    assert t.changelog_ready(snap)
 
 
 def test_rollback_on_branch_handle(spark, tmp_path):

@@ -218,7 +218,38 @@ def test_view_create_validation(spark, tmp_path):
         AggView.create(spark, t, "bad", ["nope"], ["ts"])
     with pytest.raises(ValueError, match="at least one group column"):
         AggView.create(spark, t, "bad", [], ["ts"])
+    with pytest.raises(ValueError, match="both group and sum"):
+        AggView.create(spark, t, "bad", ["ts"], ["ts"])
+    with pytest.raises(ValueError, match="duplicate columns"):
+        AggView.create(spark, t, "bad", ["repo", "repo"], [])
+    with pytest.raises(ValueError, match="must match"):
+        AggView.create(spark, t, "../escape", ["repo"], [])
     AggView.create(spark, t, "ok", ["repo"], [])
     with pytest.raises(ValueError, match="already exists"):
         AggView.create(spark, t, "ok", ["repo"], [])
     assert list_views(t) == ["ok"]
+
+
+def test_view_state_retention_one_generation(spark, tmp_path):
+    """The just-superseded state dir survives one refresh (grace for a
+    concurrent reader that resolved the old pointer); two refreshes ago
+    is swept."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "by_repo", ["repo"], ["ts"])
+    gen0 = v.meta()["state_dir"]
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "repo0", "a", 1, "a")]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    gen1 = v.meta()["state_dir"]
+    assert v.meta()["prev_state_dir"] == gen0
+    assert os.path.isdir(os.path.join(v.dir, gen0))  # one generation kept
+    merge_into(
+        spark, t, batch_df(spark, [(101, "add", "repo0", "b", 2, "b")]),
+        offsets(3), scrub=False,
+    )
+    v.refresh(spark)
+    assert not os.path.exists(os.path.join(v.dir, gen0))  # two ago: swept
+    assert os.path.isdir(os.path.join(v.dir, gen1))
+    assert_view_matches(spark, t, v, ["repo"], ["ts"])
