@@ -146,7 +146,34 @@ def cmd_validate(args) -> None:
 
     fsck = {"missing_data_files": 0, "missing_blooms": 0, "bad_key_ranges": 0,
             "row_mismatch_files": 0, "missing_shards": 0,
-            "dangling_unresolved_buckets": 0, "broken_branch_refs": 0}
+            "dangling_unresolved_buckets": 0, "broken_branch_refs": 0,
+            "broken_views": 0}
+    # materialized views: a pointer naming a missing state dir, or a view
+    # applied AHEAD of the table head (a rollback of the table cannot
+    # rewind a view — it must be re-created), is a broken consumer
+    from .lake.views import AggView as _AggView, list_views as _list_views
+
+    views_report = {}
+    for _vname in _list_views(table):
+        try:
+            _vm = _AggView(table, _vname).meta()
+            _ok = _os.path.isdir(
+                _os.path.join(table.root, "views", _vname, _vm["state_dir"])
+            ) and _vm["applied_snapshot_id"] <= table.snapshot_id
+        except (FileNotFoundError, ValueError, KeyError):
+            _ok = False
+            _vm = {}
+        if not _ok:
+            fsck["broken_views"] += 1
+        views_report[_vname] = {
+            "applied_snapshot_id": _vm.get("applied_snapshot_id"),
+            "lag": (
+                table.snapshot_id - _vm["applied_snapshot_id"]
+                if "applied_snapshot_id" in _vm
+                else None
+            ),
+            "ok": _ok,
+        }
     # branch refs must resolve: a registered branch whose pointer file or
     # head manifest is gone (crash inside branch/drop_branch) is a broken
     # ref — drop_branch clears it; until then handles raise confusingly
@@ -224,6 +251,7 @@ def cmd_validate(args) -> None:
                 "refs": table.refs(),
                 "lineage_commits": len(table.lineage()),
                 "changelog": changelog_report,
+                "views": views_report,
                 "fsck": fsck,
             }
         )

@@ -140,6 +140,8 @@ class AggView:
             sum_cols
         ):
             raise ValueError("duplicate columns in group_cols/sum_cols")
+        table._require_main("view creation")  # a branch-line applied id
+        # would dangle after drop_branch; views track the published line
         v = cls(table, name)
         if os.path.exists(v._meta_path()):
             raise ValueError(f"view {name!r} already exists")
@@ -207,6 +209,7 @@ class AggView:
         Crash-safe: state dirs are immutable, the pointer swap is the
         commit; a re-run of an interrupted refresh restarts from the
         still-pointed previous state."""
+        self.table._require_main("view refresh")
         m = self.meta()
         frm = m["applied_snapshot_id"]
         to_id = self.table.snapshot_id if to_snapshot_id is None else to_snapshot_id

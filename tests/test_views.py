@@ -212,6 +212,60 @@ def test_view_idempotent_and_orphan_sweep(spark, tmp_path):
         v.refresh(spark, to_snapshot_id=0)
 
 
+@pytest.mark.parametrize("seed", [11, 23])
+def test_view_randomized_lifecycle_parity(spark, tmp_path, seed):
+    """Property-style: a view created mid-history and refreshed after
+    EVERY lifecycle commit class — random feed replay, predicate UPDATE
+    (incl. an exact revert), predicate DELETE, compaction, rollback —
+    equals the full recompute at every step. This is the views analog
+    of the changelog fold/diff randomized parity test."""
+    import numpy as np
+
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+
+    rng = np.random.default_rng(seed)
+    spec = FeedSpec(
+        n_events=int(rng.integers(400, 800)),
+        n_keys=int(rng.integers(40, 100)),
+        n_repos=4,
+        seed=seed,
+        p_update=0.4,
+        p_delete=0.1,
+        n_files=4,
+        shuffle=True,
+    )
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=2, changelog=True)
+    t = open_table(root)
+    v = AggView.create(spark, t, "by_lang", ["lang"], [])
+
+    def check():
+        v.refresh(spark)
+        got = rows_of(v.read(spark))
+        want = rows_of(
+            t.read(spark).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        assert got == want
+
+    update_where(spark, t, set={"lang": "upper(lang)"},
+                 condition="lang IS NOT NULL AND length(path) % 3 = 0")
+    check()
+    pre_delete = t.snapshot_id
+    delete_where(spark, t, condition="length(path) % 5 = 0")
+    check()
+    update_where(  # exact revert of the first update
+        spark, t, set={"lang": "lower(lang)"},
+        condition="lang IS NOT NULL AND length(path) % 3 = 0",
+    )
+    check()
+    t.compact(spark, min_files_per_bucket=1)
+    check()
+    t.rollback(pre_delete, spark=spark)  # resurrect the deleted rows
+    check()
+
+
 def test_view_create_validation(spark, tmp_path):
     t = multi_repo_table(spark, tmp_path)
     with pytest.raises(ValueError, match="not in the table schema"):
@@ -228,6 +282,41 @@ def test_view_create_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         AggView.create(spark, t, "ok", ["repo"], [])
     assert list_views(t) == ["ok"]
+
+
+def test_view_fsck_and_main_handle_guard(spark, tmp_path, capsys, monkeypatch):
+    """Views are published-line consumers: branch handles are refused
+    (a branch-line applied id would dangle after drop_branch), and
+    validate's fsck reports per-view health + lag, flagging a pointer
+    whose state dir is gone."""
+    import json as _json
+    import shutil
+
+    from image_deid_etl_spark import cli
+
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "ok", ["repo"], [])
+    b = t.branch("aud")
+    with pytest.raises(ValueError, match="main table handle"):
+        AggView.create(spark, b, "nope", ["repo"], [])
+    with pytest.raises(ValueError, match="main table handle"):
+        AggView(b, "ok").refresh(spark)
+    t.drop_branch("aud")
+
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    cli.main(["validate", "--table", t.root])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["views"]["ok"] == {
+        "applied_snapshot_id": 1, "lag": 0, "ok": True,
+    }
+    shutil.rmtree(os.path.join(v.dir, v.meta()["state_dir"]))
+    with pytest.raises(SystemExit):  # fsck failure exits 2
+        cli.main(["validate", "--table", t.root])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["fsck"]["broken_views"] == 1
+    assert rep["views"]["ok"]["ok"] is False
 
 
 def test_view_state_retention_one_generation(spark, tmp_path):
