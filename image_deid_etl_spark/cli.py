@@ -467,6 +467,39 @@ def cmd_branch(args) -> None:
         sys.exit(f"error: {e}")
 
 
+def cmd_alter(args) -> None:
+    from .lake.table import ConcurrentCommitError
+
+    table = _open_maybe_branch(args.table, args.branch)
+    props: dict = {}
+    for key, val in args.set:
+        if key == "changelog":
+            if val not in ("true", "false"):
+                sys.exit(f"error: changelog must be true|false, got {val!r}")
+            props[key] = val == "true"
+        elif key in ("stats_cols", "cluster_by"):
+            props[key] = [c for c in val.split(",") if c]
+        else:
+            props[key] = val
+    spark = None
+    if table.changelog_enabled() or props.get("changelog"):
+        from .session import build_session
+
+        spark = build_session(app_name="alter")
+    try:
+        snap = table.set_properties(props, spark=spark)
+    except (ValueError, ConcurrentCommitError) as e:
+        sys.exit(f"error: {e}")
+    print(
+        json.dumps(
+            {
+                "snapshot_id": snap,
+                "properties": table.manifest(with_files=False)["properties"],
+            }
+        )
+    )
+
+
 def cmd_view(args) -> None:
     from .cdc.engine import open_table
     from .lake.views import AggView, list_views
@@ -753,6 +786,19 @@ def main(argv: list[str] | None = None) -> None:
     tg.add_argument("--snapshot", type=int, default=None, help="snapshot to pin (default: current)")
     tg.add_argument("--drop", metavar="NAME", default=None, help="remove a tag instead")
     tg.set_defaults(fn=cmd_tag)
+
+    al = sub.add_parser(
+        "alter",
+        help="ALTER TABLE SET TBLPROPERTIES: merge_mode, changelog, "
+        "stats_cols, cluster_by (metadata-only commit)",
+    )
+    al.add_argument("--table", required=True)
+    al.add_argument(
+        "--set", nargs=2, action="append", metavar=("KEY", "VALUE"),
+        required=True, help="e.g. --set changelog true --set stats_cols a,b",
+    )
+    al.add_argument("--branch", default=None, help="stage the change on a branch")
+    al.set_defaults(fn=cmd_alter)
 
     vw = sub.add_parser(
         "view",

@@ -735,6 +735,82 @@ class SnapshotTable:
             self.materialize_changelog(spark, snap)
         return snap
 
+    #: properties `set_properties` may change, with their validators.
+    #: target_file_rows / n_buckets live in partition_spec (rebucket owns
+    #: spec evolution); anything else is a typo we refuse loudly.
+    MUTABLE_PROPERTIES = ("merge_mode", "changelog", "stats_cols", "cluster_by")
+
+    def set_properties(
+        self, props: dict, spark: SparkSession | None = None
+    ) -> int:
+        """``ALTER TABLE SET TBLPROPERTIES`` analog: change table CONFIG
+        as a metadata-only commit (offsets, shards, schema all carried;
+        no data moves, `read_changes` across it is empty, and a rollback
+        over it keeps the newer config — config is not data).
+
+        Every interaction is already handled by the readers being
+        conservative: enabling ``changelog`` mid-history starts logs at
+        the NEXT commit (windows crossing the enable point use the
+        snapshot-diff path); flipping ``merge_mode`` changes only future
+        batches (unresolved-bucket marks keep existing stacked versions
+        correct either way); adding a ``stats_cols`` column records
+        stats on future files while old files simply never prune
+        (missing stats = keep, `_stats_entry_pred`); ``cluster_by``
+        takes effect at the next compaction.
+
+        On a changelog-enabled result (enabling now, or already on)
+        ``spark`` is REQUIRED so this commit's (empty) log is
+        materialized — the same no-permanent-gap rule as `rollback`.
+        """
+        if not props:
+            raise ValueError("no properties given")
+        unknown = set(props) - set(self.MUTABLE_PROPERTIES)
+        if unknown:
+            raise ValueError(
+                f"unknown/immutable properties: {sorted(unknown)} "
+                f"(mutable: {list(self.MUTABLE_PROPERTIES)})"
+            )
+        if "merge_mode" in props and props["merge_mode"] not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {props['merge_mode']!r}")
+        if "changelog" in props and not isinstance(props["changelog"], bool):
+            raise ValueError("changelog must be a bool")
+        schema_cols = {f.name for f in self.schema().fields}
+        for k in ("stats_cols", "cluster_by"):
+            if k in props:
+                v = props[k]
+                if not isinstance(v, list) or not all(
+                    isinstance(c, str) for c in v
+                ):
+                    raise ValueError(f"{k} must be a list of column names")
+                missing = set(v) - schema_cols
+                if missing:
+                    raise ValueError(f"{k} columns not in schema: {sorted(missing)}")
+        cur = self.manifest(with_files=False)
+        new_props = {**cur["properties"], **props}
+        if (
+            spark is None
+            and self._branch is None
+            and bool(new_props.get("changelog"))
+        ):
+            raise ValueError(
+                "changelog-enabled table: set_properties needs `spark` to "
+                "materialize this commit's (empty) log — a skipped log is "
+                "a permanent gap"
+            )
+        changed = {
+            k: {"from": cur["properties"].get(k), "to": v}
+            for k, v in props.items()
+            if cur["properties"].get(k) != v
+        }
+        snap = self.commit_snapshot(
+            [],
+            properties=new_props,
+            lineage_extra={"set_properties": changed},
+        )
+        if spark is not None and self.changelog_enabled():
+            self.materialize_changelog(spark, snap)
+        return snap
+
     # ------------------------------------------------------------------ #
     # branches (write-audit-publish)
     # ------------------------------------------------------------------ #
@@ -1843,6 +1919,7 @@ class SnapshotTable:
         unresolved_add: set[int] | None = None,
         unresolved_remove: set[int] | None = None,
         partition_spec: dict | None = None,
+        properties: dict | None = None,
     ) -> int:
         """Build + atomically publish the next manifest.
 
@@ -1964,7 +2041,7 @@ class SnapshotTable:
             "partition_spec": partition_spec or cur["partition_spec"],
             "file_shards": shard_map,
             "offsets": offsets,
-            "properties": cur["properties"],
+            "properties": cur["properties"] if properties is None else properties,
             "unresolved_buckets": sorted(new_unres),
             "version_base_rows": base,
             # header high-water mark over every stored commit_seq — folded

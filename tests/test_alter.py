@@ -1,0 +1,157 @@
+"""`set_properties` — ALTER TABLE SET TBLPROPERTIES as a metadata-only
+commit. Pins: mid-history changelog enable (logs start at the next
+commit, windows crossing the enable point stay correct via the diff
+path, the alter commit's own log is empty-but-ready), merge-mode flips
+(future batches only; unresolved marks keep stacked versions correct),
+stats_cols added later (old files conservatively unpruned, results
+exact), metadata-only invariants (files/offsets carried, empty change
+window), rollback-keeps-config, validation, and the CLI surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.merge import merge_into
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+from tests.test_delete import SCHEMA, batch_df, make_table, offsets  # noqa: F401
+
+
+def test_alter_changelog_midhistory(spark, tmp_path):
+    t = make_table(spark, tmp_path)  # no changelog at create
+    assert not t.changelog_enabled()
+    pre_enable = t.snapshot_id
+    snap = t.set_properties({"changelog": True}, spark=spark)
+    assert t.changelog_enabled()
+    assert t.changelog_ready(snap)  # the alter's own (empty) log
+    assert t.read_changes(spark, pre_enable, snap).count() == 0
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "new", 1, "n")]),
+        offsets(2), scrub=False,
+    )
+    t.materialize_changelog(spark)
+    # post-enable window folds; parity with the diff path
+    fold = t.read_changes(spark, snap, use_changelog=True)
+    diff = t.read_changes(spark, snap, use_changelog=False)
+    assert {r["path"] for r in fold.collect()} == {"new"}
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, diff.collect()))
+    # window CROSSING the enable point: log for pre_enable+1 (the alter)
+    # exists but earlier commits have none -> snapshot-diff fallback, and
+    # it still answers correctly
+    crossing = t.read_changes(spark, 0, t.snapshot_id)
+    assert crossing.count() == 41
+
+
+def test_alter_merge_mode_flip(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    assert t.merge_mode() == "cow" and t.unresolved_buckets() == set()
+    t.set_properties({"merge_mode": "mor"})
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "p0", 0, "v0-new")]),
+        offsets(2), scrub=False,
+    )
+    assert t.unresolved_buckets()  # MoR append stacked a version
+    assert t.read(spark).count() == 40  # read-time LWW resolve
+    lv = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert lv["p0"] == "v0-new"
+    # back to CoW: future batches rewrite; existing marks stay until a
+    # resolve-compaction clears them
+    t.set_properties({"merge_mode": "cow"})
+    t.compact(spark, min_files_per_bucket=1, resolve_versions=True)
+    assert t.unresolved_buckets() == set()
+    assert t.read(spark).count() == 40
+
+
+def test_alter_stats_cols_added_later(spark, tmp_path):
+    t = make_table(spark, tmp_path)  # ts 0..39, no stats recorded
+    t.set_properties({"stats_cols": ["ts"]})
+    merge_into(
+        spark, t,
+        batch_df(
+            spark,
+            [(100 + i, "add", "r", f"hot{i}", 1000 + i, "h") for i in range(10)],
+        ),
+        offsets(2), scrub=False,
+    )
+    got = t.read(spark, where={"ts": (1000, 1009)})
+    assert got.count() == 10
+    full = t.read(spark).filter(F.col("ts").between(1000, 1009))
+    assert got.count() == full.count()
+    # old files (no recorded range for ts) are conservatively KEPT: a
+    # window inside the old data still finds its rows
+    assert t.read(spark, where={"ts": (0, 4)}).count() == 5
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_properties({"stats_cols": ["nope"]})
+
+
+def test_alter_is_metadata_only(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    before_files = {f["path"] for f in t.manifest()["files"]}
+    before_offsets = t.offsets()
+    snap = t.set_properties({"cluster_by": ["ts"]})
+    assert {f["path"] for f in t.manifest()["files"]} == before_files
+    assert t.offsets() == before_offsets
+    assert t.read_changes(spark, snap - 1, snap).count() == 0
+    assert t.cluster_by() == ["ts"]
+    lin = [e for e in t.lineage() if e["snapshot_id"] == snap]
+    assert lin[0]["set_properties"] == {
+        "cluster_by": {"from": None, "to": ["ts"]}
+    }
+
+
+def test_rollback_keeps_altered_properties(spark, tmp_path):
+    """Config set AFTER the rollback target does not revert: rollback
+    restores data, not table configuration."""
+    t = make_table(spark, tmp_path)
+    good = t.snapshot_id
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "x", 1, "x")]),
+        offsets(2), scrub=False,
+    )
+    t.set_properties({"changelog": True, "merge_mode": "mor"}, spark=spark)
+    t.rollback(good, spark=spark)
+    assert t.changelog_enabled() and t.merge_mode() == "mor"
+    assert t.read(spark).count() == 40
+
+
+def test_alter_validation(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="no properties"):
+        t.set_properties({})
+    with pytest.raises(ValueError, match="unknown/immutable"):
+        t.set_properties({"n_buckets": 8})
+    with pytest.raises(ValueError, match="cow.bor|cow\\|mor"):
+        t.set_properties({"merge_mode": "hybrid"})
+    with pytest.raises(ValueError, match="must be a bool"):
+        t.set_properties({"changelog": "yes"})
+    with pytest.raises(ValueError, match="list of column names"):
+        t.set_properties({"cluster_by": "ts"})
+    # enabling changelog without spark = permanent log gap, refused
+    with pytest.raises(ValueError, match="needs `spark`"):
+        t.set_properties({"changelog": True})
+    # and once on, ANY further alter needs spark (its own empty log)
+    t.set_properties({"changelog": True}, spark=spark)
+    with pytest.raises(ValueError, match="needs `spark`"):
+        t.set_properties({"cluster_by": ["ts"]})
+
+
+def test_alter_cli(spark, tmp_path, capsys, monkeypatch):
+    from image_deid_etl_spark import cli
+
+    t = make_table(spark, tmp_path)
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    cli.main(
+        ["alter", "--table", t.root,
+         "--set", "changelog", "true", "--set", "stats_cols", "ts,content"]
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["properties"]["changelog"] is True
+    assert rep["properties"]["stats_cols"] == ["ts", "content"]
+    with pytest.raises(SystemExit):
+        cli.main(["alter", "--table", t.root, "--set", "changelog", "maybe"])
