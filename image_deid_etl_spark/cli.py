@@ -155,10 +155,11 @@ def cmd_validate(args) -> None:
 
     views_report = {}
     for _vname in _list_views(table):
+        _v = _AggView(table, _vname)
         try:
-            _vm = _AggView(table, _vname).meta()
+            _vm = _v.meta()
             _ok = _os.path.isdir(
-                _os.path.join(table.root, "views", _vname, _vm["state_dir"])
+                _os.path.join(_v.dir, _vm["state_dir"])
             ) and _vm["applied_snapshot_id"] <= table.snapshot_id
         except (FileNotFoundError, ValueError, KeyError):
             _ok = False
@@ -482,7 +483,9 @@ def cmd_alter(args) -> None:
         else:
             props[key] = val
     spark = None
-    if table.changelog_enabled() or props.get("changelog"):
+    # session only when the RESULT is changelog-enabled (a pure disable
+    # needs none — mirror set_properties' own requirement)
+    if props.get("changelog", table.changelog_enabled()):
         from .session import build_session
 
         spark = build_session(app_name="alter")

@@ -785,6 +785,17 @@ class SnapshotTable:
                 missing = set(v) - schema_cols
                 if missing:
                     raise ValueError(f"{k} columns not in schema: {sorted(missing)}")
+        if self._branch is not None and "changelog" in props:
+            # a changelog ENABLE staged on a branch would publish with
+            # zero logs (branch logs are deferred, and publish decides
+            # its spark need from the main head's PRE-publish config) —
+            # the next ingest's heal would then backfill the entire
+            # retained history. Config of the log pipeline itself is a
+            # published-line decision.
+            raise ValueError(
+                "changelog cannot be changed through a branch handle — "
+                "alter it on the main table"
+            )
         cur = self.manifest(with_files=False)
         new_props = {**cur["properties"], **props}
         if (
@@ -802,10 +813,15 @@ class SnapshotTable:
             for k, v in props.items()
             if cur["properties"].get(k) != v
         }
+        if not changed:
+            return cur["snapshot_id"]  # idempotent no-op: no history spam
         snap = self.commit_snapshot(
             [],
             properties=new_props,
             lineage_extra={"set_properties": changed},
+            # optimistic CAS: two racing alters must not silently merge
+            # over each other's stale property base
+            expected_parent=cur["snapshot_id"],
         )
         if spark is not None and self.changelog_enabled():
             self.materialize_changelog(spark, snap)

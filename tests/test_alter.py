@@ -139,6 +139,23 @@ def test_alter_validation(spark, tmp_path):
         t.set_properties({"cluster_by": ["ts"]})
 
 
+def test_alter_noop_and_branch_guard(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    snap = t.set_properties({"merge_mode": "mor"})
+    # idempotent re-apply: same value -> NO new commit
+    assert t.set_properties({"merge_mode": "mor"}) == snap
+    assert t.snapshot_id == snap
+    # config of the log pipeline is a published-line decision: a branch
+    # enable would publish changelog-on with zero logs
+    b = t.branch("aud")
+    with pytest.raises(ValueError, match="through a branch handle"):
+        b.set_properties({"changelog": True})
+    b.set_properties({"cluster_by": ["ts"]})  # other config stages fine
+    assert t.cluster_by() == []  # invisible until publish
+    t.publish_branch("aud")
+    assert t.cluster_by() == ["ts"]
+
+
 def test_alter_cli(spark, tmp_path, capsys, monkeypatch):
     from image_deid_etl_spark import cli
 
