@@ -525,7 +525,8 @@ def cmd_view(args) -> None:
             if not args.group:
                 sys.exit("error: create needs --group")
             v = AggView.create(
-                spark, table, args.name, args.group, args.sum or []
+                spark, table, args.name, args.group, args.sum or [],
+                minmax_cols=args.min_max or [],
             )
             m = v.meta()
             print(
@@ -534,6 +535,7 @@ def cmd_view(args) -> None:
                         "created": args.name,
                         "group_cols": m["group_cols"],
                         "sum_cols": m["sum_cols"],
+                        "minmax_cols": m["minmax_cols"],
                         "applied_snapshot_id": m["applied_snapshot_id"],
                     }
                 )
@@ -815,6 +817,10 @@ def main(argv: list[str] | None = None) -> None:
     vw.add_argument("name", nargs="?", default=None, help="view name")
     vw.add_argument("--group", nargs="+", default=None, help="group-by columns")
     vw.add_argument("--sum", nargs="+", default=None, help="columns to SUM/AVG")
+    vw.add_argument(
+        "--min-max", nargs="+", default=None,
+        help="columns to MIN/MAX (selective-recompute maintained)",
+    )
     vw.add_argument("--out", default=None, help="write `read` result as parquet")
     vw.set_defaults(fn=cmd_view)
 

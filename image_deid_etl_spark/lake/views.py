@@ -23,10 +23,17 @@ group and increments the new one — both fall out of the one weight
 column, no special-casing. Groups folding to ``cnt == 0`` are dropped.
 ``SUM``'s SQL null contract is preserved exactly: the state stores the
 non-null count per measure and `read` renders ``sum`` as NULL when it
-hits zero (and ``avg_<c> = sum/nn``, SQL AVG). MIN/MAX are deliberately
-absent: they are not delta-maintainable under deletes without keeping
-per-group value multisets — a refresh that needed them would rescan,
-which is the thing this module exists to avoid.
+hits zero (and ``avg_<c> = sum/nn``, SQL AVG).
+
+MIN/MAX (``minmax_cols``, opt-in) are the classically
+non-delta-maintainable pair: additions fold with ``least``/``greatest``,
+but deleting the current extreme invalidates the stored value. The
+refresh handles that with a SELECTIVE recompute — only groups where a
+removed value touched the stored extreme are re-aggregated, from a
+column-pruned (group + measure columns only) scan semi-joined to the
+unsafe keys. The common case stays O(changes); the extreme-fell case
+pays one narrow scan for exactly the affected groups, never a full
+re-aggregation of the view.
 
 Exactness: deltas are +/− of the very values the full aggregate would
 fold, so integer/decimal views match a recompute bit-for-bit (the
@@ -61,6 +68,7 @@ import json
 import os
 import shutil
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,12 +117,24 @@ class AggView:
         group_cols: list[str],
         sum_cols: list[str] | None = None,
         n_partitions: int = 1,
+        minmax_cols: list[str] | None = None,
     ) -> "AggView":
         """Define the view and seed its state with ONE full aggregation
-        of the current snapshot (the only O(table) scan it will ever
-        run); every later `refresh` is incremental. ``n_partitions``
-        sizes the state layout — at scale set it so a partition's
-        groups fit an executor (the toy default keeps tests tidy)."""
+        of the current snapshot (the only unconditional O(table) scan it
+        will ever run); every later `refresh` is incremental.
+        ``n_partitions`` sizes the state layout — at scale set it so a
+        partition's groups fit an executor (the toy default keeps tests
+        tidy).
+
+        ``minmax_cols`` opt into MIN/MAX, the classically
+        non-delta-maintainable aggregates: additions fold with
+        `least`/`greatest`, but a DELETION of the current extreme
+        invalidates the stored value. The refresh handles that with a
+        SELECTIVE recompute — only groups where a removed value touched
+        the stored extreme are re-aggregated, from a column-pruned scan
+        of just (group cols, minmax cols) semi-joined to the unsafe
+        group keys. O(changes) in the common case; O(table-scan of two
+        narrow columns × affected groups) when an extreme falls."""
         import re
 
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
@@ -124,22 +144,23 @@ class AggView:
                 f"view name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
             )
         sum_cols = list(sum_cols or [])
+        minmax_cols = list(minmax_cols or [])
         schema_cols = {f.name for f in table.schema().fields}
-        missing = (set(group_cols) | set(sum_cols)) - schema_cols
+        missing = (set(group_cols) | set(sum_cols) | set(minmax_cols)) - schema_cols
         if missing:
             raise ValueError(f"view columns not in the table schema: {sorted(missing)}")
         if not group_cols:
             raise ValueError("at least one group column is required")
-        overlap = set(group_cols) & set(sum_cols)
+        overlap = set(group_cols) & (set(sum_cols) | set(minmax_cols))
         if overlap:
-            # grouping by a column and summing it too would project two
-            # same-named columns into the delta frame — ambiguous on the
-            # very first refresh; reject at definition time
-            raise ValueError(f"columns cannot be both group and sum: {sorted(overlap)}")
-        if len(set(group_cols)) != len(group_cols) or len(set(sum_cols)) != len(
-            sum_cols
-        ):
-            raise ValueError("duplicate columns in group_cols/sum_cols")
+            # grouping by a column and aggregating it too would project
+            # two same-named columns into the delta frame — ambiguous on
+            # the very first refresh; reject at definition time
+            raise ValueError(f"columns cannot be both group and measure: {sorted(overlap)}")
+        for lst, what in ((group_cols, "group_cols"), (sum_cols, "sum_cols"),
+                          (minmax_cols, "minmax_cols")):
+            if len(set(lst)) != len(lst):
+                raise ValueError(f"duplicate columns in {what}")
         table._require_main("view creation")  # a branch-line applied id
         # would dangle after drop_branch; views track the published line
         v = cls(table, name)
@@ -152,6 +173,8 @@ class AggView:
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
             *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
+            *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
         )
         sdir = v._write_state(state, n_partitions, group_cols)
         v._commit_meta(
@@ -159,6 +182,7 @@ class AggView:
                 "name": name,
                 "group_cols": group_cols,
                 "sum_cols": sum_cols,
+                "minmax_cols": minmax_cols,
                 "applied_snapshot_id": sid,
                 "state_dir": sdir,
                 "n_partitions": n_partitions,
@@ -182,7 +206,8 @@ class AggView:
     def read(self, spark: SparkSession) -> DataFrame:
         """The view, rendered with SQL aggregate semantics: ``cnt`` =
         COUNT(*), ``sum_<c>`` = SUM(c) (NULL when no non-null values),
-        ``avg_<c>`` = AVG(c)."""
+        ``avg_<c>`` = AVG(c), ``min_/max_<c>`` = MIN/MAX(c) (stored
+        exactly; NULL iff the group has no non-null values)."""
         m = self.meta()
         out = self.state(spark)
         for c in m["sum_cols"]:
@@ -226,14 +251,17 @@ class AggView:
                 "groups": 0,
             }
         group_cols, sum_cols = m["group_cols"], m["sum_cols"]
+        mm_cols = m.get("minmax_cols", [])
         ch = self.table.classified_changes(spark, frm, to_id)
         w = (
             F.when(F.col("_change_type").isin("insert", "update"), F.lit(1))
             .otherwise(F.lit(-1))
             .alias("_w")
         )
+        measure_cols = list(dict.fromkeys(sum_cols + mm_cols))
+        added = F.col("_w") == 1  # postimages; removed = preimages
         delta = (
-            ch.select(*group_cols, *sum_cols, w)
+            ch.select(*group_cols, *measure_cols, w)
             .groupBy(*group_cols)
             .agg(
                 F.sum("_w").alias("_d_cnt"),
@@ -246,6 +274,19 @@ class AggView:
                         F.col("_w") * F.col(c).isNotNull().cast("long")
                     ).alias(f"_d_nn_{c}")
                     for c in sum_cols
+                ],
+                # MIN/MAX deltas: extremes of the window's added values
+                # (fold in with least/greatest) and of its removed values
+                # (the unsafe-extreme test)
+                *[
+                    x
+                    for c in mm_cols
+                    for x in (
+                        F.min(F.when(added, F.col(c))).alias(f"_add_min_{c}"),
+                        F.max(F.when(added, F.col(c))).alias(f"_add_max_{c}"),
+                        F.min(F.when(~added, F.col(c))).alias(f"_rm_min_{c}"),
+                        F.max(F.when(~added, F.col(c))).alias(f"_rm_max_{c}"),
+                    )
                 ],
             )
         )
@@ -292,8 +333,108 @@ class AggView:
                 ).alias(f"nn_{c}")
                 for c in sum_cols
             ],
+            # MIN/MAX optimistic fold (least/greatest skip nulls); the
+            # _unsafe flag marks groups whose removed values touched the
+            # stored extreme — their fold is invalid and they get an
+            # exact selective recompute below
+            *[
+                x
+                for c in mm_cols
+                for x in (
+                    F.least(F.col(f"s.min_{c}"), F.col(f"d._add_min_{c}")).alias(
+                        f"min_{c}"
+                    ),
+                    F.greatest(F.col(f"s.max_{c}"), F.col(f"d._add_max_{c}")).alias(
+                        f"max_{c}"
+                    ),
+                )
+            ],
+            *(
+                [
+                    F.coalesce(
+                        # only meaningful for groups with stored state; a
+                        # brand-new group folds purely from additions
+                        F.col("_in_s").isNotNull()
+                        & reduce(
+                            lambda a, b: a | b,
+                            [
+                                F.coalesce(
+                                    F.col(f"d._rm_min_{c}") <= F.col(f"s.min_{c}"), F.lit(False)
+                                )
+                                | F.coalesce(
+                                    F.col(f"d._rm_max_{c}") >= F.col(f"s.max_{c}"), F.lit(False)
+                                )
+                                for c in mm_cols
+                            ],
+                        ),
+                        F.lit(False),
+                    ).alias("_unsafe")
+                ]
+                if mm_cols
+                else []
+            ),
         ).filter(F.col("cnt") > 0)
-        sdir = self._write_state(merged, m.get("n_partitions", 1), group_cols)
+        folded = None
+        if mm_cols:
+            # selective recompute: exactly the unsafe groups, from a
+            # column-pruned (group + minmax cols) scan of the target
+            # snapshot, null-safe semi-joined to the unsafe keys. The
+            # folded frame feeds both the unsafe-key probe and the final
+            # merge — persist so the state join runs once.
+            folded = merged.persist()
+            unsafe_keys = folded.filter(F.col("_unsafe")).select(*group_cols)
+            base = (
+                self.table.read(spark, snapshot_id=to_id)
+                .select(*group_cols, *mm_cols)
+                .alias("b")
+            )
+            u = unsafe_keys.alias("u")
+            semi = None
+            for gcol in group_cols:
+                eq = F.col(f"b.{gcol}").eqNullSafe(F.col(f"u.{gcol}"))
+                semi = eq if semi is None else (semi & eq)
+            rec = (
+                base.join(u, semi, "left_semi")
+                .groupBy(*group_cols)
+                .agg(
+                    *[F.min(c).alias(f"_r_min_{c}") for c in mm_cols],
+                    *[F.max(c).alias(f"_r_max_{c}") for c in mm_cols],
+                )
+                .withColumn("_in_r", F.lit(1))
+                .alias("r")
+            )
+            mg = folded.alias("mg")
+            back = None
+            for gcol in group_cols:
+                eq = F.col(f"mg.{gcol}").eqNullSafe(F.col(f"r.{gcol}"))
+                back = eq if back is None else (back & eq)
+            merged = mg.join(rec, back, "left").select(
+                *[F.col(f"mg.{gcol}").alias(gcol) for gcol in group_cols],
+                F.col("mg.cnt").alias("cnt"),
+                *[F.col(f"mg.sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                *[F.col(f"mg.nn_{c}").alias(f"nn_{c}") for c in sum_cols],
+                *[
+                    x
+                    for c in mm_cols
+                    for x in (
+                        F.when(
+                            F.col("_in_r").isNotNull(), F.col(f"r._r_min_{c}")
+                        )
+                        .otherwise(F.col(f"mg.min_{c}"))
+                        .alias(f"min_{c}"),
+                        F.when(
+                            F.col("_in_r").isNotNull(), F.col(f"r._r_max_{c}")
+                        )
+                        .otherwise(F.col(f"mg.max_{c}"))
+                        .alias(f"max_{c}"),
+                    )
+                ],
+            )
+        try:
+            sdir = self._write_state(merged, m.get("n_partitions", 1), group_cols)
+        finally:
+            if folded is not None:
+                folded.unpersist()
         changed = spark.read.parquet(os.path.join(self.dir, sdir)).count()
         self._commit_meta(
             {

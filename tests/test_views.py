@@ -43,13 +43,15 @@ def multi_repo_table(spark, tmp_path, with_nulls=False, properties=None):
     return t
 
 
-def recompute(spark, t, group_cols, sum_cols):
+def recompute(spark, t, group_cols, sum_cols, mm_cols=()):
     agg = [F.count(F.lit(1)).alias("cnt")]
     for c in sum_cols:
         agg += [
             F.sum(c).alias(f"sum_{c}"),
             F.avg(c).alias(f"avg_{c}"),
         ]
+    for c in mm_cols:
+        agg += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return t.read(spark).groupBy(*group_cols).agg(*agg)
 
 
@@ -60,9 +62,10 @@ def rows_of(df):
     )
 
 
-def assert_view_matches(spark, t, v, group_cols, sum_cols):
-    got = rows_of(v.read(spark).select(*recompute(spark, t, group_cols, sum_cols).columns))
-    want = rows_of(recompute(spark, t, group_cols, sum_cols))
+def assert_view_matches(spark, t, v, group_cols, sum_cols, mm_cols=()):
+    rc = recompute(spark, t, group_cols, sum_cols, mm_cols)
+    got = rows_of(v.read(spark).select(*rc.columns))
+    want = rows_of(rc)
     assert got == want
 
 
@@ -272,8 +275,10 @@ def test_view_create_validation(spark, tmp_path):
         AggView.create(spark, t, "bad", ["nope"], ["ts"])
     with pytest.raises(ValueError, match="at least one group column"):
         AggView.create(spark, t, "bad", [], ["ts"])
-    with pytest.raises(ValueError, match="both group and sum"):
+    with pytest.raises(ValueError, match="both group and measure"):
         AggView.create(spark, t, "bad", ["ts"], ["ts"])
+    with pytest.raises(ValueError, match="both group and measure"):
+        AggView.create(spark, t, "bad", ["ts"], [], minmax_cols=["ts"])
     with pytest.raises(ValueError, match="duplicate columns"):
         AggView.create(spark, t, "bad", ["repo", "repo"], [])
     with pytest.raises(ValueError, match="must match"):
@@ -282,6 +287,61 @@ def test_view_create_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         AggView.create(spark, t, "ok", ["repo"], [])
     assert list_views(t) == ["ok"]
+
+
+def test_view_minmax_fold_and_selective_recompute(spark, tmp_path):
+    """MIN/MAX: additions fold with least/greatest; deleting the stored
+    extreme triggers the selective per-group recompute and lands on the
+    exact next value; non-extreme removals stay on the fold path. All
+    states compared against the full recompute."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "mm", ["repo"], ["ts"], minmax_cols=["ts"])
+    assert_view_matches(spark, t, v, ["repo"], ["ts"], ["ts"])
+    # fold path: a new global max for repo0
+    merge_into(
+        spark, t, batch_df(spark, [(300, "add", "repo0", "pmax", 5000, "x")]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"], ["ts"])
+    assert v.read(spark).filter(F.col("repo") == "repo0").first()["max_ts"] == 5000
+    # unsafe path: delete the max -> recompute finds the true next max
+    delete_where(spark, t, condition="path = 'pmax'")
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"], ["ts"])
+    # safe removal: delete a middle value (neither min nor max of repo1)
+    delete_where(spark, t, condition="path = 'p4'")  # repo1, ts=40
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"], ["ts"])
+    # update that rewrites the current MIN downward (post folds, pre is
+    # the old min -> unsafe fires, recompute still exact)
+    update_where(spark, t, set={"ts": "ts - 100"}, condition="path = 'p0'")
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["repo"], ["ts"], ["ts"])
+
+
+def test_view_minmax_nulls_and_group_vanish(spark, tmp_path):
+    """MIN/MAX null semantics (NULL iff no non-null values) and an
+    unsafe group whose rows all disappear (dropped via cnt=0, recompute
+    finds no rows)."""
+    t = multi_repo_table(spark, tmp_path, with_nulls=True)
+    v = AggView.create(
+        spark, t, "mm", ["content"], [], minmax_cols=["ts"]
+    )
+    assert_view_matches(spark, t, v, ["content"], [], ["ts"])
+    # kill an entire group by deleting its only row (its value IS the
+    # extreme -> unsafe, but the group folds to cnt=0 and is dropped)
+    delete_where(spark, t, condition="path = 'pn1'")  # content='x' group
+    merge_into(
+        spark, t,
+        batch_df(spark, [(400, "add", "repo1", "pn9", None, None)]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    assert_view_matches(spark, t, v, ["content"], [], ["ts"])
+    rows = {r["content"]: r for r in v.read(spark).collect()}
+    assert "x" not in rows
+    assert rows[None]["min_ts"] == 7  # MIN skips the group's null values
 
 
 def test_view_fsck_and_main_handle_guard(spark, tmp_path, capsys, monkeypatch):
