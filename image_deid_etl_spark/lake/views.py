@@ -79,6 +79,15 @@ VIEWS = "views"
 _PTR = "_view.json"
 
 
+def _nullsafe_eq(left: str, right: str, cols: list[str]):
+    """AND-chain of null-safe group equality between two aliased frames —
+    NULL is a real GROUP BY value, plain join equality would drop it."""
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+    )
+
+
 class AggView:
     """Handle to one materialized aggregate view of a `SnapshotTable`."""
 
@@ -200,7 +209,8 @@ class AggView:
         return sdir
 
     def state(self, spark: SparkSession) -> DataFrame:
-        """Raw stored state: group cols + cnt + sum_/nn_ per measure."""
+        """Raw stored state: group cols + ``cnt`` + ``sum_``/``nn_`` per
+        sum measure + ``min_``/``max_`` per minmax measure."""
         return spark.read.parquet(os.path.join(self.dir, self.meta()["state_dir"]))
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -294,13 +304,7 @@ class AggView:
         # outer join is indistinguishable from "row absent" without it
         s = self.state(spark).withColumn("_in_s", F.lit(1)).alias("s")
         d = delta.alias("d")
-        # null-safe group equality: NULL is a real group value in SQL
-        # GROUP BY, but plain join equality would never match it
-        cond = None
-        for gcol in group_cols:
-            eq = F.col(f"s.{gcol}").eqNullSafe(F.col(f"d.{gcol}"))
-            cond = eq if cond is None else (cond & eq)
-        j = s.join(d, cond, "full_outer")
+        j = s.join(d, _nullsafe_eq("s", "d", group_cols), "full_outer")
         pick = lambda gcol: F.when(  # noqa: E731
             F.col("_in_s").isNotNull(), F.col(f"s.{gcol}")
         ).otherwise(F.col(f"d.{gcol}"))
@@ -352,17 +356,37 @@ class AggView:
             *(
                 [
                     F.coalesce(
-                        # only meaningful for groups with stored state; a
-                        # brand-new group folds purely from additions
+                        # only meaningful for groups with stored state (a
+                        # brand-new group folds purely from additions).
+                        # Per side: an extreme FELL (a removed value
+                        # reached it) AND the window's additions did not
+                        # re-cover it (an added value at or beyond the
+                        # stored extreme makes the fold provably exact —
+                        # routine rewrites of the extreme-holding row
+                        # stay on the O(changes) path)
                         F.col("_in_s").isNotNull()
                         & reduce(
                             lambda a, b: a | b,
                             [
-                                F.coalesce(
-                                    F.col(f"d._rm_min_{c}") <= F.col(f"s.min_{c}"), F.lit(False)
+                                (
+                                    F.coalesce(
+                                        F.col(f"d._rm_min_{c}") <= F.col(f"s.min_{c}"),
+                                        F.lit(False),
+                                    )
+                                    & ~F.coalesce(
+                                        F.col(f"d._add_min_{c}") <= F.col(f"s.min_{c}"),
+                                        F.lit(False),
+                                    )
                                 )
-                                | F.coalesce(
-                                    F.col(f"d._rm_max_{c}") >= F.col(f"s.max_{c}"), F.lit(False)
+                                | (
+                                    F.coalesce(
+                                        F.col(f"d._rm_max_{c}") >= F.col(f"s.max_{c}"),
+                                        F.lit(False),
+                                    )
+                                    & ~F.coalesce(
+                                        F.col(f"d._add_max_{c}") >= F.col(f"s.max_{c}"),
+                                        F.lit(False),
+                                    )
                                 )
                                 for c in mm_cols
                             ],
@@ -376,12 +400,23 @@ class AggView:
         ).filter(F.col("cnt") > 0)
         folded = None
         if mm_cols:
+            # the folded frame feeds the unsafe probe and (maybe) the
+            # final merge — persist so the state join runs once
+            folded = merged.persist()
+            has_unsafe = (
+                folded.filter(F.col("_unsafe")).limit(1).count() > 0
+            )
+        if mm_cols and not has_unsafe:
+            # common case: every extreme held (or was re-covered by an
+            # addition) — no snapshot scan at all. Explicit, not left to
+            # AQE empty-relation propagation, and it keeps a lagging
+            # minmax view refreshable across EXPIRED interior snapshots
+            # exactly like a sum-only view whenever no extreme fell
+            merged = folded.drop("_unsafe")
+        elif mm_cols:
             # selective recompute: exactly the unsafe groups, from a
             # column-pruned (group + minmax cols) scan of the target
-            # snapshot, null-safe semi-joined to the unsafe keys. The
-            # folded frame feeds both the unsafe-key probe and the final
-            # merge — persist so the state join runs once.
-            folded = merged.persist()
+            # snapshot, null-safe semi-joined to the unsafe keys
             unsafe_keys = folded.filter(F.col("_unsafe")).select(*group_cols)
             base = (
                 self.table.read(spark, snapshot_id=to_id)
@@ -389,12 +424,8 @@ class AggView:
                 .alias("b")
             )
             u = unsafe_keys.alias("u")
-            semi = None
-            for gcol in group_cols:
-                eq = F.col(f"b.{gcol}").eqNullSafe(F.col(f"u.{gcol}"))
-                semi = eq if semi is None else (semi & eq)
             rec = (
-                base.join(u, semi, "left_semi")
+                base.join(u, _nullsafe_eq("b", "u", group_cols), "left_semi")
                 .groupBy(*group_cols)
                 .agg(
                     *[F.min(c).alias(f"_r_min_{c}") for c in mm_cols],
@@ -404,11 +435,7 @@ class AggView:
                 .alias("r")
             )
             mg = folded.alias("mg")
-            back = None
-            for gcol in group_cols:
-                eq = F.col(f"mg.{gcol}").eqNullSafe(F.col(f"r.{gcol}"))
-                back = eq if back is None else (back & eq)
-            merged = mg.join(rec, back, "left").select(
+            merged = mg.join(rec, _nullsafe_eq("mg", "r", group_cols), "left").select(
                 *[F.col(f"mg.{gcol}").alias(gcol) for gcol in group_cols],
                 F.col("mg.cnt").alias("cnt"),
                 *[F.col(f"mg.sum_{c}").alias(f"sum_{c}") for c in sum_cols],

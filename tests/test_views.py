@@ -344,6 +344,42 @@ def test_view_minmax_nulls_and_group_vanish(spark, tmp_path):
     assert rows[None]["min_ts"] == 7  # MIN skips the group's null values
 
 
+def test_view_minmax_no_scan_when_extremes_hold(spark, tmp_path):
+    """When no extreme fell — including a rewrite of the extreme-holding
+    row whose postimage re-covers the value — the minmax refresh reads
+    NO table snapshot (explicit unsafe-existence guard, not AQE
+    empty-relation luck). Proven by making `table.read` raise for the
+    duration of the refresh; the window itself spans EXPIRED interior
+    snapshots served by retained logs (the lagging-view contract holds
+    for minmax views whenever every extreme held)."""
+    t = multi_repo_table(spark, tmp_path, properties={"changelog": True})
+    v = AggView.create(spark, t, "mm", ["repo"], [], minmax_cols=["ts"])
+    frm = v.meta()["applied_snapshot_id"]
+    # rewrite the min-holding row's OTHER column: preimage carries
+    # ts == stored min, postimage re-covers it -> safe by the add-cover
+    # refinement, not a recompute
+    update_where(spark, t, set={"content": "'rewritten'"}, condition="path = 'p0'")
+    # non-extreme removal + ordinary insert
+    delete_where(spark, t, condition="path = 'p4'")  # repo1, mid-range ts
+    merge_into(
+        spark, t, batch_df(spark, [(500, "add", "repo0", "mid", 55, "m")]),
+        offsets(2), scrub=False,
+    )
+    t.materialize_changelog(spark)
+    t.expire_snapshots(keep_last=1)
+    assert frm not in t.snapshots()  # genuinely lagging across expiry
+
+    def boom(*a, **k):
+        raise AssertionError("minmax refresh scanned the table with no unsafe groups")
+
+    t.read = boom  # instance shadow; the diff path uses _live_keyed, so
+    try:           # the ONLY .read caller inside refresh is the recompute
+        v.refresh(spark)
+    finally:
+        del t.read
+    assert_view_matches(spark, t, v, ["repo"], [], ["ts"])
+
+
 def test_view_fsck_and_main_handle_guard(spark, tmp_path, capsys, monkeypatch):
     """Views are published-line consumers: branch handles are refused
     (a branch-line applied id would dangle after drop_branch), and
