@@ -517,7 +517,7 @@ def cmd_view(args) -> None:
         return
     if not args.name:
         sys.exit(f"error: {args.action} needs a view name")
-    if args.action in ("refresh", "read") and args.name not in list_views(table):
+    if args.action in ("refresh", "read", "verify") and args.name not in list_views(table):
         sys.exit(f"error: view {args.name!r} does not exist")
     spark = build_session(app_name="view")
     try:
@@ -542,6 +542,11 @@ def cmd_view(args) -> None:
             )
         elif args.action == "refresh":
             print(json.dumps(AggView(table, args.name).refresh(spark)))
+        elif args.action == "verify":
+            rep = AggView(table, args.name).verify(spark)
+            print(json.dumps(rep))
+            if not rep["ok"]:
+                sys.exit(2)
         elif args.action == "read":
             df = AggView(table, args.name).read(spark)
             if args.out:
@@ -812,7 +817,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     vw.add_argument("--table", required=True)
     vw.add_argument(
-        "action", choices=["create", "refresh", "read", "list"],
+        "action", choices=["create", "refresh", "read", "verify", "list"],
     )
     vw.add_argument("name", nargs="?", default=None, help="view name")
     vw.add_argument("--group", nargs="+", default=None, help="group-by columns")

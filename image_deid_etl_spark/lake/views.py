@@ -233,6 +233,38 @@ class AggView:
             )
         return out.drop(*[f"nn_{c}" for c in m["sum_cols"]])
 
+    def verify(self, spark: SparkSession) -> dict:
+        """Audit: recompute the full aggregation at the view's applied
+        snapshot and compare with the stored state (both directions of
+        `exceptAll` on the exact state columns). O(table) by design —
+        this is the incident tool, not the refresh path. Requires the
+        applied snapshot to still be retained."""
+        m = self.meta()
+        sid = m["applied_snapshot_id"]
+        sum_cols, mm_cols = m["sum_cols"], m.get("minmax_cols", [])
+        expected = (
+            self.table.read(spark, snapshot_id=sid)
+            .groupBy(*m["group_cols"])
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+                *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
+                *[F.min(c).alias(f"min_{c}") for c in mm_cols],
+                *[F.max(c).alias(f"max_{c}") for c in mm_cols],
+            )
+        )
+        got = self.state(spark).select(*expected.columns)
+        extra = got.exceptAll(expected).count()
+        missing = expected.exceptAll(got).count()
+        return {
+            "view": self.name,
+            "applied_snapshot_id": sid,
+            "groups": got.count(),
+            "extra_rows": extra,
+            "missing_rows": missing,
+            "ok": extra == 0 and missing == 0,
+        }
+
     # ------------------------------------------------------------------ #
     # incremental refresh
     # ------------------------------------------------------------------ #

@@ -16,6 +16,19 @@ can't execute directly. Submit this file instead::
         --from-snapshot <base> --branch audit
     spark-submit ... submit.py branch --table s3://lake/repos --publish audit
 
+    # bad-batch recovery on a cluster: revert (metadata-only), re-ingest
+    spark-submit ... submit.py rollback --table s3://lake/repos --to <snap>
+    spark-submit ... submit.py ingest --table s3://lake/repos --feed s3://wal/chunks
+
+    # maintained rollups: O(changes) refresh per cron tick, never O(table)
+    spark-submit ... submit.py view --table s3://lake/repos create by_lang \
+        --group lang --sum size --min-max commit_ts
+    spark-submit ... submit.py view --table s3://lake/repos refresh by_lang
+
+    # config evolution without replay
+    spark-submit ... submit.py alter --table s3://lake/repos \
+        --set changelog true --set stats_cols commit_ts
+
 The --py-files zip puts the package on every executor's PYTHONPATH; this
 shim only needs the driver to find it (zip or repo checkout).
 """

@@ -415,6 +415,27 @@ def test_view_fsck_and_main_handle_guard(spark, tmp_path, capsys, monkeypatch):
     assert rep["views"]["ok"]["ok"] is False
 
 
+def test_view_verify_audit(spark, tmp_path):
+    """`verify` recomputes at the applied snapshot and diffs the stored
+    state both ways — clean after real churn, and it catches a
+    corrupted state row."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "aud", ["repo"], ["ts"])
+    delete_where(spark, t, condition="path = 'p3'")
+    v.refresh(spark)
+    rep = v.verify(spark)
+    assert rep["ok"] and rep["extra_rows"] == 0 and rep["missing_rows"] == 0
+    # corrupt the state: rewrite one stored row's cnt
+    st = v.state(spark).toPandas()
+    st.loc[st.index[0], "cnt"] += 1
+    sdir = v.meta()["state_dir"]
+    spark.createDataFrame(st).write.mode("overwrite").parquet(
+        os.path.join(v.dir, sdir)
+    )
+    rep = v.verify(spark)
+    assert not rep["ok"] and rep["extra_rows"] == 1 and rep["missing_rows"] == 1
+
+
 def test_view_state_retention_one_generation(spark, tmp_path):
     """The just-superseded state dir survives one refresh (grace for a
     concurrent reader that resolved the old pointer); two refreshes ago
