@@ -65,8 +65,6 @@ def cmd_check(args) -> None:
 
 def cmd_ingest(args) -> None:
     if args.branch:
-        if args.streaming:
-            sys.exit("error: --branch is batch-only (stage, audit, publish)")
         # validate BEFORE building the session or creating anything: an
         # unknown branch must not leave a freshly-created empty table
         _open_maybe_branch(args.table, args.branch)
@@ -83,12 +81,15 @@ def cmd_ingest(args) -> None:
             adaptive=not args.no_adaptive,
             changelog=args.changelog or None,
             stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
+            branch=args.branch,
         )
         if args.max_batches is not None:
             print("warning: --max-batches has no effect with --streaming", file=sys.stderr)
-        from .cdc.engine import open_or_create_table
-
-        print(json.dumps({"offsets": open_or_create_table(args.table).offsets()}))
+        print(
+            json.dumps(
+                {"offsets": _open_maybe_branch(args.table, args.branch).offsets()}
+            )
+        )
         return
     from .cdc.engine import run_ingest
 

@@ -97,6 +97,7 @@ def stream_ingest(
     adaptive: bool = True,
     changelog: bool | None = None,
     stats_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> None:
     """Tail the feed dir with Trigger.AvailableNow and MERGE each epoch.
 
@@ -105,11 +106,21 @@ def stream_ingest(
     picks the new column up without replay. ``auto_compact_files``,
     ``merge_mode``, ``adaptive`` and ``changelog`` mirror `run_ingest`
     (maintenance hook, table modes at creation, per-batch adaptive
-    CoW→MoR, per-commit change-log materialization)."""
+    CoW→MoR, per-commit change-log materialization).
+
+    ``branch``: stage every epoch's commit onto an EXISTING branch
+    (`SnapshotTable.branch`) — streaming write-audit-publish. The
+    published table never sees the stream's commits until
+    `publish_branch`; changelog materialization defers to publish like
+    any staged commit, and the epoch-guard fields (stream_id /
+    last_epoch) ride the branch manifests so they fast-forward into the
+    published line with the data."""
     t0 = open_or_create_table(
         table_root, n_buckets, merge_mode=merge_mode, changelog=changelog,
         stats_cols=stats_cols,
     )
+    if branch is not None:
+        t0 = t0.branch_handle(branch)  # raises on an unknown branch
     if t0.changelog_enabled():
         materialize_new_changelogs(spark, t0, 0)  # heal pre-crash gaps
     if schema is None:
@@ -141,6 +152,8 @@ def stream_ingest(
 
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
         t = open_or_create_table(table_root, n_buckets)
+        if branch is not None:
+            t = t.branch_handle(branch)
         off = t.offsets()
         # epoch guard: foreachBatch may redeliver the last epoch after a
         # restart; skipping a committed epoch keeps the sink exactly-once

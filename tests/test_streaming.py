@@ -417,3 +417,49 @@ def test_stream_changes_consumer(spark, tmp_path):
     run_ingest(spark, root, str(feed), max_files_per_batch=1, auto_compact_files=None)
     got2 = drain()
     assert got2 == {("A", "delete", 3)}
+
+
+def test_stream_ingest_stages_on_branch(spark, tmp_path):
+    """Streaming write-audit-publish: every epoch commits onto the
+    branch only; the published table is untouched until one atomic
+    fast-forward, after which the state equals the straight-to-main
+    stream's fold oracle and the epoch-guard fields rode along (a
+    restart over the same checkpoint post-publish re-processes
+    nothing)."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = FeedSpec(n_events=900, n_keys=80, dup_frac=0.05, n_files=6)
+    write_feed(feed, spec)
+
+    # seed the published table with the first chunk via the batch path,
+    # then stage the REST of the feed on a branch from the stream
+    from image_deid_etl_spark.cdc.engine import run_ingest
+
+    run_ingest(spark, root, feed, max_files_per_batch=1, max_batches=1)
+    t = open_or_create_table(root)
+    base = t.snapshot_id
+    base_rows = t.read(spark).count()
+    t.branch("wap")
+
+    stream_ingest(spark, root, feed, ckpt, max_files_per_trigger=2, branch="wap")
+    assert t.snapshot_id == base  # published line never moved
+    assert t.read(spark).count() == base_rows
+    b = t.branch_handle("wap")
+    assert b.snapshot_id > base
+    assert b.offsets()["last_epoch"] >= 0 and "stream_id" in b.offsets()
+
+    t.publish_branch("wap")
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    expected = sha256_state(fold_feed(make_events(spec)))
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # the epoch guard rode into the published line: a re-run over the
+    # SAME checkpoint (now against main) re-processes nothing
+    snap = t.snapshot_id
+    stream_ingest(spark, root, feed, ckpt)
+    assert open_or_create_table(root).snapshot_id == snap
