@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake.table import SnapshotTable, bucket_expr, key_expr, lww_order_cols
+from ..lake.table import SnapshotTable, key_expr, lww_order_cols
 from .scrub import scrub_meta, scrubbed
 from .skew import salted_repartition
 
@@ -610,7 +610,6 @@ def merge_into(
     """
     started = time.time()
     key_cols = table.key_cols()
-    n_buckets = table.n_buckets()
     # optimistic-concurrency anchor
     parent_snapshot = (
         table.snapshot_id if expected_parent is None else expected_parent
@@ -650,7 +649,9 @@ def merge_into(
         *cols,
         F.col("seq").cast("long").alias("commit_seq"),
         (F.col("op") == F.lit("delete")).alias("_deleted"),
-        bucket_expr(n_buckets, key_cols).alias("_bucket"),
+        # migration-aware: keys of migrated old buckets route to their
+        # new-space ids mid-rebucket (effective_bucket_expr)
+        table.bucket_column().alias("_bucket"),
         key_expr(key_cols).alias("_key"),
     )
     if touched is None:
@@ -1014,7 +1015,8 @@ def update_where(
 
     read_schema = table._read_schema()
     unres = table.unresolved_buckets()
-    resolved = sorted({*range(table.n_buckets())} - unres)
+    # id_space, not n_buckets: mid-migration manifests hold new-space ids
+    resolved = sorted({*range(table.id_space())} - unres)
 
     # -- narrow matching scan over resolved buckets' candidate files ------
     pred = _stats_entry_pred(where) if where else None

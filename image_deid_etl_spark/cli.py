@@ -572,14 +572,42 @@ def cmd_rebucket(args) -> None:
     from .cdc.engine import open_table
     from .session import build_session
 
-    if args.n_buckets < 1:
-        sys.exit(f"error: --n-buckets must be >= 1, got {args.n_buckets}")
     try:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
-    spark = build_session(app_name="rebucket")
-    print(json.dumps(table.rebucket(spark, args.n_buckets)))
+    try:
+        if args.step is not None:
+            if args.step < 1:
+                sys.exit(f"error: --step must be >= 1, got {args.step}")
+            spark = build_session(app_name="rebucket")
+            print(json.dumps(table.rebucket_step(spark, max_buckets=args.step)))
+            return
+        if args.n_buckets is None:
+            sys.exit("error: pass --n-buckets (with optional --begin) or --step")
+        if args.n_buckets < 1:
+            sys.exit(f"error: --n-buckets must be >= 1, got {args.n_buckets}")
+        if args.begin:
+            spark = (
+                build_session(app_name="rebucket")
+                if table.changelog_enabled()
+                else None
+            )
+            snap = table.begin_rebucket(args.n_buckets, spark=spark)
+            print(
+                json.dumps(
+                    {
+                        "migrating_to": args.n_buckets,
+                        "snapshot_id": snap,
+                        "pending_buckets": table.n_buckets(),
+                    }
+                )
+            )
+            return
+        spark = build_session(app_name="rebucket")
+        print(json.dumps(table.rebucket(spark, args.n_buckets)))
+    except ValueError as e:
+        sys.exit(f"error: {e}")
 
 
 def cmd_changes(args) -> None:
@@ -861,7 +889,16 @@ def main(argv: list[str] | None = None) -> None:
              "rare maintenance when the table outgrows its bucket count)",
     )
     rb.add_argument("--table", required=True)
-    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.add_argument("--n-buckets", type=int, default=None)
+    rb.add_argument(
+        "--begin", action="store_true",
+        help="start an INCREMENTAL migration to --n-buckets (metadata "
+        "only; drive it with --step while ingest keeps running)",
+    )
+    rb.add_argument(
+        "--step", type=int, default=None, metavar="K",
+        help="migrate the next K old buckets of an in-progress migration",
+    )
     rb.set_defaults(fn=cmd_rebucket)
 
     e = sub.add_parser("export", help="re-upload source->source: snapshot -> feed chunks")

@@ -254,6 +254,32 @@ def bucket_expr(n_buckets: int, cols: list[str]):
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
 
+def effective_bucket_expr(spec: dict, cols: list[str]):
+    """Key → MANIFEST bucket id under an (optionally migrating) spec.
+
+    Off-migration this is plain `bucket_expr`. During an incremental
+    rebucket (``migrating_to`` set) the id space is mixed by design:
+    keys whose OLD bucket has been migrated live under their NEW id
+    (``hash % migrating_to``), everyone else under the old one. The
+    arithmetic that makes this sound: for ``migrating_to`` an integer
+    multiple of ``n_buckets``, ``h % migrating_to`` determines
+    ``h % n_buckets`` — each old bucket splits into a fixed set of new
+    ids and no two old buckets' key sets ever share an id, so every key
+    maps to exactly one manifest id and that id's files are exactly its
+    candidates. Same expression everywhere (write + merge + prune)."""
+    n = spec["n_buckets"]
+    to = spec.get("migrating_to")
+    migrated = spec.get("migrated") or []
+    if not to or not migrated:
+        return bucket_expr(n, cols)
+    old = bucket_expr(n, cols)
+    return (
+        F.when(old.isin(list(migrated)), bucket_expr(to, cols))
+        .otherwise(old)
+        .cast("int")
+    )
+
+
 def key_expr(cols: list[str]):
     """Canonical sortable merge-key string (the ``_key`` engine column)."""
     return F.concat_ws(KEY_SEP, *[F.col(c) for c in cols])
@@ -469,6 +495,21 @@ class SnapshotTable:
         return self.manifest(snapshot_id, with_files=False)["partition_spec"][
             "n_buckets"
         ]
+
+    def id_space(self, snapshot_id: int | None = None) -> int:
+        """Upper bound (exclusive) of manifest bucket ids at a snapshot —
+        ``n_buckets`` normally, the TARGET count during an incremental
+        rebucket (migrated buckets' files already carry new-space ids).
+        Use this, not `n_buckets`, wherever code enumerates "all possible
+        bucket ids"."""
+        spec = self.manifest(snapshot_id, with_files=False)["partition_spec"]
+        return spec.get("migrating_to") or spec["n_buckets"]
+
+    def bucket_column(self, snapshot_id: int | None = None):
+        """Key → manifest bucket id expression under the CURRENT spec
+        (migration-aware — see `effective_bucket_expr`)."""
+        spec = self.manifest(snapshot_id, with_files=False)["partition_spec"]
+        return effective_bucket_expr(spec, spec["columns"])
 
     def merge_mode(self) -> str:
         """``"cow"`` (default): MERGE rewrites matched files, one live row
@@ -1431,9 +1472,10 @@ class SnapshotTable:
         if touched is None:
             # the two snapshots may sit on different bucket specs (a
             # rebucket inside the window) — cover both index spaces;
-            # a spec simply has no shards past its own range
+            # a spec simply has no shards past its own range. id_space,
+            # not n_buckets: a mid-migration snapshot holds new-space ids
             touched = set(
-                range(max(self.n_buckets(from_snapshot_id), self.n_buckets(to_id)))
+                range(max(self.id_space(from_snapshot_id), self.id_space(to_id)))
             )
         if not touched:
             return None
@@ -2255,6 +2297,11 @@ class SnapshotTable:
         The one-shot rewrite here is the simple, always-correct form —
         run it as rare scheduled maintenance, like a major compaction."""
         m = self.manifest()  # ONE full-manifest load: spec + files + offsets
+        if m["partition_spec"].get("migrating_to"):
+            raise ValueError(
+                "an incremental rebucket is in progress — drive it to "
+                "completion with rebucket_step() before a full rewrite"
+            )
         old_n = m["partition_spec"]["n_buckets"]
         if new_n_buckets == old_n:
             return {"from_buckets": old_n, "to_buckets": old_n, "rewritten": False}
@@ -2302,6 +2349,126 @@ class SnapshotTable:
             "to_buckets": new_n_buckets,
             "rewritten": True,
             "files_before": len(replaced),
+            "files_after": len(entries),
+        }
+
+    def begin_rebucket(
+        self, new_n_buckets: int, spark: SparkSession | None = None
+    ) -> int:
+        """Start an INCREMENTAL bucket-spec growth: a metadata-only
+        commit marking the spec as migrating to ``new_n_buckets`` (an
+        integer multiple of the current count — the congruence that
+        makes per-bucket migration sound, see `effective_bucket_expr`).
+
+        Nothing moves yet: with no bucket migrated the effective mapping
+        is unchanged. `rebucket_step` then rewrites a few old buckets at
+        a time — bounded maintenance slices a 100 TB table can actually
+        schedule, unlike `rebucket`'s one-shot full rewrite — while
+        ingest, reads, compaction and incremental consumers keep running
+        against the mixed id space between steps."""
+        self._require_main("begin_rebucket")
+        m = self.manifest(with_files=False)
+        spec = m["partition_spec"]
+        if spec.get("migrating_to"):
+            raise ValueError(
+                f"already migrating to {spec['migrating_to']} buckets "
+                f"({len(spec.get('migrated') or [])}/{spec['n_buckets']} done)"
+            )
+        n = spec["n_buckets"]
+        if new_n_buckets <= n or new_n_buckets % n != 0:
+            raise ValueError(
+                f"incremental rebucket must GROW by an integer factor: "
+                f"{n} -> {new_n_buckets} is not (use rebucket() for "
+                "arbitrary counts)"
+            )
+        if spark is None and self.changelog_enabled():
+            raise ValueError(
+                "changelog-enabled table: begin_rebucket needs `spark` to "
+                "materialize this commit's (empty) log — a skipped log is "
+                "a permanent gap"
+            )
+        snap = self.commit_snapshot(
+            [],
+            partition_spec={**spec, "migrating_to": new_n_buckets, "migrated": []},
+            lineage_extra={
+                "rebucket_begin": {"from": n, "to": new_n_buckets}
+            },
+            expected_parent=m["snapshot_id"],
+        )
+        if spark is not None and self.changelog_enabled():
+            self.materialize_changelog(spark, snap)
+        return snap
+
+    def rebucket_step(self, spark: SparkSession, max_buckets: int = 1) -> dict:
+        """Migrate the next ``max_buckets`` old buckets to the target
+        spec: read exactly their files, fold superseded versions (the
+        rewrite touches every row anyway, same as `compact`), re-tag
+        rows with their new-space ids and commit the swap — O(stepped
+        buckets), never O(table). The final step atomically completes
+        the migration (the spec becomes the plain target count).
+
+        Logically a no-op per step: the lineage ``rebucket`` marker makes
+        window pruning across it fall back to the spec-independent full
+        diff, and the per-commit changelog materializes empty."""
+        self._require_main("rebucket_step")
+        m = self.manifest(with_files=False)
+        spec = m["partition_spec"]
+        to = spec.get("migrating_to")
+        if not to:
+            raise ValueError("no incremental rebucket in progress — begin_rebucket first")
+        n = spec["n_buckets"]
+        migrated = set(spec.get("migrated") or [])
+        pending = [b for b in range(n) if b not in migrated]
+        todo = pending[: max(1, max_buckets)]
+        key_cols = spec["columns"]
+        files = self.files_for_buckets(set(todo))
+        replaced = {f["path"] for f in files}
+        unres_todo = self.unresolved_buckets() & set(todo)
+        started = time.time()
+        entries: list[dict] = []
+        if files:
+            schema = self._read_schema()
+            paths = [os.path.join(self.root, f["path"]) for f in files]
+            df = spark.read.schema(schema).parquet(*paths)
+            if unres_todo:
+                df = _lww_latest_versions(df, key_cols=key_cols)
+            df = df.withColumn("_bucket", bucket_expr(to, key_cols))
+            entries = self.write_snapshot_files(
+                df,
+                m["snapshot_id"] + 1,
+                n_buckets=max(1, len(todo) * (to // n)),
+                cluster_by=self.cluster_by() or None,
+            )
+        done = migrated | set(todo)
+        if len(done) == n:  # final step completes the spec atomically
+            new_spec = {
+                k: v
+                for k, v in spec.items()
+                if k not in ("migrating_to", "migrated")
+            }
+            new_spec["n_buckets"] = to
+        else:
+            new_spec = {**spec, "migrated": sorted(done)}
+        self.commit_snapshot(
+            new_files=entries,
+            offsets=m["offsets"],
+            replaced_paths=replaced,
+            partition_spec=new_spec,
+            lineage_extra={
+                "rebucket": {"step": sorted(todo), "from": n, "to": to}
+            },
+            started_at=started,
+            expected_parent=m["snapshot_id"],
+            unresolved_remove=unres_todo or None,
+        )
+        if self.changelog_enabled():
+            self.materialize_changelog(spark)
+        return {
+            "stepped": sorted(todo),
+            "migrated": len(done),
+            "pending": n - len(done),
+            "complete": len(done) == n,
+            "files_rewritten": len(replaced),
             "files_after": len(entries),
         }
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from image_deid_etl_spark.cdc.merge import merge_into
-from image_deid_etl_spark.lake.table import SnapshotTable
+from image_deid_etl_spark.lake.table import SnapshotTable, bucket_expr
 
 SCHEMA = T.StructType(
     [
@@ -415,7 +415,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
         batch_df(spark, [(200, "add", "r", "a00", "y"), (201, "add", "r", "nope", "y")])
         .selectExpr("*").select(
             "*",
-            M.bucket_expr(1, ["repo", "path"]).alias("_bucket"),
+            bucket_expr(1, ["repo", "path"]).alias("_bucket"),
             M.key_expr(["repo", "path"]).alias("_key"),
         ),
         {0}, kr, key_counts={0: 2},
@@ -430,7 +430,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
         + [(400 + i, "add", "r", f"z{i:02d}", "y") for i in range(50)],
     ).select(
         "*",
-        M.bucket_expr(1, ["repo", "path"]).alias("_bucket"),
+        bucket_expr(1, ["repo", "path"]).alias("_bucket"),
         M.key_expr(["repo", "path"]).alias("_key"),
     )
     matched_abs, matched_rel, bloom_updates, _, _, _ = M._match_files(
@@ -1033,7 +1033,7 @@ def test_sampled_probe_cost_flat_across_partitionings(spark, tmp_path):
         spark, [(9000 + i, "add", "r", f"k{i:05d}", "w") for i in range(4000)]
     ).select(
         "*",
-        M.bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
         M.key_expr(["repo", "path"]).alias("_key"),
     )
     candidates = t.manifest()["files"]

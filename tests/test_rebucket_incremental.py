@@ -1,0 +1,181 @@
+"""Incremental bucket-spec growth (`begin_rebucket` / `rebucket_step`).
+
+The 100 TB story the one-shot `rebucket` cannot tell: growth happens in
+bounded per-bucket maintenance slices while ingest, reads, incremental
+consumers and row-level ops keep running against the mixed id space.
+Soundness rests on the congruence `h % kn` determines `h % n`: each old
+bucket splits into a fixed set of new ids, no two old buckets ever
+share an id, and `effective_bucket_expr` routes every key to exactly
+the manifest id whose files hold it.
+
+Pinned here: per-step logical no-op (state byte-identical, spanning
+change windows empty), ingest INTERLEAVED between steps converging to
+the straight-through fold oracle, MoR version folding on migrated
+buckets, changelog parity across the migration, completion semantics,
+and the guards.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+from tests.test_delete import SCHEMA, batch_df, make_table, offsets  # noqa: F401
+
+
+def state_pdf(spark, t):
+    return (
+        t.read(spark)
+        .select("repo", "path", F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_steps_are_logical_noops_and_complete(spark, tmp_path):
+    t = make_table(spark, tmp_path)  # 4 buckets, 40 rows
+    before = state_pdf(spark, t)
+    begin = t.snapshot_id
+    t.begin_rebucket(8)
+    assert t.n_buckets() == 4 and t.id_space() == 8
+    steps = 0
+    while True:
+        res = t.rebucket_step(spark, max_buckets=1)
+        steps += 1
+        pd.testing.assert_frame_equal(state_pdf(spark, t), before)
+        if res["complete"]:
+            break
+    assert steps == 4
+    spec = t.manifest(with_files=False)["partition_spec"]
+    assert spec["n_buckets"] == 8 and "migrating_to" not in spec
+    # every row's stored _bucket is in the new space and matches its file
+    raw = t.read_raw(spark).select("_bucket").distinct().collect()
+    assert {r["_bucket"] for r in raw} <= set(range(8))
+    # the whole migration is change-free end to end
+    assert t.read_changes(spark, begin).count() == 0
+
+
+def test_ingest_interleaved_with_migration(spark, tmp_path):
+    """The headline: feed replay continues BETWEEN steps — merges route
+    keys through the mixed id space — and the final state equals the
+    straight-through replay's fold oracle byte for byte."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=1800, n_keys=150, dup_frac=0.05, skew=0.4, n_files=6)
+    write_feed(feed, spec)
+    run_ingest(spark, root, feed, max_files_per_batch=2, max_batches=1)
+    t = open_or_create_table(root)
+    n = t.n_buckets()
+    t.begin_rebucket(n * 2)
+    # alternate: one maintenance slice, one ingest batch, a delete
+    t.rebucket_step(spark, max_buckets=1)
+    run_ingest(spark, root, feed, max_files_per_batch=2, max_batches=1)
+    t.rebucket_step(spark, max_buckets=2)
+    delete_where(spark, t, condition="length(path) % 11 = 0")
+    # per-key tombstone seqs: the delete contract is per ROW (a strictly
+    # newer event resurrects the key; a late older one stays deleted)
+    tomb = {
+        (r["repo"], r["path"]): r["commit_seq"]
+        for r in t.read_raw(spark)
+        .filter(F.col("_deleted"))
+        .select("repo", "path", "commit_seq")
+        .collect()
+    }
+    res = None
+    while res is None or not res["complete"]:
+        res = t.rebucket_step(spark, max_buckets=3)
+        run_ingest(spark, root, feed, max_files_per_batch=2, max_batches=1)
+    run_ingest(spark, root, feed, max_files_per_batch=2)  # drain the rest
+    assert t.n_buckets() == n * 2
+
+    # LWW contract: a deleted key whose feed holds an event strictly
+    # newer than its tombstone resurrects with the fold value; everyone
+    # else stays dropped (ties lose to the tombstone's deleted-first rank)
+    ev = make_events(spec)
+    ev_max = ev.groupby(["repo", "path"])["seq"].max()
+    drop = {k for k, ts in tomb.items() if ev_max.get(k, -1) <= ts}
+    exp = sha256_state(fold_feed(ev))
+    keyed = exp[["repo", "path"]].apply(tuple, axis=1)
+    exp = exp[~keyed.isin(drop)].reset_index(drop=True)
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # non-resurrected tombstones survived the migration rewrites (same
+    # contract as compact — resurrected keys' tombstones lose the fold)
+    still = {
+        (r["repo"], r["path"])
+        for r in t.read_raw(spark)
+        .filter(F.col("_deleted"))
+        .select("repo", "path")
+        .collect()
+    }
+    assert drop <= still
+
+
+def test_migration_folds_mor_versions(spark, tmp_path):
+    t = make_table(spark, tmp_path, properties={"merge_mode": "mor"})
+    merge_into(
+        spark, t,
+        batch_df(spark, [(100 + i, "add", "r", f"p{i}", 900, "NEW") for i in range(8)]),
+        offsets(2), scrub=False,
+    )
+    assert t.unresolved_buckets() == set(range(4))
+    t.begin_rebucket(8)
+    while not t.rebucket_step(spark, max_buckets=1)["complete"]:
+        pass
+    # migration rewrites touch every row anyway: versions folded, marks
+    # cleared, winners correct
+    assert t.unresolved_buckets() == set()
+    lv = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert len(lv) == 40 and lv["p0"] == "NEW" and lv["p9"] == "v9"
+
+
+def test_changelog_parity_across_migration(spark, tmp_path):
+    t = make_table(spark, tmp_path, properties={"changelog": True})
+    t.materialize_changelog(spark)
+    pre = t.snapshot_id
+    with pytest.raises(ValueError, match="needs `spark`"):
+        t.begin_rebucket(8)  # a skipped log would be a permanent gap
+    t.begin_rebucket(8, spark=spark)
+    t.rebucket_step(spark, max_buckets=2)
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "mid", 1, "m")]),
+        offsets(2), scrub=False,
+    )
+    t.materialize_changelog(spark)
+    while not t.rebucket_step(spark, max_buckets=2)["complete"]:
+        pass
+    for use_log in (True, False):
+        ch = t.read_changes(spark, pre, use_changelog=use_log)
+        got = {(r["path"], r["_change_type"]) for r in ch.collect()}
+        assert got == {("mid", "upsert")}, f"use_changelog={use_log}"
+
+
+def test_guards(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="no incremental rebucket in progress"):
+        t.rebucket_step(spark)
+    with pytest.raises(ValueError, match="integer factor"):
+        t.begin_rebucket(6)
+    with pytest.raises(ValueError, match="integer factor"):
+        t.begin_rebucket(4)
+    t.begin_rebucket(12)  # 3x growth is fine — any integer factor
+    with pytest.raises(ValueError, match="already migrating"):
+        t.begin_rebucket(8)
+    with pytest.raises(ValueError, match="in progress"):
+        t.rebucket(spark, 16)
+    res = t.rebucket_step(spark, max_buckets=99)  # over-asking is clamped
+    assert res["complete"] and t.n_buckets() == 12
+    assert t.read(spark).count() == 40
