@@ -148,7 +148,7 @@ def compute_batch_stats(
     Returns ``(n_events, max_seq, touched_buckets, key_ranges,
     key_counts)``; ``key_counts`` is None when the ladder cannot use it
     (empty table or merge-on-read)."""
-    from ..lake.table import key_expr
+    from ..lake.table import effective_bucket_expr, key_expr
 
     kc = table.key_cols()
     top = table.manifest(with_files=False)
@@ -156,7 +156,7 @@ def compute_batch_stats(
     is_mor = table.merge_mode() == "mor"
     if has_files and not is_mor:
         stats_rows = (
-            batch.groupBy(table.bucket_column().alias("_b"))
+            batch.groupBy(effective_bucket_expr(top["partition_spec"], kc).alias("_b"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("seq").alias("mx"),
@@ -184,7 +184,7 @@ def compute_batch_stats(
         # the HLL are dead weight — but the maintenance hook still needs
         # the touched buckets, so keep the cheap groupBy
         stats_rows = (
-            batch.groupBy(table.bucket_column().alias("_b"))
+            batch.groupBy(effective_bucket_expr(top["partition_spec"], kc).alias("_b"))
             .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"))
             .collect()
         )

@@ -576,6 +576,11 @@ def cmd_rebucket(args) -> None:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
+    if args.step is not None and (args.begin or args.n_buckets is not None):
+        sys.exit(
+            "error: --step drives an in-progress migration and cannot be "
+            "combined with --begin/--n-buckets (begin first, then step)"
+        )
     try:
         if args.step is not None:
             if args.step < 1:

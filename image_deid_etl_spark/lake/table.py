@@ -1296,7 +1296,9 @@ class SnapshotTable:
                 self.read_raw(spark, snapshot_id, buckets=sorted(unres)),
                 key_cols=self.key_cols(),
             )
-            resolved = sorted(set(range(self.n_buckets(snapshot_id))) - unres)
+            # id_space, not n_buckets: mid-migration manifests hold
+            # resolved files under new-space ids too
+            resolved = sorted(set(range(self.id_space(snapshot_id))) - unres)
             if resolved:
                 raw = self.read_raw(
                     spark, snapshot_id, buckets=resolved, entry_pred=pred
@@ -1344,8 +1346,19 @@ class SnapshotTable:
                 # the durable lineage write — diff unpruned, still correct
                 return None
             if "rebucket" in entry:
-                # bucket indices mean different key sets on the two sides
-                # of a spec change — pruning by them would be wrong
+                rb = entry["rebucket"]
+                if "step" in rb:
+                    # incremental step: the moved keys' ids on BOTH sides
+                    # are known exactly — old id b and its new-space ids
+                    # {b + i·n}. Anything else carried by path. Without
+                    # this, a changelog-enabled migration would pay one
+                    # FULL-table diff per step's (empty) log.
+                    k = rb["to"] // rb["from"]
+                    for b in rb["step"]:
+                        touched.update(b + i * rb["from"] for i in range(k))
+                    continue
+                # one-shot rebucket: bucket indices mean different key
+                # sets on the two sides — pruning by them would be wrong
                 return None
             if "rollback" in entry:
                 # a rollback writes no files but reverts bucket STATE; its
@@ -2039,7 +2052,12 @@ class SnapshotTable:
                 # replace: new files may target buckets beyond the old
                 # spec's range (a grow rebucket), and dropping them here
                 # would orphan their freshly written data
-                changed |= set(range(cur["partition_spec"]["n_buckets"]))
+                changed |= set(
+                    range(
+                        cur["partition_spec"].get("migrating_to")
+                        or cur["partition_spec"]["n_buckets"]
+                    )
+                )
                 break
             changed.add(b)
         new_by_bucket: dict[int, list[dict]] = {}
@@ -2309,25 +2327,16 @@ class SnapshotTable:
             raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
         files = m["files"]
         replaced = {f["path"] for f in files}
-        key_cols = m["partition_spec"]["columns"]
         unres = set(m.get("unresolved_buckets") or [])
-        schema = self._read_schema()
-        paths = [os.path.join(self.root, f["path"]) for f in files]
-        df = (
-            spark.read.schema(schema).parquet(*paths)
-            if paths
-            else spark.createDataFrame([], schema)
-        )
-        if unres:
-            df = _lww_latest_versions(df, key_cols=key_cols)
-        df = df.withColumn("_bucket", bucket_expr(new_n_buckets, key_cols))
         new_spec = dict(m["partition_spec"], n_buckets=new_n_buckets)
         started = time.time()
-        entries = self.write_snapshot_files(
-            df,
-            m["snapshot_id"] + 1,
-            n_buckets=new_n_buckets,
-            cluster_by=self.cluster_by() or None,
+        entries = self._rewrite_retagged(
+            spark,
+            files,
+            target_n=new_n_buckets,
+            resolve=bool(unres),
+            next_sid=m["snapshot_id"] + 1,
+            write_n_buckets=new_n_buckets,
         )
         self.commit_snapshot(
             new_files=entries,
@@ -2351,6 +2360,36 @@ class SnapshotTable:
             "files_before": len(replaced),
             "files_after": len(entries),
         }
+
+    def _rewrite_retagged(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        target_n: int,
+        resolve: bool,
+        next_sid: int,
+        write_n_buckets: int,
+    ) -> list[dict]:
+        """Shared rewrite core of `rebucket` / `rebucket_step`: read
+        exactly ``files``, optionally fold superseded versions to their
+        LWW winners (tombstone winners preserved), re-tag every row with
+        its ``hash % target_n`` bucket and write the new file set. ONE
+        definition so the two spec-evolution paths cannot drift."""
+        if not files:
+            return []
+        key_cols = self.key_cols()
+        schema = self._read_schema()
+        paths = [os.path.join(self.root, f["path"]) for f in files]
+        df = spark.read.schema(schema).parquet(*paths)
+        if resolve:
+            df = _lww_latest_versions(df, key_cols=key_cols)
+        df = df.withColumn("_bucket", bucket_expr(target_n, key_cols))
+        return self.write_snapshot_files(
+            df,
+            next_sid,
+            n_buckets=write_n_buckets,
+            cluster_by=self.cluster_by() or None,
+        )
 
     def begin_rebucket(
         self, new_n_buckets: int, spark: SparkSession | None = None
@@ -2420,25 +2459,18 @@ class SnapshotTable:
         migrated = set(spec.get("migrated") or [])
         pending = [b for b in range(n) if b not in migrated]
         todo = pending[: max(1, max_buckets)]
-        key_cols = spec["columns"]
         files = self.files_for_buckets(set(todo))
         replaced = {f["path"] for f in files}
         unres_todo = self.unresolved_buckets() & set(todo)
         started = time.time()
-        entries: list[dict] = []
-        if files:
-            schema = self._read_schema()
-            paths = [os.path.join(self.root, f["path"]) for f in files]
-            df = spark.read.schema(schema).parquet(*paths)
-            if unres_todo:
-                df = _lww_latest_versions(df, key_cols=key_cols)
-            df = df.withColumn("_bucket", bucket_expr(to, key_cols))
-            entries = self.write_snapshot_files(
-                df,
-                m["snapshot_id"] + 1,
-                n_buckets=max(1, len(todo) * (to // n)),
-                cluster_by=self.cluster_by() or None,
-            )
+        entries = self._rewrite_retagged(
+            spark,
+            files,
+            target_n=to,
+            resolve=bool(unres_todo),
+            next_sid=m["snapshot_id"] + 1,
+            write_n_buckets=max(1, len(todo) * (to // n)),
+        )
         done = migrated | set(todo)
         if len(done) == n:  # final step completes the spec atomically
             new_spec = {

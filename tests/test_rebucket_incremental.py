@@ -163,6 +163,44 @@ def test_changelog_parity_across_migration(spark, tmp_path):
         assert got == {("mid", "upsert")}, f"use_changelog={use_log}"
 
 
+def test_read_mid_migration_with_unresolved_buckets(spark, tmp_path):
+    """read() must enumerate the MIGRATING id space when version
+    resolution is in play: a resolved file under a new-space id (> old
+    n_buckets) coexisting with an unresolved old bucket must still be
+    listed — this exact shape silently dropped rows before the
+    id_space() fix."""
+    t = make_table(spark, tmp_path, properties={"merge_mode": "mor"})
+    t.begin_rebucket(8)
+    t.rebucket_step(spark, max_buckets=1)  # old bucket 0 → ids {0, 4}
+    raw_ids = {
+        r["_bucket"] for r in t.read_raw(spark).select("_bucket").distinct().collect()
+    }
+    assert raw_ids & {4, 5, 6, 7}  # new-space files exist
+    # a MoR append marks an (unmigrated) bucket unresolved
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "p1", 0, "NEW1")]),
+        offsets(2), scrub=False,
+    )
+    assert t.unresolved_buckets()
+    lv = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert len(lv) == 40 and lv["p1"] == "NEW1" and lv["p0"] == "v0"
+
+
+def test_step_windows_stay_bucket_pruned(spark, tmp_path):
+    """A step's lineage names the moved keys' ids on BOTH sides (old id
+    b, new ids b+i·n), so incremental windows across a migration stay
+    pruned — a changelog-enabled migration must not pay one full-table
+    diff per step."""
+    t = make_table(spark, tmp_path)
+    pre = t.snapshot_id
+    t.begin_rebucket(8)
+    t.rebucket_step(spark, max_buckets=1)  # steps old bucket 0
+    assert t.changed_buckets(pre, t.snapshot_id) == {0, 4}
+    t.rebucket_step(spark, max_buckets=3)
+    assert t.changed_buckets(pre, t.snapshot_id) == set(range(8))
+    assert t.read_changes(spark, pre).count() == 0  # still a logical no-op
+
+
 def test_guards(spark, tmp_path):
     t = make_table(spark, tmp_path)
     with pytest.raises(ValueError, match="no incremental rebucket in progress"):
