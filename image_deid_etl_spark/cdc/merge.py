@@ -60,7 +60,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake.table import SnapshotTable, key_expr, lww_order_cols
+from ..lake.table import (
+    SnapshotTable,
+    key_expr,
+    lww_order_cols,
+    lww_payload_hash,
+)
 from .scrub import scrub_meta, scrubbed
 from .skew import salted_repartition
 
@@ -577,6 +582,98 @@ def resolve_lww_aggregate(batch: DataFrame, key_cols: list[str], seq_col: str = 
     )
 
 
+def _capture_changes_plan(
+    key_cols: list[str],
+    new_schema: T.StructType,
+    existing: DataFrame,
+    incoming_o: DataFrame,
+    w_rank,
+    scrub: bool,
+    scrub_before_resolve: bool,
+) -> DataFrame:
+    """The single-commit classified change set, computed from the SAME
+    ranked version sets the MERGE window resolves — write-time capture,
+    O(matched files + batch), vs the post-hoc snapshot diff's two full
+    touched-bucket state scans + anti-joins (`materialize_changelog`'s
+    fallback). Exact `classified_changes` semantics by construction:
+
+    * only batch keys can change (the CoW rewrite copies every other row
+      verbatim — the engine-wide idempotent-scrub invariant the e2e
+      sha256 tests pin), so stored rows are first SEMI-JOINED to the
+      batch's keys;
+    * per key, the OLD winner is the first stored row in `lww_order_cols`
+      rank order over (matched-file rows ∪ batch) — the matched set
+      contains every file holding a batch key (range prune is
+      conservative, the exact ladder is a true semi-join), including all
+      superseded versions in unresolved buckets, so this equals the
+      scan-time resolution of the parent snapshot; the NEW winner is
+      rank 1 overall — the row the rewrite writes;
+    * classification mirrors the diff's row identity (key, seq, payload
+      hash): new-live & old-dead/absent → insert; both live & identity
+      changed → update + update_preimage; new-dead & old-live → delete;
+      identity unchanged (batch lost LWW) → nothing.
+
+    The plan re-reads the matched files when executed (after the commit —
+    a concurrency loser must never clobber the winning commit's log), so
+    capture costs one extra matched-file scan + one batch-key window;
+    the scrub applied to winners is replayed here so postimages match
+    the written bytes (and no-op on stored preimages, per the invariant).
+    """
+    cols_out = [f.name for f in new_schema.fields] + ["commit_seq"]
+    batch_keys = incoming_o.select(*key_cols).distinct()
+    ex_k = existing.join(batch_keys, key_cols, "leftsemi")
+    both_k = ex_k.unionByName(incoming_o)
+    w_key = Window.partitionBy(*key_cols)
+    ranked = (
+        both_k.withColumn("_rn", F.row_number().over(w_rank))
+        # stored rows carry a real _fg (crc32 of their file); batch rows
+        # ride in with a null _fg — that marker finds the old winner
+        .withColumn(
+            "_pre_rn",
+            F.min(F.when(F.col("_fg").isNotNull(), F.col("_rn"))).over(w_key),
+        )
+    )
+    picks = ranked.filter(
+        (F.col("_rn") == 1) | (F.col("_rn") == F.col("_pre_rn"))
+    )
+    # replay the winner scrub so captured postimages equal written rows
+    # (idempotent no-op on stored preimages)
+    if scrub and not scrub_before_resolve and "content" in picks.columns:
+        picks = picks.withColumn("content", scrubbed(F.col("content")))
+    if scrub and "meta" in picks.columns:
+        picks = picks.withColumn("meta", scrub_meta(F.col("meta")))
+    row_s = F.struct(
+        *[F.col(c) for c in cols_out],
+        F.col("_deleted").alias("_deleted"),
+        lww_payload_hash(new_schema.fields).alias("_ph"),
+    )
+    g = picks.groupBy(*key_cols).agg(
+        F.max_by(row_s, F.when(F.col("_rn") == 1, F.lit(1))).alias("_post"),
+        F.max_by(
+            row_s, F.when(F.col("_rn") == F.col("_pre_rn"), F.lit(1))
+        ).alias("_pre"),
+    )
+    post_live = ~F.col("_post._deleted")
+    pre_live = F.col("_pre").isNotNull() & ~F.col("_pre._deleted")
+    unchanged = F.col("_post.commit_seq").eqNullSafe(
+        F.col("_pre.commit_seq")
+    ) & F.col("_post._ph").eqNullSafe(F.col("_pre._ph"))
+
+    def _proj(rows: DataFrame, side: str, ct: str) -> DataFrame:
+        return rows.select(
+            *[F.col(f"{side}.{c}").alias(c) for c in cols_out]
+        ).withColumn("_change_type", F.lit(ct))
+
+    ins = _proj(g.filter(post_live & ~pre_live), "_post", "insert")
+    upd_base = g.filter(post_live & pre_live & ~unchanged)
+    upd = _proj(upd_base, "_post", "update")
+    upd_pre = _proj(upd_base, "_pre", "update_preimage")
+    dels = _proj(g.filter(~post_live & pre_live), "_pre", "delete")
+    return (
+        ins.unionByName(upd).unionByName(upd_pre).unionByName(dels)
+    ).select(*cols_out, "_change_type")
+
+
 def merge_into(
     spark: SparkSession,
     table: SnapshotTable,
@@ -590,6 +687,7 @@ def merge_into(
     key_counts: dict[int, int] | None = None,
     adaptive: bool = True,
     expected_parent: int | None = None,
+    capture_changes: bool = True,
 ) -> int:
     """Apply one change-event micro-batch; return the new snapshot id.
 
@@ -607,6 +705,13 @@ def merge_into(
     (`delete_where`) anchors at scan time, so a commit landing between
     its scan and this merge fails the commit instead of applying a
     stale-matched batch.
+    ``capture_changes`` (default on): on changelog-enabled tables, the
+    full-ladder CoW path writes this commit's classified change log
+    from its OWN ranked version sets (`_capture_changes_plan` —
+    O(matched files + batch)) right after the commit, instead of leaving
+    `materialize_changelog` to re-derive it from a two-sided
+    touched-bucket state diff. MoR/adaptive-append commits never ran the
+    window over stored state, so they keep the diff fallback.
     """
     started = time.time()
     key_cols = table.key_cols()
@@ -777,6 +882,30 @@ def merge_into(
         # sidecar PHI-key deletion (map_filter, JVM-side; custom_etl.py:346)
         merged = merged.withColumn("meta", scrub_meta(F.col("meta")))
 
+    # -- write-time change capture (changelog fast path) -------------------
+    # Only the full-ladder CoW path knows the old winners (the MoR /
+    # adaptive-append legs never rank stored state); those commits keep
+    # the post-hoc snapshot-diff materialization. Plan built here, but
+    # EXECUTED only after the commit succeeds — a concurrency loser must
+    # never clobber the winning commit's log.
+    cap_df = None
+    if (
+        capture_changes
+        and not adaptive_fired
+        and table.merge_mode() != "mor"
+        and table._branch is None
+        and table.changelog_enabled()
+    ):
+        cap_df = _capture_changes_plan(
+            key_cols,
+            new_schema,
+            existing,
+            incoming_o,
+            w_rank,
+            scrub,
+            scrub_before_resolve,
+        )
+
     # -- copy-on-write rewrite of touched buckets (shuffle 2) -------------
     snap_id = table.snapshot_id + 1
     t_write0 = time.time()
@@ -812,6 +941,11 @@ def merge_into(
             os.remove(os.path.join(table.root, bloom_updates[p]["bloom_path"]))
         except OSError:
             pass
+    if cap_df is not None:
+        # crash between the commit above and this write leaves a log gap;
+        # `materialize_new_changelogs` fills it from the diff on the next
+        # run (same recovery as any other missing per-commit log)
+        table.write_changelog_rows(spark, snap, cap_df)
     return snap
 
 
@@ -896,9 +1030,11 @@ def delete_where(
         )
     finally:
         batch.unpersist()
-    if table.changelog_enabled():
+    if table.changelog_enabled() and not table.changelog_ready(snap):
         # same contiguity rule as compact/rebucket: a CLI-only delete must
-        # not leave a hole in the per-commit changelog
+        # not leave a hole in the per-commit changelog (the merge's
+        # write-time capture usually already wrote it — only the
+        # MoR/adaptive legs fall through to the diff here)
         table.materialize_changelog(spark)
     return {"deleted": n, "snapshot_id": snap}
 

@@ -1667,6 +1667,14 @@ class SnapshotTable:
         # single-commit classified snapshot diff (use_changelog=False:
         # this WRITES the log — it must never read one)
         ch = self.classified_changes(spark, parent, sid, use_changelog=False)
+        return self._publish_changelog(ch, sid)
+
+    def _publish_changelog(self, ch: DataFrame, sid: int) -> str:
+        """Atomically publish a classified change DataFrame as commit
+        ``sid``'s log: write to a hidden tmp dir, rename into place —
+        a `stream_changes` consumer tailing the directory never lists a
+        half-written commit (crash-orphaned tmp dirs are swept by
+        `expire_snapshots`)."""
         import shutil
         import uuid
 
@@ -1677,6 +1685,27 @@ class SnapshotTable:
             shutil.rmtree(path)
         os.rename(tmp, path)
         return path
+
+    def write_changelog_rows(
+        self, spark: SparkSession, snapshot_id: int, ch: DataFrame
+    ) -> str | None:
+        """Publish an ALREADY-CLASSIFIED change set as ``snapshot_id``'s
+        log — the write-time capture fast path (`cdc.merge.merge_into`
+        computes the single-commit change set from the rows its own LWW
+        window already ranked, O(matched files + batch), instead of the
+        post-hoc snapshot diff's two touched-bucket state scans). The
+        caller guarantees exact `classified_changes` single-commit
+        semantics (parity is test-pinned); columns are projected to the
+        canonical log schema here so a capture plan carrying extra
+        engine columns can never widen the log. Branch handles no-op
+        (returns None): staged commits' logs would leak to consumers —
+        `publish_branch` writes them in order at publish time."""
+        if self._branch is not None:
+            return None
+        cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
+        return self._publish_changelog(
+            ch.select(*cols, "_change_type"), snapshot_id
+        )
 
     def _fold_grouped(
         self, spark: SparkSession, to_id: int, sids: list[int]

@@ -733,3 +733,222 @@ def test_randomized_lifecycle_ops_fold_matches_diff(spark, tmp_path, seed):
         )
         pd.testing.assert_frame_equal(applied, want, check_dtype=False,
                                       obj=f"apply ({a}, {b}]")
+
+
+# --------------------------------------------------------------------- #
+# write-time change capture (cdc.merge._capture_changes_plan)
+# --------------------------------------------------------------------- #
+# The CoW MERGE writes the per-commit log from its OWN ranked version
+# sets instead of the post-hoc snapshot diff. These tests pin (a) that
+# the fast path actually runs (no diff materialization is invoked),
+# (b) exact classified parity with the diff that DEFINES the semantics,
+# (c) the legs that must NOT capture (MoR, adaptive append, branch),
+# and (d) the crash-gap heal.
+
+from pyspark.sql import types as T  # noqa: E402
+
+from image_deid_etl_spark.cdc.merge import merge_into  # noqa: E402
+from image_deid_etl_spark.lake.table import SnapshotTable  # noqa: E402
+
+_CAP_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+_CAP_BATCH = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+    ]
+    + _CAP_SCHEMA.fields
+)
+
+
+def _cap_batch(spark, rows):
+    """rows: (seq, op, repo, path, content)"""
+    return spark.createDataFrame(rows, _CAP_BATCH)
+
+
+def _cap_offsets(n):
+    return {"committed_feed_files": n, "max_seq_seen": n * 1000, "batch_id": n - 1}
+
+
+def _cap_table(tmp_path, name="t", **props):
+    return SnapshotTable.create(
+        str(tmp_path / name), _CAP_SCHEMA, ["repo", "path"], n_buckets=4,
+        properties={"changelog": True, **props},
+    )
+
+
+def _log_frame(t, spark, sid) -> pd.DataFrame:
+    return (
+        t.classified_changes(spark, sid - 1, sid, use_changelog=True)
+        .toPandas()
+        .sort_values(["repo", "path", "_change_type"])
+        .reset_index(drop=True)
+    )
+
+
+def _diff_frame(t, spark, sid) -> pd.DataFrame:
+    return (
+        t.classified_changes(spark, sid - 1, sid, use_changelog=False)
+        .toPandas()
+        .sort_values(["repo", "path", "_change_type"])
+        .reset_index(drop=True)
+    )
+
+
+def _no_diff(t):
+    """Instance-shadow the diff entry points: any call proves the fast
+    path did NOT run."""
+    def boom(*a, **k):
+        raise AssertionError("snapshot-diff materialization ran")
+    t.materialize_changelog = boom
+    return t
+
+
+def test_capture_writes_log_inline_and_matches_diff(spark, tmp_path):
+    """Every classification in one commit — insert, update (+preimage),
+    delete, LWW-lost no-op, delete-of-absent no-op — captured at write
+    time with NO diff materialization, byte-equal to the diff path."""
+    t = _no_diff(_cap_table(tmp_path))
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [
+            (10, "add", "r", "keep", "v1"),      # stays untouched
+            (11, "add", "r", "upd", "v1"),
+            (12, "add", "r", "del", "v1"),
+            (13, "add", "r", "lost", "HIGH"),    # later batch loses to this
+        ]),
+        _cap_offsets(1), scrub=False,
+    )
+    assert t.changelog_ready(1), "capture must write commit 1's log"
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [
+            (20, "add", "r", "new", "x"),        # insert
+            (21, "add", "r", "upd", "v2"),       # update
+            (22, "delete", "r", "del", None),    # delete
+            (5, "add", "r", "lost", "low"),      # loses LWW -> nothing
+            (23, "delete", "r", "ghost", None),  # delete of absent -> nothing
+        ]),
+        _cap_offsets(2), scrub=False,
+    )
+    assert t.changelog_ready(2)
+    got = _log_frame(t, spark, 2)
+    want = _diff_frame(t, spark, 2)
+    pd.testing.assert_frame_equal(got, want)
+    by_type = got.set_index("_change_type")
+    assert set(by_type.index) == {"insert", "update", "update_preimage", "delete"}
+    assert by_type.loc["insert", "path"] == "new"
+    assert by_type.loc["update", "content"] == "v2"
+    assert by_type.loc["update_preimage", "content"] == "v1"
+    # delete carries the from-winner preimage (old value + old seq)
+    assert by_type.loc["delete", "content"] == "v1"
+    assert by_type.loc["delete", "commit_seq"] == 12
+
+
+def test_capture_parity_on_randomized_history(spark, tmp_path):
+    """Per-commit capture == per-commit diff over a duplicate-laden,
+    out-of-order, delete-heavy multi-commit history (the diff path
+    defines the semantics; capture must never drift)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    t = _cap_table(tmp_path)
+    tref = _cap_table(tmp_path, name="ref")
+    n_keys = 60
+    for c in range(6):
+        rows = []
+        for _ in range(120):
+            k = int(rng.randint(n_keys))
+            seq = int(rng.randint(1, 500))
+            op = "delete" if rng.rand() < 0.25 else "add"
+            rows.append((seq, op, "r", f"k{k:03d}", f"v{seq}" if op == "add" else None))
+        b = _cap_batch(spark, rows)
+        merge_into(spark, _no_diff(t), b, _cap_offsets(c + 1), scrub=False)
+        # reference table: same batches, capture OFF, diff materializes
+        merge_into(spark, tref, b, _cap_offsets(c + 1), scrub=False,
+                   capture_changes=False)
+        assert not tref.changelog_ready(c + 1)
+        tref.materialize_changelog(spark, c + 1)
+        got, want = _log_frame(t, spark, c + 1), _log_frame(tref, spark, c + 1)
+        pd.testing.assert_frame_equal(got, want, obj=f"commit {c + 1}")
+    # window fold over captured logs == snapshot diff on the capture table
+    fast = t.classified_changes(spark, 1, 6, use_changelog=True).toPandas()
+    slow = t.classified_changes(spark, 1, 6, use_changelog=False).toPandas()
+    srt = lambda d: d.sort_values(["repo", "path", "_change_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(srt(fast), srt(slow))
+
+
+def test_capture_replays_scrub_so_postimages_match_written_bytes(spark, tmp_path):
+    """Captured postimages must equal the table's written (scrubbed)
+    bytes, and preimages the stored bytes — with scrub ON."""
+    t = _no_diff(_cap_table(tmp_path))
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [(1, "add", "r", "a", "ssn 123-45-6789 ok")]),
+        _cap_offsets(1),
+    )
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [(2, "add", "r", "a", "mail bob@x.io end")]),
+        _cap_offsets(2),
+    )
+    log = _log_frame(t, spark, 2).set_index("_change_type")
+    assert log.loc["update", "content"] == "mail <EMAIL> end"
+    assert log.loc["update_preimage", "content"] == "ssn <SSN> ok"
+    state = t.read(spark).toPandas()
+    assert state.loc[0, "content"] == "mail <EMAIL> end"
+
+
+def test_capture_skipped_on_mor_and_adaptive_legs(spark, tmp_path):
+    """Paths that never rank stored state must NOT capture: the log is
+    absent after the merge and the diff fallback fills it correctly."""
+    # pure MoR table
+    t = _cap_table(tmp_path, name="mor", merge_mode="mor")
+    merge_into(spark, t, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
+               _cap_offsets(1), scrub=False)
+    assert not t.changelog_ready(1), "MoR leg must not capture"
+    t.materialize_changelog(spark, 1)
+    assert t.changelog_ready(1)
+    # adaptive append on a default table (uniform update of most keys)
+    t2 = _cap_table(tmp_path, name="ad")
+    boot = _cap_batch(
+        spark, [(i + 1, "add", "r", f"k{i:04d}", "v1") for i in range(400)]
+    )
+    merge_into(spark, t2, boot, _cap_offsets(1), scrub=False)
+    upd = _cap_batch(
+        spark, [(1000 + i, "add", "r", f"k{i * 8:04d}", "v2") for i in range(50)]
+    )
+    kc = {b: 50 // 4 for b in range(4)}
+    merge_into(spark, t2, upd, _cap_offsets(2), scrub=False, key_counts=kc)
+    lin = t2.lineage()[-1]
+    if lin.get("adaptive_append"):
+        assert not t2.changelog_ready(2), "adaptive leg must not capture"
+        t2.materialize_changelog(spark, 2)
+    else:  # estimate didn't fire at this scale: capture ran, still exact
+        assert t2.changelog_ready(2)
+    got, want = _log_frame(t2, spark, 2), _diff_frame(t2, spark, 2)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_capture_gap_healed_by_materialize_new_changelogs(spark, tmp_path):
+    """A crash between commit and capture write (simulated by
+    capture_changes=False) leaves a missing tail log; the startup heal
+    fills it from the diff and the fold serves the window."""
+    from image_deid_etl_spark.cdc.engine import materialize_new_changelogs
+
+    t = _cap_table(tmp_path)
+    merge_into(spark, t, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
+               _cap_offsets(1), scrub=False)
+    merge_into(spark, t, _cap_batch(spark, [(2, "add", "r", "a", "v2")]),
+               _cap_offsets(2), scrub=False, capture_changes=False)
+    assert t.changelog_ready(1) and not t.changelog_ready(2)
+    n = materialize_new_changelogs(spark, t, 0)
+    assert n == 1 and t.changelog_ready(2)
+    pd.testing.assert_frame_equal(
+        _log_frame(t, spark, 2), _diff_frame(t, spark, 2)
+    )
