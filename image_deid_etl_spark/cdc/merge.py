@@ -56,7 +56,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -597,10 +597,6 @@ def _capture_changes_plan(
     touched-bucket state scans + anti-joins (`materialize_changelog`'s
     fallback). Exact `classified_changes` semantics by construction:
 
-    * only batch keys can change (the CoW rewrite copies every other row
-      verbatim — the engine-wide idempotent-scrub invariant the e2e
-      sha256 tests pin), so stored rows are first SEMI-JOINED to the
-      batch's keys;
     * per key, the OLD winner is the first stored row in `lww_order_cols`
       rank order over (matched-file rows ∪ batch) — the matched set
       contains every file holding a batch key (range prune is
@@ -608,20 +604,39 @@ def _capture_changes_plan(
       superseded versions in unresolved buckets, so this equals the
       scan-time resolution of the parent snapshot; the NEW winner is
       rank 1 overall — the row the rewrite writes;
+    * when this merge applies a scrub that touches CARRIED rows (content
+      when not pre-scrubbed, meta always), the rewrite may change bytes
+      of NON-batch keys in matched files too (a table with unscrubbed
+      history being merged with scrub=True), so the window runs over ALL
+      matched-file rows; scrub-free merges can only change batch keys
+      (the rewrite copies other rows verbatim) and keep the cheaper
+      batch-key SEMI-JOIN;
+    * the scrub is replayed on the POST side only — preimages carry the
+      stored bytes, exactly what the parent-state diff reports — with
+      the post-variant payload hash computed over the scrubbed values;
     * classification mirrors the diff's row identity (key, seq, payload
       hash): new-live & old-dead/absent → insert; both live & identity
       changed → update + update_preimage; new-dead & old-live → delete;
-      identity unchanged (batch lost LWW) → nothing.
+      identity unchanged (batch lost LWW) → nothing. `_deleted` is
+      null-coalesced (legacy pre-engine-columns rows store null).
 
     The plan re-reads the matched files when executed (after the commit —
     a concurrency loser must never clobber the winning commit's log), so
-    capture costs one extra matched-file scan + one batch-key window;
-    the scrub applied to winners is replayed here so postimages match
-    the written bytes (and no-op on stored preimages, per the invariant).
+    capture costs one extra matched-file scan + one keyed window; the
+    caller persists the batch side so the feed read + scrub UDF are not
+    re-executed.
     """
     cols_out = [f.name for f in new_schema.fields] + ["commit_seq"]
-    batch_keys = incoming_o.select(*key_cols).distinct()
-    ex_k = existing.join(batch_keys, key_cols, "leftsemi")
+    cols = {f.name for f in new_schema.fields}
+    # scrub replay plan: which columns does THIS merge rewrite on carried
+    # rows? (mirrors merge_into's post-window scrub exactly)
+    scrub_content = scrub and not scrub_before_resolve and "content" in cols
+    scrub_meta_col = scrub and "meta" in cols
+    if scrub_content or scrub_meta_col:
+        ex_k = existing  # rescrub can change non-batch keys in matched files
+    else:
+        batch_keys = incoming_o.select(*key_cols).distinct()
+        ex_k = existing.join(batch_keys, key_cols, "leftsemi")
     both_k = ex_k.unionByName(incoming_o)
     w_key = Window.partitionBy(*key_cols)
     ranked = (
@@ -636,25 +651,40 @@ def _capture_changes_plan(
     picks = ranked.filter(
         (F.col("_rn") == 1) | (F.col("_rn") == F.col("_pre_rn"))
     )
-    # replay the winner scrub so captured postimages equal written rows
-    # (idempotent no-op on stored preimages)
-    if scrub and not scrub_before_resolve and "content" in picks.columns:
-        picks = picks.withColumn("content", scrubbed(F.col("content")))
-    if scrub and "meta" in picks.columns:
-        picks = picks.withColumn("meta", scrub_meta(F.col("meta")))
-    row_s = F.struct(
-        *[F.col(c) for c in cols_out],
+    # post-variant columns precomputed as plain projections (a row can be
+    # BOTH pre and post — rank 1 == old winner — and must then carry raw
+    # bytes as preimage, scrubbed bytes as postimage)
+    post_over: dict[str, Column] = {}
+    if scrub_content:
+        picks = picks.withColumn("_cap_content", scrubbed(F.col("content")))
+        post_over["content"] = F.col("_cap_content")
+    if scrub_meta_col:
+        picks = picks.withColumn("_cap_meta", scrub_meta(F.col("meta")))
+        post_over["meta"] = F.col("_cap_meta")
+
+    def _post_col(name: str) -> Column:
+        return post_over.get(name, F.col(name))
+
+    row_pre_s = F.struct(
+        *[F.col(c).alias(c) for c in cols_out],
         F.col("_deleted").alias("_deleted"),
         lww_payload_hash(new_schema.fields).alias("_ph"),
     )
+    row_post_s = F.struct(
+        *[_post_col(c).alias(c) for c in cols_out],
+        F.col("_deleted").alias("_deleted"),
+        lww_payload_hash(new_schema.fields, col_of=_post_col).alias("_ph"),
+    )
     g = picks.groupBy(*key_cols).agg(
-        F.max_by(row_s, F.when(F.col("_rn") == 1, F.lit(1))).alias("_post"),
+        F.max_by(row_post_s, F.when(F.col("_rn") == 1, F.lit(1))).alias("_post"),
         F.max_by(
-            row_s, F.when(F.col("_rn") == F.col("_pre_rn"), F.lit(1))
+            row_pre_s, F.when(F.col("_rn") == F.col("_pre_rn"), F.lit(1))
         ).alias("_pre"),
     )
-    post_live = ~F.col("_post._deleted")
-    pre_live = F.col("_pre").isNotNull() & ~F.col("_pre._deleted")
+    post_live = ~F.coalesce(F.col("_post._deleted"), F.lit(False))
+    pre_live = F.col("_pre").isNotNull() & ~F.coalesce(
+        F.col("_pre._deleted"), F.lit(False)
+    )
     unchanged = F.col("_post.commit_seq").eqNullSafe(
         F.col("_pre.commit_seq")
     ) & F.col("_post._ph").eqNullSafe(F.col("_pre._ph"))
@@ -843,6 +873,21 @@ def merge_into(
     ]
     existing = existing.select(*order)
     incoming_o = incoming.withColumn("_fg", F.lit(None).cast("long")).select(*order)
+    # write-time change capture runs on this commit? (decided up front so
+    # the batch side can be persisted ONCE — the capture plan executes
+    # after the commit and would otherwise re-read the feed and re-pay
+    # the scrub UDF over the whole batch)
+    do_capture = (
+        capture_changes
+        and not adaptive_fired
+        and table.merge_mode() != "mor"
+        and table._branch is None
+        and table.changelog_enabled()
+    )
+    if do_capture:
+        from pyspark import StorageLevel
+
+        incoming_o = incoming_o.persist(StorageLevel.MEMORY_AND_DISK)
 
     # -- single LWW window: within-batch AND vs stored state (shuffle 1) --
     # The winner adopts its key's existing cohort (max _fg over the key's
@@ -889,13 +934,7 @@ def merge_into(
     # EXECUTED only after the commit succeeds — a concurrency loser must
     # never clobber the winning commit's log.
     cap_df = None
-    if (
-        capture_changes
-        and not adaptive_fired
-        and table.merge_mode() != "mor"
-        and table._branch is None
-        and table.changelog_enabled()
-    ):
+    if do_capture:
         cap_df = _capture_changes_plan(
             key_cols,
             new_schema,
@@ -942,10 +981,14 @@ def merge_into(
         except OSError:
             pass
     if cap_df is not None:
-        # crash between the commit above and this write leaves a log gap;
-        # `materialize_new_changelogs` fills it from the diff on the next
-        # run (same recovery as any other missing per-commit log)
-        table.write_changelog_rows(spark, snap, cap_df)
+        # a crash between the commit above and this write leaves a
+        # missing tail log; the next capture write's gap guard
+        # (`write_changelog_rows`) or the startup heal
+        # (`materialize_new_changelogs`) fills it from the diff
+        try:
+            table.write_changelog_rows(spark, snap, cap_df)
+        finally:
+            incoming_o.unpersist()
     return snap
 
 

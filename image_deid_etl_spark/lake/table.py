@@ -102,7 +102,7 @@ KEY_SEP = "\x1f"
 _LWW_HASH_EXCLUDE = {f.name for f in ENGINE_COLS} | {"_fg", "_bh1", "_bh2", "_rn"}
 
 
-def lww_payload_hash(fields):
+def lww_payload_hash(fields, col_of=None):
     """Stable xxhash64 over the PAYLOAD columns of ``fields`` — the LWW
     tie-break hash (see `lww_order_cols`), also the row-identity
     component of the snapshot diff (`read_changes` /
@@ -112,7 +112,14 @@ def lww_payload_hash(fields):
     winner flipped) is a real state change the diff must report. Maps
     hash via key-sorted entry serialization so producer entry order
     never splits identities; engine columns are excluded so an existing
-    row and its re-delivered duplicate hash identically."""
+    row and its re-delivered duplicate hash identically.
+
+    ``col_of`` (name → Column, default ``F.col``) lets a caller hash a
+    SUBSTITUTED variant of some columns without renaming the DataFrame —
+    the write-time change capture hashes the post-scrub values of
+    content/meta this way while the same row's preimage hashes raw."""
+    if col_of is None:
+        col_of = F.col
     def _contains_map(dt) -> bool:
         if isinstance(dt, T.MapType):
             return True
@@ -135,7 +142,7 @@ def lww_payload_hash(fields):
             # could disagree. The comparator sorts by KEY ONLY: a default
             # struct sort would demand the VALUE type be orderable too and
             # raise on map<_, map<...>> payloads.
-            ent = F.map_entries(F.col(f.name))
+            ent = F.map_entries(col_of(f.name))
             col = F.to_json(
                 F.array_sort(
                     ent,
@@ -154,9 +161,9 @@ def lww_payload_hash(fields):
             # built in a different order can hash differently —
             # best-effort for the pathological same-seq case, but the
             # merge no longer fails analysis on such schemas.
-            col = F.to_json(F.col(f.name))
+            col = F.to_json(col_of(f.name))
         else:
-            col = F.col(f.name)
+            col = col_of(f.name)
         hash_parts.append(col)
     return F.xxhash64(*hash_parts)
 
@@ -1638,13 +1645,15 @@ class SnapshotTable:
         inside a window (nets to nothing) from updated-then-deleted
         (nets to a delete carrying the from-winner preimage).
 
-        This amortizes the VERIFIED diff at write time — exact parity
-        with the fallback path by construction, one semantics for every
-        merge mode (CoW, MoR, adaptive append, compaction). The cost is
-        one extra diff per commit, O(touched-bucket state); capturing
-        changes inside the MERGE window itself (true O(batch)) would
-        require double-consuming the winner set (the table write and the
-        log write are different row sets) and stays future work.
+        This is the DIFF producer — the semantics the capture fast path
+        must match: full-ladder CoW merges write their own log from the
+        ranked version sets the MERGE window already resolves
+        (`cdc.merge._capture_changes_plan` → `write_changelog_rows`,
+        O(matched files + batch)); the MoR / adaptive-append / branch /
+        maintenance legs (which never rank stored state) and the heal
+        paths come HERE for the one extra diff per commit,
+        O(touched-bucket state). Capture-vs-diff parity is test-pinned
+        (`tests/test_changes.py`).
         Idempotent: re-materializing overwrites atomically (_SUCCESS is
         the readiness marker). Publication is write-to-hidden-tmp +
         rename, so a `stream_changes` consumer tailing the directory
@@ -1699,9 +1708,33 @@ class SnapshotTable:
         canonical log schema here so a capture plan carrying extra
         engine columns can never widen the log. Branch handles no-op
         (returns None): staged commits' logs would leak to consumers —
-        `publish_branch` writes them in order at publish time."""
+        `publish_branch` writes them in order at publish time.
+
+        Gap guard: the startup heal (`materialize_new_changelogs`)
+        assumes a missing log below the highest READY log is a
+        deliberate retention sweep — so logs must land in ascending
+        order. If the commit(s) just below ``snapshot_id`` lost their
+        logs to a crash (commit and log write are non-atomic by
+        design), writing this one first would bury that gap mid-history
+        where the heal never looks. The guard walks down the missing
+        run and materializes it from the diff, stopping at the first
+        ready log (retention-swept prefixes below it stay swept) or an
+        unhealable commit (expired manifests — the heal skips those
+        too, and the window falls back to the diff/unserveable path
+        either way). Common case cost: one ``changelog_ready`` stat."""
         if self._branch is not None:
             return None
+        prev, fill = snapshot_id - 1, []
+        while prev >= 1 and not self.changelog_ready(prev):
+            try:
+                self.manifest(prev, with_files=False)
+                self.manifest(prev - 1, with_files=False)
+            except (FileNotFoundError, ValueError):
+                break  # unhealable below (expired manifests)
+            fill.append(prev)
+            prev -= 1
+        for sid in reversed(fill):
+            self.materialize_changelog(spark, sid)
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
         return self._publish_changelog(
             ch.select(*cols, "_change_type"), snapshot_id

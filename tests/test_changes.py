@@ -952,3 +952,69 @@ def test_capture_gap_healed_by_materialize_new_changelogs(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _log_frame(t, spark, 2), _diff_frame(t, spark, 2)
     )
+
+
+def test_capture_rescrub_of_carried_rows_matches_diff(spark, tmp_path):
+    """A scrub=True merge onto a table with UNSCRUBBED history rewrites
+    carried non-batch rows in matched files too — capture must widen its
+    window past the batch keys and report those as updates (raw-byte
+    preimage, scrubbed postimage), byte-equal to the snapshot diff."""
+    t = _no_diff(
+        SnapshotTable.create(
+            str(tmp_path / "rescrub"), _CAP_SCHEMA, ["repo", "path"],
+            n_buckets=1, properties={"changelog": True},
+        )
+    )
+    # unscrubbed history: raw PHI stored on key "a" (scrub OFF)
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [
+            (1, "add", "r", "a", "ssn 123-45-6789 raw"),
+            (2, "add", "r", "b", "v1"),
+        ]),
+        _cap_offsets(1), scrub=False,
+    )
+    # scrub=True merge touching ONLY key "b"; n_buckets=1 puts "a" in the
+    # rewritten file, so its bytes change without being a batch key
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [(3, "add", "r", "b", "mail bob@x.io")]),
+        _cap_offsets(2),
+    )
+    got, want = _log_frame(t, spark, 2), _diff_frame(t, spark, 2)
+    pd.testing.assert_frame_equal(got, want)
+    by_key = got.set_index(["path", "_change_type"]).sort_index()
+    # carried key "a": rescrub reported as update, preimage = stored bytes
+    assert by_key.loc[("a", "update"), "content"] == "ssn <SSN> raw"
+    assert by_key.loc[("a", "update_preimage"), "content"] == "ssn 123-45-6789 raw"
+    assert by_key.loc[("a", "update"), "commit_seq"] == 1  # seq unchanged
+    assert by_key.loc[("b", "update"), "content"] == "mail <EMAIL>"
+    state = t.read(spark).toPandas().set_index("path")
+    assert state.loc["a", "content"] == "ssn <SSN> raw"
+
+
+def test_capture_gap_guard_backfills_before_write(spark, tmp_path):
+    """A capture commit landing above a crash-gapped commit must heal
+    the gap from the diff BEFORE writing its own log (logs land in
+    ascending order or the startup heal would never see the hole), and
+    must stop walking at the first ready log below."""
+    t = _cap_table(tmp_path)
+    merge_into(spark, t, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
+               _cap_offsets(1), scrub=False)
+    assert t.changelog_ready(1)
+    # simulated crash between commit 2 and its log write
+    merge_into(spark, t, _cap_batch(spark, [(2, "add", "r", "a", "v2")]),
+               _cap_offsets(2), scrub=False, capture_changes=False)
+    merge_into(spark, t, _cap_batch(spark, [(3, "add", "r", "a", "v3")]),
+               _cap_offsets(3), scrub=False, capture_changes=False)
+    assert not t.changelog_ready(2) and not t.changelog_ready(3)
+    # next capture commit's write_changelog_rows fills 2 and 3 in order,
+    # with NO explicit materialize_new_changelogs call
+    merge_into(spark, t, _cap_batch(spark, [(4, "add", "r", "a", "v4")]),
+               _cap_offsets(4), scrub=False)
+    for sid in (2, 3, 4):
+        assert t.changelog_ready(sid), f"log {sid} missing after gap guard"
+        pd.testing.assert_frame_equal(
+            _log_frame(t, spark, sid), _diff_frame(t, spark, sid),
+            obj=f"commit {sid}",
+        )
