@@ -588,8 +588,9 @@ def _capture_changes_plan(
     existing: DataFrame,
     incoming_o: DataFrame,
     w_rank,
-    scrub: bool,
-    scrub_before_resolve: bool,
+    scrub_content: bool,
+    scrub_meta_col: bool,
+    widen: bool,
 ) -> DataFrame:
     """The single-commit classified change set, computed from the SAME
     ranked version sets the MERGE window resolves — write-time capture,
@@ -604,13 +605,20 @@ def _capture_changes_plan(
       superseded versions in unresolved buckets, so this equals the
       scan-time resolution of the parent snapshot; the NEW winner is
       rank 1 overall — the row the rewrite writes;
-    * when this merge applies a scrub that touches CARRIED rows (content
-      when not pre-scrubbed, meta always), the rewrite may change bytes
-      of NON-batch keys in matched files too (a table with unscrubbed
-      history being merged with scrub=True), so the window runs over ALL
-      matched-file rows; scrub-free merges can only change batch keys
-      (the rewrite copies other rows verbatim) and keep the cheaper
-      batch-key SEMI-JOIN;
+    * ``widen``: when this merge's scrub may change CARRIED rows — the
+      table has unscrubbed history (`SnapshotTable.scrub_dirty`) and the
+      rewrite rescrubs content/meta — non-batch keys in matched files
+      can change bytes too, so the window runs over ALL matched-file
+      rows. The caller asserts every touched bucket is RESOLVED first
+      (one stored version per key ⇒ a carried key's full version set is
+      inside the matched files; in an unresolved bucket a newer version
+      may sit in an UNMATCHED file, and the widened window would report
+      a phantom update of a superseded row — those merges skip capture
+      and fall back to the diff). Clean-table merges (the default:
+      scrub=True everywhere means stored bytes are already scrubbed and
+      a rescrub is a byte no-op) keep the O(batch) batch-key SEMI-JOIN —
+      sound there even in unresolved buckets, because the prune ladder
+      matches every file holding a batch key;
     * the scrub is replayed on the POST side only — preimages carry the
       stored bytes, exactly what the parent-state diff reports — with
       the post-variant payload hash computed over the scrubbed values;
@@ -627,12 +635,7 @@ def _capture_changes_plan(
     re-executed.
     """
     cols_out = [f.name for f in new_schema.fields] + ["commit_seq"]
-    cols = {f.name for f in new_schema.fields}
-    # scrub replay plan: which columns does THIS merge rewrite on carried
-    # rows? (mirrors merge_into's post-window scrub exactly)
-    scrub_content = scrub and not scrub_before_resolve and "content" in cols
-    scrub_meta_col = scrub and "meta" in cols
-    if scrub_content or scrub_meta_col:
+    if widen:
         ex_k = existing  # rescrub can change non-batch keys in matched files
     else:
         batch_keys = incoming_o.select(*key_cols).distinct()
@@ -773,6 +776,11 @@ def merge_into(
             batch = batch.withColumn("content", scrubbed(F.col("content")))
             scrub_before_resolve = True
 
+    # does the RAW batch carry scrub-covered payload columns? (tombstone
+    # batches from delete_where select keys only — the shaping below fills
+    # content/meta with nulls, which cannot dirty the table)
+    batch_payload = bool({"content", "meta"} & set(batch.columns))
+
     # -- shape to the table's read schema ----------------------------------
     cols = []
     for f in new_schema.fields:
@@ -873,6 +881,19 @@ def merge_into(
     ]
     existing = existing.select(*order)
     incoming_o = incoming.withColumn("_fg", F.lit(None).cast("long")).select(*order)
+    # scrub replay shape: which payload columns does THIS merge rewrite
+    # on its winners? (the capture plan must mirror the post-window scrub)
+    cols_set = {f.name for f in new_schema.fields}
+    scrub_content = scrub and not scrub_before_resolve and "content" in cols_set
+    scrub_meta_col = scrub and "meta" in cols_set
+    # capture widening (window over ALL matched rows, not just batch keys)
+    # is needed only when carried rows can change bytes — unscrubbed
+    # history (`scrub_dirty`) being rescrubbed — and is only SOUND when
+    # every touched bucket is resolved: in an unresolved bucket a carried
+    # key's newer version may sit in an UNMATCHED file and the widened
+    # window would log a phantom update of a superseded row. Such merges
+    # skip capture; the diff (gap guard / startup heal) fills their log.
+    widen_capture = (scrub_content or scrub_meta_col) and table.scrub_dirty()
     # write-time change capture runs on this commit? (decided up front so
     # the batch side can be persisted ONCE — the capture plan executes
     # after the commit and would otherwise re-read the feed and re-pay
@@ -883,113 +904,123 @@ def merge_into(
         and table.merge_mode() != "mor"
         and table._branch is None
         and table.changelog_enabled()
+        and not (widen_capture and (table.unresolved_buckets() & set(touched)))
     )
     if do_capture:
         from pyspark import StorageLevel
 
         incoming_o = incoming_o.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # -- single LWW window: within-batch AND vs stored state (shuffle 1) --
-    # The winner adopts its key's existing cohort (max _fg over the key's
-    # rows — same window partitioning as the LWW rank, so ONE exchange
-    # serves both); keys with no stored row fall to the "new" cohort (-1).
-    # Append-only commits (nothing matched) skip the cohort window — every
-    # key is trivially new.
-    # The order is `lww_order_cols` — the SAME total order the scan-time
-    # resolver uses, so a same-seq conflict (producer bug) resolves to the
-    # one winner no matter which path runs: CoW rewrite here, or adaptive
-    # append + read-time window + resolve-compaction.
-    w_rank = Window.partitionBy(*key_cols).orderBy(
-        *lww_order_cols(incoming_o.schema.fields)
-    )
-    if not matched_abs:
-        merged = (
-            incoming_o.withColumn("_rn", F.row_number().over(w_rank))
-            .filter(F.col("_rn") == 1)
-            .withColumn("_fg", F.lit(-1).cast("long"))
-            .drop("_rn")
+    try:
+        # -- single LWW window: within-batch AND vs stored state (shuffle 1) --
+        # The winner adopts its key's existing cohort (max _fg over the key's
+        # rows — same window partitioning as the LWW rank, so ONE exchange
+        # serves both); keys with no stored row fall to the "new" cohort (-1).
+        # Append-only commits (nothing matched) skip the cohort window — every
+        # key is trivially new.
+        # The order is `lww_order_cols` — the SAME total order the scan-time
+        # resolver uses, so a same-seq conflict (producer bug) resolves to the
+        # one winner no matter which path runs: CoW rewrite here, or adaptive
+        # append + read-time window + resolve-compaction.
+        w_rank = Window.partitionBy(*key_cols).orderBy(
+            *lww_order_cols(incoming_o.schema.fields)
         )
-    else:
-        both = existing.unionByName(incoming_o)
-        w_all = Window.partitionBy(*key_cols)
-        merged = (
-            both.withColumn("_rn", F.row_number().over(w_rank))
-            .withColumn("_kfg", F.max("_fg").over(w_all))
-            .filter(F.col("_rn") == 1)
-            .withColumn("_fg", F.coalesce(F.col("_kfg"), F.lit(-1)))
-            .drop("_rn", "_kfg")
+        if not matched_abs:
+            merged = (
+                incoming_o.withColumn("_rn", F.row_number().over(w_rank))
+                .filter(F.col("_rn") == 1)
+                .withColumn("_fg", F.lit(-1).cast("long"))
+                .drop("_rn")
+            )
+        else:
+            both = existing.unionByName(incoming_o)
+            w_all = Window.partitionBy(*key_cols)
+            merged = (
+                both.withColumn("_rn", F.row_number().over(w_rank))
+                .withColumn("_kfg", F.max("_fg").over(w_all))
+                .filter(F.col("_rn") == 1)
+                .withColumn("_fg", F.coalesce(F.col("_kfg"), F.lit(-1)))
+                .drop("_rn", "_kfg")
+            )
+
+        # -- vectorized scrub on winners only (idempotent on stored rows) -----
+        if scrub and not scrub_before_resolve and "content" in merged.columns:
+            merged = merged.withColumn("content", scrubbed(F.col("content")))
+        if scrub and "meta" in merged.columns:
+            # sidecar PHI-key deletion (map_filter, JVM-side; custom_etl.py:346)
+            merged = merged.withColumn("meta", scrub_meta(F.col("meta")))
+
+        # -- write-time change capture (changelog fast path) -------------------
+        # Only the full-ladder CoW path knows the old winners (the MoR /
+        # adaptive-append legs never rank stored state); those commits keep
+        # the post-hoc snapshot-diff materialization. Plan built here, but
+        # EXECUTED only after the commit succeeds — a concurrency loser must
+        # never clobber the winning commit's log.
+        cap_df = None
+        if do_capture:
+            cap_df = _capture_changes_plan(
+                key_cols,
+                new_schema,
+                existing,
+                incoming_o,
+                w_rank,
+                scrub_content,
+                scrub_meta_col,
+                widen_capture,
+            )
+
+        # -- copy-on-write rewrite of touched buckets (shuffle 2) -------------
+        snap_id = table.snapshot_id + 1
+        t_write0 = time.time()
+        entries = table.write_snapshot_files(merged, snap_id)
+        t_write = time.time() - t_write0
+
+        if fail_before_commit:
+            raise SimulatedCrash("crash injected between apply and commit")
+
+        # -- atomic commit: files + offsets + (maybe) evolved schema ----------
+        snap = table.commit_snapshot(
+            new_files=entries,
+            replaced_paths=matched_rel,
+            offsets=offsets,
+            schema=new_schema if evolved else None,
+            started_at=started,
+            expected_parent=parent_snapshot,
+            entry_updates=bloom_updates,
+            lineage_extra={
+                "match_sec": round(t_match, 3),
+                "write_sec": round(t_write, 3),
+                "files_replaced": len(matched_rel),
+                "merge_mode": table.merge_mode(),
+                "adaptive_append": adaptive_fired,
+            },
+            unresolved_add=unresolved_add or None,
+            # raw payload bytes land on disk: a scrub=False batch that
+            # carries content/meta (tombstone-only batches don't — the
+            # shaping fills those columns with nulls)
+            mark_scrub_dirty=(not scrub) and batch_payload,
         )
-
-    # -- vectorized scrub on winners only (idempotent on stored rows) -----
-    if scrub and not scrub_before_resolve and "content" in merged.columns:
-        merged = merged.withColumn("content", scrubbed(F.col("content")))
-    if scrub and "meta" in merged.columns:
-        # sidecar PHI-key deletion (map_filter, JVM-side; custom_etl.py:346)
-        merged = merged.withColumn("meta", scrub_meta(F.col("meta")))
-
-    # -- write-time change capture (changelog fast path) -------------------
-    # Only the full-ladder CoW path knows the old winners (the MoR /
-    # adaptive-append legs never rank stored state); those commits keep
-    # the post-hoc snapshot-diff materialization. Plan built here, but
-    # EXECUTED only after the commit succeeds — a concurrency loser must
-    # never clobber the winning commit's log.
-    cap_df = None
-    if do_capture:
-        cap_df = _capture_changes_plan(
-            key_cols,
-            new_schema,
-            existing,
-            incoming_o,
-            w_rank,
-            scrub,
-            scrub_before_resolve,
-        )
-
-    # -- copy-on-write rewrite of touched buckets (shuffle 2) -------------
-    snap_id = table.snapshot_id + 1
-    t_write0 = time.time()
-    entries = table.write_snapshot_files(merged, snap_id)
-    t_write = time.time() - t_write0
-
-    if fail_before_commit:
-        raise SimulatedCrash("crash injected between apply and commit")
-
-    # -- atomic commit: files + offsets + (maybe) evolved schema ----------
-    snap = table.commit_snapshot(
-        new_files=entries,
-        replaced_paths=matched_rel,
-        offsets=offsets,
-        schema=new_schema if evolved else None,
-        started_at=started,
-        expected_parent=parent_snapshot,
-        entry_updates=bloom_updates,
-        lineage_extra={
-            "match_sec": round(t_match, 3),
-            "write_sec": round(t_write, 3),
-            "files_replaced": len(matched_rel),
-            "merge_mode": table.merge_mode(),
-            "adaptive_append": adaptive_fired,
-        },
-        unresolved_add=unresolved_add or None,
-    )
-    # a bloom built this commit for a file this same commit then REPLACED
-    # is referenced by no manifest — delete it now (crash-orphans are
-    # swept by expire_snapshots)
-    for p in set(bloom_updates) & matched_rel:
-        try:
-            os.remove(os.path.join(table.root, bloom_updates[p]["bloom_path"]))
-        except OSError:
-            pass
-    if cap_df is not None:
-        # a crash between the commit above and this write leaves a
-        # missing tail log; the next capture write's gap guard
-        # (`write_changelog_rows`) or the startup heal
-        # (`materialize_new_changelogs`) fills it from the diff
-        try:
+        # a bloom built this commit for a file this same commit then REPLACED
+        # is referenced by no manifest — delete it now (crash-orphans are
+        # swept by expire_snapshots)
+        for p in set(bloom_updates) & matched_rel:
+            try:
+                os.remove(os.path.join(table.root, bloom_updates[p]["bloom_path"]))
+            except OSError:
+                pass
+        if cap_df is not None:
+            # a crash between the commit above and this write leaves a
+            # missing tail log; the next capture write's gap guard
+            # (`write_changelog_rows`) or the startup heal
+            # (`materialize_new_changelogs`) fills it from the diff
             table.write_changelog_rows(spark, snap, cap_df)
-        finally:
+        return snap
+    finally:
+        # covers EVERY exit — a ConcurrentCommitError loser or an
+        # executor failure must not pin the cached batch in the block
+        # manager for the life of the app
+        if do_capture:
             incoming_o.unpersist()
-    return snap
 
 
 def delete_where(
@@ -1287,6 +1318,10 @@ def update_where(
             "set_cols": sorted(assignments),
         },
         unresolved_remove=u_matched or None,
+        # a SET expression can write arbitrary bytes into the scrub-covered
+        # payload columns — treat that as unscrubbed history (`set` builtin
+        # is shadowed-and-deleted above; use dict-view intersection)
+        mark_scrub_dirty=bool({"content", "meta"} & assignments.keys()),
     )
     if table.changelog_enabled():
         # same contiguity rule as delete/compact: a CLI-only update must

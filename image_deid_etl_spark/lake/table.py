@@ -101,6 +101,14 @@ KEY_SEP = "\x1f"
 #: only is what makes the merge-time and scan-time picks agree.
 _LWW_HASH_EXCLUDE = {f.name for f in ENGINE_COLS} | {"_fg", "_bh1", "_bh2", "_rn"}
 
+#: `write_changelog_rows` gap guard: deepest run of missing logs a capture
+#: commit will synchronously backfill before writing its own. A crash gap
+#: is 1-2 commits; anything deeper (changelog toggled, a long adaptive
+#: stretch driven by raw merge_into) is a batch job for the startup heal
+#: (`materialize_new_changelogs`) — the guard then skips THIS log too, so
+#: logs still only ever land in ascending order.
+GAP_GUARD_MAX = 32
+
 
 def lww_payload_hash(fields, col_of=None):
     """Stable xxhash64 over the PAYLOAD columns of ``fields`` — the LWW
@@ -353,6 +361,7 @@ class SnapshotTable:
             "file_shards": {},
             "offsets": {"committed_feed_files": 0, "max_seq_seen": 0, "batch_id": -1},
             "seq_high": 0,
+            "scrub_dirty": False,
             "properties": dict(properties or {}),
             # version-resolution tracking (r4): buckets that may hold >1
             # stored version of a key (merge-on-read appends — mode "mor"
@@ -526,6 +535,20 @@ class SnapshotTable:
         rewrite set); readers LWW-resolve versions at scan time and
         `compact(resolve_versions=True)` folds history back down."""
         return self.manifest(with_files=False)["properties"].get("merge_mode", "cow")
+
+    def scrub_dirty(self) -> bool:
+        """True when stored ``content``/``meta`` MAY hold unscrubbed
+        payload bytes — some data commit wrote raw payload with
+        scrub=False, an UPDATE assigned those columns, or the manifest
+        predates the flag (conservative True). Gates the change-capture
+        window widening in `cdc.merge._capture_changes_plan`: on a clean
+        table a scrub=True rewrite cannot change carried rows (the scrub
+        is idempotent and every stored byte already went through it), so
+        capture keeps the O(batch) batch-key semi-join. Monotone: set by
+        `commit_snapshot(mark_scrub_dirty=True)`, never cleared (no
+        full-table rescrub operation exists; a scrub=True MERGE cleans
+        only the files it happens to match)."""
+        return bool(self.manifest(with_files=False).get("scrub_dirty", True))
 
     def unresolved_buckets(self, snapshot_id: int | None = None) -> set[int]:
         """Buckets whose files may hold >1 version of a key (MoR appends
@@ -754,6 +777,11 @@ class SnapshotTable:
                 and tgt.get("seq_high") is not None
                 else None
             ),
+            # dirty if EITHER side is: the restored files are the
+            # target's (its flag describes them), but over-conservative
+            # never corrupts — it only widens future capture windows
+            "scrub_dirty": bool(cur.get("scrub_dirty", True))
+            or bool(tgt.get("scrub_dirty", True)),
         }
         if "file_shards" in tgt:
             manifest["file_shards"] = dict(tgt["file_shards"])
@@ -1726,6 +1754,12 @@ class SnapshotTable:
             return None
         prev, fill = snapshot_id - 1, []
         while prev >= 1 and not self.changelog_ready(prev):
+            if len(fill) >= GAP_GUARD_MAX:
+                # a run this deep is not a crash gap — deeper backfill
+                # would turn one merge into O(history) synchronous diff
+                # jobs. Leave the WHOLE run (this log included: ascending
+                # order is the invariant) to the startup heal.
+                return None
             try:
                 self.manifest(prev, with_files=False)
                 self.manifest(prev - 1, with_files=False)
@@ -2053,6 +2087,7 @@ class SnapshotTable:
         unresolved_remove: set[int] | None = None,
         partition_spec: dict | None = None,
         properties: dict | None = None,
+        mark_scrub_dirty: bool = False,
     ) -> int:
         """Build + atomically publish the next manifest.
 
@@ -2195,6 +2230,10 @@ class SnapshotTable:
                 if cur.get("seq_high") is not None
                 else None
             ),
+            # monotone OR-fold: once raw payload bytes may be on disk the
+            # flag stays set (see `scrub_dirty`); legacy parents without
+            # the field are conservatively dirty
+            "scrub_dirty": bool(cur.get("scrub_dirty", True)) or mark_scrub_dirty,
         }
         # lineage written before the pointer swap: an uncommitted snapshot's
         # lineage is orphaned (readers join lineage ↞ committed manifests)

@@ -1018,3 +1018,113 @@ def test_capture_gap_guard_backfills_before_write(spark, tmp_path):
             _log_frame(t, spark, sid), _diff_frame(t, spark, sid),
             obj=f"commit {sid}",
         )
+
+
+def test_scrub_dirty_flag_lifecycle(spark, tmp_path):
+    """scrub_dirty: False at create, stays False through scrub=True
+    merges and tombstone-only deletes, set by a scrub=False payload
+    merge, monotone thereafter; update_where dirties only when SET
+    touches content/meta."""
+    from image_deid_etl_spark.cdc.merge import delete_where, update_where
+
+    t = _cap_table(tmp_path)
+    assert not t.scrub_dirty()
+    merge_into(spark, t, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
+               _cap_offsets(1))
+    assert not t.scrub_dirty(), "scrub=True merge must stay clean"
+    delete_where(spark, t, condition="path = 'zzz-nomatch'")
+    assert not t.scrub_dirty(), "no-op delete must stay clean"
+    merge_into(spark, t, _cap_batch(spark, [(2, "add", "r", "b", "v1")]),
+               _cap_offsets(2), scrub=False)
+    assert t.scrub_dirty(), "scrub=False payload merge must dirty"
+    merge_into(spark, t, _cap_batch(spark, [(3, "add", "r", "a", "v2")]),
+               _cap_offsets(3))
+    assert t.scrub_dirty(), "flag is monotone"
+    # update_where: non-payload SET keeps the flag as-is; payload SET dirties
+    schema2 = T.StructType(_CAP_SCHEMA.fields + [T.StructField("lang", T.StringType(), True)])
+    t2 = SnapshotTable.create(
+        str(tmp_path / "upd"), schema2, ["repo", "path"], n_buckets=4,
+        properties={"changelog": True},
+    )
+    b2 = spark.createDataFrame(
+        [(1, "add", "r", "a", "v1", "en")],
+        T.StructType([T.StructField("seq", T.LongType(), False),
+                      T.StructField("op", T.StringType(), False)] + schema2.fields),
+    )
+    merge_into(spark, t2, b2, _cap_offsets(1))
+    update_where(spark, t2, set={"lang": "upper(lang)"}, condition="path = 'a'")
+    assert not t2.scrub_dirty()
+    update_where(spark, t2, set={"content": "'raw 1@2.io'"}, condition="path = 'a'")
+    assert t2.scrub_dirty()
+
+
+def test_capture_skipped_when_rescrub_meets_unresolved_bucket(spark, tmp_path):
+    """A widened (rescrub) capture over an unresolved bucket is unsound
+    (a carried key's newer version may sit in an unmatched file) — the
+    merge must skip capture and let the diff fill the log."""
+    from image_deid_etl_spark.cdc.engine import materialize_new_changelogs
+
+    t = SnapshotTable.create(
+        str(tmp_path / "unres"), _CAP_SCHEMA, ["repo", "path"],
+        n_buckets=1, properties={"changelog": True},
+    )
+    merge_into(
+        spark, t,
+        _cap_batch(spark, [(1, "add", "r", "a", "ssn 123-45-6789 raw"),
+                           (2, "add", "r", "b", "v1")]),
+        _cap_offsets(1), scrub=False,  # dirty history
+    )
+    assert t.scrub_dirty()
+    # force the unresolved mark (what an adaptive/MoR append would leave)
+    t.commit_snapshot(new_files=[], offsets=_cap_offsets(1), unresolved_add={0})
+    t.materialize_changelog(spark, 2)
+    merge_into(spark, t, _cap_batch(spark, [(3, "add", "r", "b", "v2")]),
+               _cap_offsets(2))  # scrub=True -> widen needed -> must skip
+    assert not t.changelog_ready(3), "unsound widened capture must not run"
+    assert materialize_new_changelogs(spark, t, 0) == 1
+    pd.testing.assert_frame_equal(
+        _log_frame(t, spark, 3), _diff_frame(t, spark, 3)
+    )
+    # clean-table control: unresolved bucket but NO dirty history -> the
+    # batch-key semi-join capture is sound and must still run
+    t2 = SnapshotTable.create(
+        str(tmp_path / "clean"), _CAP_SCHEMA, ["repo", "path"],
+        n_buckets=1, properties={"changelog": True},
+    )
+    merge_into(spark, t2, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
+               _cap_offsets(1))
+    t2.commit_snapshot(new_files=[], offsets=_cap_offsets(1), unresolved_add={0})
+    t2.materialize_changelog(spark, 2)
+    merge_into(spark, t2, _cap_batch(spark, [(2, "add", "r", "a", "v2")]),
+               _cap_offsets(2))
+    assert t2.changelog_ready(3), "clean-table capture must keep running"
+    pd.testing.assert_frame_equal(
+        _log_frame(t2, spark, 3), _diff_frame(t2, spark, 3)
+    )
+
+
+def test_gap_guard_caps_backfill_depth(spark, tmp_path, monkeypatch):
+    """A missing-log run deeper than GAP_GUARD_MAX is not a crash gap —
+    the guard defers the WHOLE run (its own log included) to the startup
+    heal instead of blocking the merge on O(history) diff jobs."""
+    from image_deid_etl_spark.cdc.engine import materialize_new_changelogs
+    from image_deid_etl_spark.lake import table as table_mod
+
+    monkeypatch.setattr(table_mod, "GAP_GUARD_MAX", 2)
+    t = _cap_table(tmp_path)
+    merge_into(spark, t, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
+               _cap_offsets(1), scrub=False)
+    for i in range(2, 5):  # commits 2-4: a 3-deep hole (> cap of 2)
+        merge_into(spark, t, _cap_batch(spark, [(i, "add", "r", "a", f"v{i}")]),
+                   _cap_offsets(i), scrub=False, capture_changes=False)
+    merge_into(spark, t, _cap_batch(spark, [(5, "add", "r", "a", "v5")]),
+               _cap_offsets(5), scrub=False)
+    assert not any(t.changelog_ready(s) for s in (2, 3, 4, 5)), (
+        "guard must defer the whole run past the cap"
+    )
+    assert materialize_new_changelogs(spark, t, 0) == 4
+    for sid in range(2, 6):
+        pd.testing.assert_frame_equal(
+            _log_frame(t, spark, sid), _diff_frame(t, spark, sid),
+            obj=f"commit {sid}",
+        )
