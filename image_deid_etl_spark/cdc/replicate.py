@@ -1,0 +1,280 @@
+"""APPLY CHANGES INTO — downstream replication from a table's change feed.
+
+Maintains a REPLICA SnapshotTable from a source table's classified
+changes (insert / update / delete), incrementally: each apply reads only
+the change window since the last applied source snapshot — never the
+source's full state — and merges it through the same `merge_into`
+machinery every other write path uses (prune ladder, bucketed layout,
+atomic manifest commit). This is the downstream half the reference's
+one-directional pipeline implies (fetch → transform → upload,
+`__main__.py:124-140`), generalized to table→table: analytics replicas,
+cross-region mirrors, or chained CDC (a replica with ``changelog=True``
+produces its own logs for the next hop).
+
+Ordering model — why the apply seq is the SOURCE SNAPSHOT ID
+------------------------------------------------------------
+Replaying changes with the source's ``commit_seq`` as the LWW authority
+is WRONG for the general table lifecycle:
+
+* `update_where` / compaction-era rewrites keep ``commit_seq`` while
+  changing payload — replaying them at the same seq makes the replica
+  resolve a same-seq conflict by payload hash, an arbitrary winner;
+* `rollback` emits changes that restore OLDER seqs — an old-seq insert
+  would lose LWW against the replica's previously applied newer row and
+  the revert would never land.
+
+Commit order is the one total order the source actually guarantees, so
+the apply envelope stamps ``seq = source snapshot id`` (the window head
+for a batch apply — `classified_changes` already nets per key within
+the window — or the producing ``_commit_snapshot`` per row on the
+streaming path). The source's own ``commit_seq`` rides along as an
+ordinary data column ``src_commit_seq`` so the replica's state is a
+FULL mirror (verified payload + seq, see `verify_replica`). Re-applying
+a window is idempotent: identical (key, seq, payload) resolves to the
+same winner and the state bytes do not move.
+
+One replica, one writer mode: a replica is owned either by batch
+`apply_changes` calls or by one `stream_apply_changes` checkpoint —
+mixing them can advance the ``applied_src_snapshot`` cursor past a
+partially-delivered commit and skip its remainder.
+
+Scale shape: cost per apply is O(changes in the window) through the
+MERGE prune ladder — the replica never rescans the source, and the
+source side is a metadata-driven log fold (or a bucket-pruned snapshot
+diff when logs are unavailable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import SnapshotTable
+from .merge import merge_into
+
+#: replica column carrying the source's commit_seq (payload-side)
+SRC_SEQ = "src_commit_seq"
+
+
+def _open_replica(src: SnapshotTable, dst_root: str) -> SnapshotTable:
+    """Open ``dst_root`` as a replica of ``src``, creating it with the
+    source's key columns, payload schema + `SRC_SEQ`, and bucket count
+    (symmetric layout keeps per-bucket change volumes aligned)."""
+    import os
+
+    src_fields = list(src.schema().fields)
+    if any(f.name == SRC_SEQ for f in src_fields):
+        raise ValueError(
+            f"source schema already has a {SRC_SEQ!r} column — replica "
+            "cannot carry the source seq"
+        )
+    if os.path.exists(os.path.join(dst_root, "_current")):
+        return SnapshotTable(dst_root)
+    schema = T.StructType(
+        src_fields + [T.StructField(SRC_SEQ, T.LongType(), True)]
+    )
+    return SnapshotTable.create(
+        dst_root,
+        schema,
+        src.key_cols(),
+        n_buckets=src.manifest(with_files=False)["partition_spec"]["n_buckets"],
+    )
+
+
+def _as_feed(changes: DataFrame, payload_cols: list[str], seq_col) -> DataFrame:
+    """Classified change rows → MERGE envelope: ``seq`` from ``seq_col``
+    (commit-order authority, see module docstring), ``op`` add/delete,
+    the source ``commit_seq`` renamed to `SRC_SEQ`. Preimages dropped
+    (they are the view-maintenance shape, not state)."""
+    return changes.filter(F.col("_change_type") != "update_preimage").select(
+        *[F.col(c) for c in payload_cols],
+        F.col("commit_seq").cast("long").alias(SRC_SEQ),
+        seq_col.cast("long").alias("seq"),
+        F.when(F.col("_change_type") == "delete", F.lit("delete"))
+        .otherwise(F.lit("add"))
+        .alias("op"),
+    )
+
+
+def apply_changes(
+    spark: SparkSession,
+    src: SnapshotTable | str,
+    dst_root: str,
+    to_snapshot: int | None = None,
+) -> dict:
+    """One incremental batch apply: replicate the source's changes since
+    the replica's ``applied_src_snapshot`` cursor (replica manifest
+    offsets) up to ``to_snapshot`` (default: the source head).
+
+    Returns ``{"applied": n_change_rows, "src_snapshot": head,
+    "snapshot_id": replica snapshot}``. A window with no net changes
+    (compaction, metadata commits) advances the cursor with a
+    metadata-only commit. Safe to re-run: an already-applied window is
+    empty at the cursor, and a crash between the replica commit and
+    nothing else (the commit IS the cursor update — offsets ride the
+    same manifest) cannot double-apply.
+    """
+    if isinstance(src, str):
+        src = SnapshotTable(src)
+    from .engine import compute_batch_stats  # local: engine imports merge
+
+    dst = _open_replica(src, dst_root)
+    off = dst.offsets()
+    applied = int(off.get("applied_src_snapshot", 0))
+    head = src.snapshot_id if to_snapshot is None else int(to_snapshot)
+    if head <= applied:
+        return {
+            "applied": 0,
+            "src_snapshot": applied,
+            "snapshot_id": dst.snapshot_id,
+        }
+    payload_cols = [f.name for f in src.schema(head).fields]
+    changes = src.classified_changes(spark, applied, head)
+    # the window nets per key, so every row applies at the window head
+    batch = _as_feed(changes, payload_cols, F.lit(head)).persist()
+    try:
+        n, _mx, touched, key_ranges, key_counts = compute_batch_stats(
+            dst, batch
+        )
+        new_off = {
+            **off,
+            "applied_src_snapshot": head,
+            "batch_id": off.get("batch_id", -1) + 1,
+            "max_seq_seen": head,
+        }
+        if n == 0:
+            snap = dst.commit_snapshot(new_files=[], offsets=new_off)
+            if dst.changelog_enabled():
+                dst.materialize_changelog(spark)  # empty log, no gap
+        else:
+            snap = merge_into(
+                spark,
+                dst,
+                batch,
+                offsets=new_off,
+                scrub=False,  # source bytes are already scrubbed
+                touched=touched,
+                key_ranges=key_ranges,
+                key_counts=key_counts,
+            )
+    finally:
+        batch.unpersist()
+    return {"applied": n, "src_snapshot": head, "snapshot_id": snap}
+
+
+def stream_apply_changes(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming replication: tail the source's materialized change log
+    (`stream_changes`) with Trigger.AvailableNow and MERGE each epoch
+    into the replica. Requires a ``changelog=True`` source.
+
+    Each row applies at its producing commit's ``_commit_snapshot`` —
+    a micro-batch spanning several commits LWW-resolves to the latest
+    per key; a commit's log split across epochs by
+    ``maxFilesPerTrigger`` is safe because a key appears at most once
+    per commit log. Exactly-once: the file-source checkpoint tracks
+    delivered log files, and the epoch guard (stream identity + last
+    epoch in the replica offsets, same scheme as `stream_ingest`) skips
+    a redelivered epoch after a restart."""
+    from ..streaming.ingest import _checkpoint_stream_id, stream_changes
+    from .engine import compute_batch_stats
+
+    src_t = SnapshotTable(src_root)
+    _open_replica(src_t, dst_root)  # create up front, once
+    payload_cols = [f.name for f in src_t.schema().fields]
+    ckpt_id = _checkpoint_stream_id(checkpoint_dir)
+    src = stream_changes(spark, src_root, max_files_per_trigger)
+
+    def apply_epoch(bdf: DataFrame, epoch_id: int) -> None:
+        dst = SnapshotTable(dst_root)
+        off = dst.offsets()
+        if off.get("stream_id") == ckpt_id and epoch_id <= off.get(
+            "last_epoch", -1
+        ):
+            return
+        batch = _as_feed(
+            bdf, [c for c in payload_cols if c in bdf.columns],
+            F.col("_commit_snapshot"),
+        ).persist()
+        try:
+            n, mx, touched, key_ranges, key_counts = compute_batch_stats(
+                dst, batch
+            )
+            new_off = {
+                **off,
+                "applied_src_snapshot": max(
+                    int(off.get("applied_src_snapshot", 0)), int(mx or 0)
+                ),
+                "batch_id": off.get("batch_id", -1) + 1,
+                "max_seq_seen": max(int(off.get("max_seq_seen", 0)), int(mx or 0)),
+                "last_epoch": epoch_id,
+                "stream_id": ckpt_id,
+            }
+            if n == 0:
+                dst.commit_snapshot(new_files=[], offsets=new_off)
+                if dst.changelog_enabled():
+                    dst.materialize_changelog(bdf.sparkSession)
+            else:
+                merge_into(
+                    bdf.sparkSession,
+                    dst,
+                    batch,
+                    offsets=new_off,
+                    scrub=False,
+                    touched=touched,
+                    key_ranges=key_ranges,
+                    key_counts=key_counts,
+                )
+        finally:
+            batch.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def verify_replica(
+    spark: SparkSession, src: SnapshotTable | str, dst: SnapshotTable | str
+) -> dict:
+    """Full-state audit: the replica must equal the source's CURRENT
+    state, payload and seq included (``src.commit_seq`` ↔
+    ``dst.src_commit_seq``). Returns ``{"src_rows", "dst_rows",
+    "mismatched"}`` where ``mismatched`` counts rows present on exactly
+    one side (two bucket-pruned anti-joins on the full row, nulls
+    compared null-safely via the LWW payload hash + key + seq). Zero
+    means converged — the replication analog of `AggView.verify`."""
+    from ..lake.table import lww_payload_hash
+
+    if isinstance(src, str):
+        src = SnapshotTable(src)
+    if isinstance(dst, str):
+        dst = SnapshotTable(dst)
+    payload = [f.name for f in src.schema().fields]
+    a = src.read(spark).select(
+        *payload, F.col("commit_seq").alias(SRC_SEQ)
+    )
+    b = dst.read(spark).select(*payload, F.col(SRC_SEQ))
+    fields = [f for f in a.schema.fields]
+    ident = lambda df: df.select(  # noqa: E731
+        *src.key_cols(),
+        F.col(SRC_SEQ),
+        lww_payload_hash(fields).alias("_ph"),
+    )
+    ia, ib = ident(a), ident(b)
+    only_a = ia.join(ib, ia.columns, "left_anti").count()
+    only_b = ib.join(ia, ib.columns, "left_anti").count()
+    return {
+        "src_rows": a.count(),
+        "dst_rows": b.count(),
+        "mismatched": only_a + only_b,
+    }

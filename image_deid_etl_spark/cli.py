@@ -439,6 +439,30 @@ def cmd_rollback(args) -> None:
     )
 
 
+def cmd_replicate(args) -> None:
+    from .cdc.replicate import apply_changes, stream_apply_changes, verify_replica
+    from .session import build_session
+
+    spark = build_session(app_name="replicate")
+    if args.verify:
+        print(json.dumps(verify_replica(spark, args.table, args.dst)))
+        return
+    if args.streaming:
+        if not args.checkpoint:
+            sys.exit("error: --streaming requires --checkpoint")
+        stream_apply_changes(
+            spark, args.table, args.dst, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps(verify_replica(spark, args.table, args.dst)))
+        return
+    try:
+        r = apply_changes(spark, args.table, args.dst)
+    except ValueError as e:
+        sys.exit(f"error: {e}")
+    print(json.dumps(r))
+
+
 def cmd_branch(args) -> None:
     from .cdc.engine import open_table
     from .lake.table import ConcurrentCommitError
@@ -741,6 +765,25 @@ def main(argv: list[str] | None = None) -> None:
     br.add_argument("--drop", metavar="NAME", default=None,
                     help="abandon a branch and delete its staged commits")
     br.set_defaults(fn=cmd_branch)
+
+    rp = sub.add_parser(
+        "replicate",
+        help="APPLY CHANGES INTO: maintain a replica table from this "
+        "table's change feed (incremental batch, or --streaming)",
+    )
+    rp.add_argument("--table", required=True, help="source table root")
+    rp.add_argument("--dst", required=True, help="replica table root")
+    rp.add_argument(
+        "--streaming", action="store_true",
+        help="tail the source changelog with Trigger.AvailableNow",
+    )
+    rp.add_argument("--checkpoint", help="stream checkpoint dir (streaming)")
+    rp.add_argument("--max-files-per-trigger", type=int, default=None)
+    rp.add_argument(
+        "--verify", action="store_true",
+        help="audit only: compare replica state against the source",
+    )
+    rp.set_defaults(fn=cmd_replicate)
 
     v = sub.add_parser("validate", help="dry-run audit of table state")
     common(v)

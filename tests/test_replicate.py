@@ -1,0 +1,226 @@
+# Downstream replication (cdc.replicate): APPLY CHANGES INTO a replica
+# table from the source's classified change feed. The pins: (a) a replica
+# converges to the FULL source state (payload + source seq) across the
+# whole table lifecycle — merges with deletes/out-of-order seqs,
+# update_where (same-seq payload change), delete_where, compaction,
+# rollback (older-seq restores) — the cases that break a naive
+# source-seq LWW replay; (b) incremental applies read only the window;
+# (c) re-apply is a no-op; (d) the streaming path converges and restarts
+# exactly-once.
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.merge import (
+    delete_where,
+    merge_into,
+    update_where,
+)
+from image_deid_etl_spark.cdc.replicate import (
+    SRC_SEQ,
+    apply_changes,
+    stream_apply_changes,
+    verify_replica,
+)
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+_BATCH = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+    ]
+    + _SCHEMA.fields
+)
+
+
+def _mk_src(tmp_path, name="src", **props):
+    return SnapshotTable.create(
+        str(tmp_path / name), _SCHEMA, ["repo", "path"], n_buckets=4,
+        properties={"changelog": True, **props},
+    )
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, _BATCH)
+
+
+def _off(n):
+    return {"committed_feed_files": n, "max_seq_seen": n * 1000, "batch_id": n - 1}
+
+
+def _state(spark, t, seq_col="commit_seq"):
+    return (
+        t.read(spark)
+        .select("repo", "path", "content", seq_col)
+        .toPandas()
+        .rename(columns={seq_col: "seq"})
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_converged(spark, src, dst):
+    pd.testing.assert_frame_equal(
+        _state(spark, src), _state(spark, dst, SRC_SEQ)
+    )
+    v = verify_replica(spark, src, dst)
+    assert v["mismatched"] == 0 and v["src_rows"] == v["dst_rows"]
+
+
+def test_apply_changes_full_lifecycle_converges(spark, tmp_path):
+    """Merges (dups, out-of-order, deletes) + UPDATE (same-seq payload
+    change) + DELETE + compact + rollback — the replica must mirror the
+    source after each incremental apply."""
+    src = _mk_src(tmp_path)
+    dst_root = str(tmp_path / "dst")
+    rng = np.random.RandomState(11)
+    for c in range(4):
+        rows = []
+        for _ in range(80):
+            k = int(rng.randint(30))
+            seq = int(rng.randint(1, 400))
+            op = "delete" if rng.rand() < 0.2 else "add"
+            rows.append(
+                (seq, op, "r", f"k{k:03d}", f"v{seq}" if op == "add" else None)
+            )
+        merge_into(spark, src, _b(spark, rows), _off(c + 1), scrub=False)
+        r = apply_changes(spark, src, dst_root)
+        assert r["src_snapshot"] == src.snapshot_id
+        _assert_converged(spark, src, SnapshotTable(dst_root))
+    # same-seq payload rewrite: naive seq-LWW replay would tie here
+    update_where(
+        spark, src, set={"content": "concat(content, '!')"},
+        condition="path < 'k010'",
+    )
+    apply_changes(spark, src, dst_root)
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+    # predicate delete (tombstones at seq_high)
+    delete_where(spark, src, condition="path >= 'k025'")
+    apply_changes(spark, src, dst_root)
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+    # compaction: empty net window -> cursor advances, state unchanged
+    pre = SnapshotTable(dst_root).snapshot_id
+    src.compact(spark, min_files_per_bucket=1)
+    r = apply_changes(spark, src, dst_root)
+    assert r["applied"] == 0
+    dst = SnapshotTable(dst_root)
+    assert dst.offsets()["applied_src_snapshot"] == src.snapshot_id
+    assert dst.snapshot_id == pre + 1  # metadata-only commit
+    _assert_converged(spark, src, dst)
+    # rollback: changes restore OLDER seqs — commit-order apply must land
+    target = 3
+    src.rollback(target, spark=spark)
+    apply_changes(spark, src, dst_root)
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+
+
+def test_apply_changes_is_incremental_and_idempotent(spark, tmp_path):
+    src = _mk_src(tmp_path)
+    dst_root = str(tmp_path / "dst")
+    merge_into(spark, src, _b(spark, [(1, "add", "r", "a", "v1"),
+                                      (2, "add", "r", "b", "v1")]),
+               _off(1), scrub=False)
+    r1 = apply_changes(spark, src, dst_root)
+    assert r1["applied"] == 2
+    # no new source commits: no-op, no replica commit
+    dst = SnapshotTable(dst_root)
+    pre = dst.snapshot_id
+    r2 = apply_changes(spark, src, dst_root)
+    assert r2["applied"] == 0 and SnapshotTable(dst_root).snapshot_id == pre
+    # next window applies ONLY the delta (insert of c + update of a)
+    merge_into(spark, src, _b(spark, [(3, "add", "r", "c", "v1"),
+                                      (4, "add", "r", "a", "v2")]),
+               _off(2), scrub=False)
+    r3 = apply_changes(spark, src, dst_root)
+    assert r3["applied"] == 2  # not 3 — b is untouched
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+
+
+def test_apply_changes_without_changelog_uses_diff(spark, tmp_path):
+    """A source WITHOUT changelog still replicates via the snapshot-diff
+    path (bounded by manifest retention)."""
+    src = SnapshotTable.create(
+        str(tmp_path / "nolog"), _SCHEMA, ["repo", "path"], n_buckets=4
+    )
+    dst_root = str(tmp_path / "dst")
+    merge_into(spark, src, _b(spark, [(1, "add", "r", "a", "v1")]),
+               _off(1), scrub=False)
+    apply_changes(spark, src, dst_root)
+    merge_into(spark, src, _b(spark, [(2, "delete", "r", "a", None),
+                                      (3, "add", "r", "b", "v1")]),
+               _off(2), scrub=False)
+    apply_changes(spark, src, dst_root)
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+
+
+def test_apply_changes_follows_source_schema_evolution(spark, tmp_path):
+    src = _mk_src(tmp_path)
+    dst_root = str(tmp_path / "dst")
+    merge_into(spark, src, _b(spark, [(1, "add", "r", "a", "v1")]),
+               _off(1), scrub=False)
+    apply_changes(spark, src, dst_root)
+    wide = T.StructType(_BATCH.fields + [T.StructField("lang", T.StringType(), True)])
+    merge_into(
+        spark, src,
+        spark.createDataFrame([(2, "add", "r", "b", "v1", "en")], wide),
+        _off(2), scrub=False,
+    )
+    apply_changes(spark, src, dst_root)
+    dst = SnapshotTable(dst_root)
+    assert "lang" in [f.name for f in dst.schema().fields]
+    a = (
+        src.read(spark).select("repo", "path", "content", "lang").toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    b = (
+        dst.read(spark).select("repo", "path", "content", "lang").toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stream_apply_changes_converges_and_restarts_exactly_once(spark, tmp_path):
+    src = _mk_src(tmp_path)
+    dst_root = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.RandomState(5)
+    for c in range(3):
+        rows = [
+            (int(rng.randint(1, 300)),
+             "delete" if rng.rand() < 0.2 else "add",
+             "r", f"k{int(rng.randint(25)):03d}", f"x{c}")
+            for _ in range(60)
+        ]
+        rows = [
+            (s, op, r_, p, v if op == "add" else None)
+            for (s, op, r_, p, v) in rows
+        ]
+        merge_into(spark, src, _b(spark, rows), _off(c + 1), scrub=False)
+    stream_apply_changes(spark, str(tmp_path / "src"), dst_root, ckpt)
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+    # restart with NO new commits: drains nothing, replica untouched
+    pre = SnapshotTable(dst_root).snapshot_id
+    stream_apply_changes(spark, str(tmp_path / "src"), dst_root, ckpt)
+    assert SnapshotTable(dst_root).snapshot_id == pre
+    # new commits: only the delta is applied on the next drain
+    merge_into(spark, src, _b(spark, [(999, "add", "r", "k000", "final")]),
+               _off(4), scrub=False)
+    stream_apply_changes(spark, str(tmp_path / "src"), dst_root, ckpt)
+    _assert_converged(spark, src, SnapshotTable(dst_root))
+
+
+def test_replica_src_seq_collision_rejected(spark, tmp_path):
+    schema = T.StructType(_SCHEMA.fields + [T.StructField(SRC_SEQ, T.LongType(), True)])
+    src = SnapshotTable.create(
+        str(tmp_path / "clash"), schema, ["repo", "path"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match=SRC_SEQ):
+        apply_changes(spark, src, str(tmp_path / "dst"))
