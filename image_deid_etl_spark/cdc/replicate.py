@@ -5,11 +5,14 @@ changes (insert / update / delete), incrementally: each apply reads only
 the change window since the last applied source snapshot — never the
 source's full state — and merges it through the same `merge_into`
 machinery every other write path uses (prune ladder, bucketed layout,
-atomic manifest commit). This is the downstream half the reference's
-one-directional pipeline implies (fetch → transform → upload,
-`__main__.py:124-140`), generalized to table→table: analytics replicas,
-cross-region mirrors, or chained CDC (a replica with ``changelog=True``
-produces its own logs for the next hop).
+atomic manifest commit), followed by the same post-commit discipline as
+`run_ingest` (bounded maintenance + changelog heal), so a replica's
+unresolved buckets get resolve-compacted and its own change log stays
+gap-free. This is the downstream half the reference's one-directional
+pipeline implies (fetch → transform → upload, `__main__.py:124-140`),
+generalized to table→table: analytics replicas, cross-region mirrors,
+or chained CDC (a replica with ``changelog=True`` produces its own
+logs for the next hop).
 
 Ordering model — why the apply seq is the SOURCE SNAPSHOT ID
 ------------------------------------------------------------
@@ -46,6 +49,8 @@ diff when logs are unavailable).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,39 +62,63 @@ from .merge import merge_into
 SRC_SEQ = "src_commit_seq"
 
 
-def _open_replica(src: SnapshotTable, dst_root: str) -> SnapshotTable:
+def _open_replica(
+    src: SnapshotTable, dst_root: str, src_seq_col: str = SRC_SEQ
+) -> SnapshotTable:
     """Open ``dst_root`` as a replica of ``src``, creating it with the
-    source's key columns, payload schema + `SRC_SEQ`, and bucket count
-    (symmetric layout keeps per-bucket change volumes aligned)."""
-    import os
+    source's key columns, payload schema + `SRC_SEQ`, bucket count and
+    file sizing (symmetric layout keeps per-bucket change volumes
+    aligned). Table PROPERTIES are deliberately NOT copied — changelog /
+    merge_mode / stats_cols are per-replica choices (pre-create the
+    replica with `SnapshotTable.create` to set them).
 
+    An EXISTING table at ``dst_root`` must look like a replica of this
+    source (same key columns, `SRC_SEQ` present) — anything else is
+    almost certainly a mistyped path, and merging a change feed into an
+    unrelated table would wreck it."""
     src_fields = list(src.schema().fields)
-    if any(f.name == SRC_SEQ for f in src_fields):
+    if any(f.name == src_seq_col for f in src_fields):
         raise ValueError(
-            f"source schema already has a {SRC_SEQ!r} column — replica "
-            "cannot carry the source seq"
+            f"source schema already has a {src_seq_col!r} column — pass a "
+            "distinct src_seq_col (chained replicas: each hop needs its "
+            "own seq column name)"
         )
     if os.path.exists(os.path.join(dst_root, "_current")):
-        return SnapshotTable(dst_root)
+        dst = SnapshotTable(dst_root)
+        dst_cols = {f.name for f in dst.schema().fields}
+        if dst.key_cols() != src.key_cols() or src_seq_col not in dst_cols:
+            raise ValueError(
+                f"existing table at {dst_root} is not a replica of this "
+                f"source (key_cols {dst.key_cols()} vs {src.key_cols()}, "
+                f"{src_seq_col} "
+                f"{'present' if src_seq_col in dst_cols else 'missing'})"
+            )
+        return dst
     schema = T.StructType(
-        src_fields + [T.StructField(SRC_SEQ, T.LongType(), True)]
+        src_fields + [T.StructField(src_seq_col, T.LongType(), True)]
     )
     return SnapshotTable.create(
         dst_root,
         schema,
         src.key_cols(),
-        n_buckets=src.manifest(with_files=False)["partition_spec"]["n_buckets"],
+        n_buckets=src.n_buckets(),
+        target_file_rows=src.target_file_rows(),
     )
 
 
-def _as_feed(changes: DataFrame, payload_cols: list[str], seq_col) -> DataFrame:
+def _as_feed(
+    changes: DataFrame,
+    payload_cols: list[str],
+    seq_col,
+    src_seq_col: str = SRC_SEQ,
+) -> DataFrame:
     """Classified change rows → MERGE envelope: ``seq`` from ``seq_col``
     (commit-order authority, see module docstring), ``op`` add/delete,
-    the source ``commit_seq`` renamed to `SRC_SEQ`. Preimages dropped
-    (they are the view-maintenance shape, not state)."""
+    the source ``commit_seq`` renamed to ``src_seq_col``. Preimages
+    dropped (they are the view-maintenance shape, not state)."""
     return changes.filter(F.col("_change_type") != "update_preimage").select(
         *[F.col(c) for c in payload_cols],
-        F.col("commit_seq").cast("long").alias(SRC_SEQ),
+        F.col("commit_seq").cast("long").alias(src_seq_col),
         seq_col.cast("long").alias("seq"),
         F.when(F.col("_change_type") == "delete", F.lit("delete"))
         .otherwise(F.lit("add"))
@@ -97,11 +126,68 @@ def _as_feed(changes: DataFrame, payload_cols: list[str], seq_col) -> DataFrame:
     )
 
 
+def _apply_feed(
+    spark: SparkSession,
+    dst: SnapshotTable,
+    batch: DataFrame,
+    extra_offsets: dict,
+    auto_compact_files: int | None,
+) -> tuple[int, int]:
+    """The shared apply core (batch + streaming paths stay in lockstep):
+    stats job → MERGE (or a metadata-only cursor advance when the window
+    nets to nothing) → the SAME post-commit hooks as `run_ingest` —
+    bounded maintenance (the version-depth trigger is what keeps a
+    steady-state replica's adaptive appends from growing unbounded
+    read-time LWW windows) and the changelog heal (the adaptive/MoR legs
+    skip write-time capture; without the heal a changelog-enabled
+    replica would accrue PERMANENT log gaps that a later ready log
+    buries below the heal's horizon). Returns (rows applied, replica
+    snapshot id)."""
+    from .engine import (  # local: engine imports merge
+        compute_batch_stats,
+        materialize_new_changelogs,
+        run_maintenance,
+    )
+
+    batch = batch.persist()
+    try:
+        n, _mx, touched, key_ranges, key_counts = compute_batch_stats(
+            dst, batch
+        )
+        off = dst.offsets()
+        new_off = {
+            **off,
+            "batch_id": off.get("batch_id", -1) + 1,
+            **extra_offsets,
+        }
+        if n == 0:
+            snap = dst.commit_snapshot(new_files=[], offsets=new_off)
+        else:
+            snap = merge_into(
+                spark,
+                dst,
+                batch,
+                offsets=new_off,
+                scrub=False,  # source bytes are already scrubbed
+                touched=touched,
+                key_ranges=key_ranges,
+                key_counts=key_counts,
+            )
+            run_maintenance(spark, dst, touched, auto_compact_files)
+        if dst.changelog_enabled():
+            materialize_new_changelogs(spark, dst, 0)
+    finally:
+        batch.unpersist()
+    return n, snap
+
+
 def apply_changes(
     spark: SparkSession,
     src: SnapshotTable | str,
     dst_root: str,
     to_snapshot: int | None = None,
+    auto_compact_files: int | None = 32,
+    src_seq_col: str = SRC_SEQ,
 ) -> dict:
     """One incremental batch apply: replicate the source's changes since
     the replica's ``applied_src_snapshot`` cursor (replica manifest
@@ -117,11 +203,8 @@ def apply_changes(
     """
     if isinstance(src, str):
         src = SnapshotTable(src)
-    from .engine import compute_batch_stats  # local: engine imports merge
-
-    dst = _open_replica(src, dst_root)
-    off = dst.offsets()
-    applied = int(off.get("applied_src_snapshot", 0))
+    dst = _open_replica(src, dst_root, src_seq_col)
+    applied = int(dst.offsets().get("applied_src_snapshot", 0))
     head = src.snapshot_id if to_snapshot is None else int(to_snapshot)
     if head <= applied:
         return {
@@ -132,34 +215,14 @@ def apply_changes(
     payload_cols = [f.name for f in src.schema(head).fields]
     changes = src.classified_changes(spark, applied, head)
     # the window nets per key, so every row applies at the window head
-    batch = _as_feed(changes, payload_cols, F.lit(head)).persist()
-    try:
-        n, _mx, touched, key_ranges, key_counts = compute_batch_stats(
-            dst, batch
-        )
-        new_off = {
-            **off,
-            "applied_src_snapshot": head,
-            "batch_id": off.get("batch_id", -1) + 1,
-            "max_seq_seen": head,
-        }
-        if n == 0:
-            snap = dst.commit_snapshot(new_files=[], offsets=new_off)
-            if dst.changelog_enabled():
-                dst.materialize_changelog(spark)  # empty log, no gap
-        else:
-            snap = merge_into(
-                spark,
-                dst,
-                batch,
-                offsets=new_off,
-                scrub=False,  # source bytes are already scrubbed
-                touched=touched,
-                key_ranges=key_ranges,
-                key_counts=key_counts,
-            )
-    finally:
-        batch.unpersist()
+    batch = _as_feed(changes, payload_cols, F.lit(head), src_seq_col)
+    n, snap = _apply_feed(
+        spark,
+        dst,
+        batch,
+        {"applied_src_snapshot": head, "max_seq_seen": head},
+        auto_compact_files,
+    )
     return {"applied": n, "src_snapshot": head, "snapshot_id": snap}
 
 
@@ -169,10 +232,13 @@ def stream_apply_changes(
     dst_root: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    auto_compact_files: int | None = 32,
+    src_seq_col: str = SRC_SEQ,
 ) -> None:
     """Streaming replication: tail the source's materialized change log
     (`stream_changes`) with Trigger.AvailableNow and MERGE each epoch
-    into the replica. Requires a ``changelog=True`` source.
+    into the replica. Requires a ``changelog=True`` source (validated
+    BEFORE the replica is created — no orphan table on the error path).
 
     Each row applies at its producing commit's ``_commit_snapshot`` —
     a micro-batch spanning several commits LWW-resolves to the latest
@@ -183,13 +249,12 @@ def stream_apply_changes(
     epoch in the replica offsets, same scheme as `stream_ingest`) skips
     a redelivered epoch after a restart."""
     from ..streaming.ingest import _checkpoint_stream_id, stream_changes
-    from .engine import compute_batch_stats
 
     src_t = SnapshotTable(src_root)
-    _open_replica(src_t, dst_root)  # create up front, once
+    src = stream_changes(spark, src_root, max_files_per_trigger)
+    _open_replica(src_t, dst_root, src_seq_col)  # create up front, once
     payload_cols = [f.name for f in src_t.schema().fields]
     ckpt_id = _checkpoint_stream_id(checkpoint_dir)
-    src = stream_changes(spark, src_root, max_files_per_trigger)
 
     def apply_epoch(bdf: DataFrame, epoch_id: int) -> None:
         dst = SnapshotTable(dst_root)
@@ -198,41 +263,25 @@ def stream_apply_changes(
             "last_epoch", -1
         ):
             return
+        mx = (bdf.agg(F.max("_commit_snapshot")).collect()[0][0]) or 0
         batch = _as_feed(
             bdf, [c for c in payload_cols if c in bdf.columns],
-            F.col("_commit_snapshot"),
-        ).persist()
-        try:
-            n, mx, touched, key_ranges, key_counts = compute_batch_stats(
-                dst, batch
-            )
-            new_off = {
-                **off,
+            F.col("_commit_snapshot"), src_seq_col,
+        )
+        _apply_feed(
+            bdf.sparkSession,
+            dst,
+            batch,
+            {
                 "applied_src_snapshot": max(
-                    int(off.get("applied_src_snapshot", 0)), int(mx or 0)
+                    int(off.get("applied_src_snapshot", 0)), int(mx)
                 ),
-                "batch_id": off.get("batch_id", -1) + 1,
-                "max_seq_seen": max(int(off.get("max_seq_seen", 0)), int(mx or 0)),
+                "max_seq_seen": max(int(off.get("max_seq_seen", 0)), int(mx)),
                 "last_epoch": epoch_id,
                 "stream_id": ckpt_id,
-            }
-            if n == 0:
-                dst.commit_snapshot(new_files=[], offsets=new_off)
-                if dst.changelog_enabled():
-                    dst.materialize_changelog(bdf.sparkSession)
-            else:
-                merge_into(
-                    bdf.sparkSession,
-                    dst,
-                    batch,
-                    offsets=new_off,
-                    scrub=False,
-                    touched=touched,
-                    key_ranges=key_ranges,
-                    key_counts=key_counts,
-                )
-        finally:
-            batch.unpersist()
+            },
+            auto_compact_files,
+        )
 
     q = (
         src.writeStream.foreachBatch(apply_epoch)
@@ -244,15 +293,19 @@ def stream_apply_changes(
 
 
 def verify_replica(
-    spark: SparkSession, src: SnapshotTable | str, dst: SnapshotTable | str
+    spark: SparkSession,
+    src: SnapshotTable | str,
+    dst: SnapshotTable | str,
+    src_seq_col: str = SRC_SEQ,
 ) -> dict:
     """Full-state audit: the replica must equal the source's CURRENT
     state, payload and seq included (``src.commit_seq`` ↔
     ``dst.src_commit_seq``). Returns ``{"src_rows", "dst_rows",
     "mismatched"}`` where ``mismatched`` counts rows present on exactly
-    one side (two bucket-pruned anti-joins on the full row, nulls
-    compared null-safely via the LWW payload hash + key + seq). Zero
-    means converged — the replication analog of `AggView.verify`."""
+    one side (two bucket-pruned anti-joins over (key, seq, payload
+    hash); the hashed identity frames are persisted so each side's
+    resolved read runs ONCE across both anti-joins and the counts).
+    Zero means converged — the replication analog of `AggView.verify`."""
     from ..lake.table import lww_payload_hash
 
     if isinstance(src, str):
@@ -261,20 +314,28 @@ def verify_replica(
         dst = SnapshotTable(dst)
     payload = [f.name for f in src.schema().fields]
     a = src.read(spark).select(
-        *payload, F.col("commit_seq").alias(SRC_SEQ)
+        *payload, F.col("commit_seq").alias(src_seq_col)
     )
-    b = dst.read(spark).select(*payload, F.col(SRC_SEQ))
-    fields = [f for f in a.schema.fields]
-    ident = lambda df: df.select(  # noqa: E731
-        *src.key_cols(),
-        F.col(SRC_SEQ),
-        lww_payload_hash(fields).alias("_ph"),
-    )
-    ia, ib = ident(a), ident(b)
-    only_a = ia.join(ib, ia.columns, "left_anti").count()
-    only_b = ib.join(ia, ib.columns, "left_anti").count()
+    b = dst.read(spark).select(*payload, F.col(src_seq_col))
+    fields = list(a.schema.fields)
+
+    def ident(df: DataFrame) -> DataFrame:
+        return df.select(
+            *src.key_cols(),
+            F.col(src_seq_col),
+            lww_payload_hash(fields).alias("_ph"),
+        )
+
+    ia, ib = ident(a).persist(), ident(b).persist()
+    try:
+        src_rows, dst_rows = ia.count(), ib.count()
+        only_a = ia.join(ib, ia.columns, "left_anti").count()
+        only_b = ib.join(ia, ib.columns, "left_anti").count()
+    finally:
+        ia.unpersist()
+        ib.unpersist()
     return {
-        "src_rows": a.count(),
-        "dst_rows": b.count(),
+        "src_rows": src_rows,
+        "dst_rows": dst_rows,
         "mismatched": only_a + only_b,
     }

@@ -450,11 +450,24 @@ def cmd_replicate(args) -> None:
     if args.streaming:
         if not args.checkpoint:
             sys.exit("error: --streaming requires --checkpoint")
-        stream_apply_changes(
-            spark, args.table, args.dst, args.checkpoint,
-            max_files_per_trigger=args.max_files_per_trigger,
+        try:
+            stream_apply_changes(
+                spark, args.table, args.dst, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        except ValueError as e:
+            sys.exit(f"error: {e}")
+        from .lake.table import SnapshotTable
+
+        off = SnapshotTable(args.dst).offsets()
+        print(
+            json.dumps(
+                {
+                    "drained": True,
+                    "applied_src_snapshot": off.get("applied_src_snapshot", 0),
+                }
+            )
         )
-        print(json.dumps(verify_replica(spark, args.table, args.dst)))
         return
     try:
         r = apply_changes(spark, args.table, args.dst)

@@ -224,3 +224,89 @@ def test_replica_src_seq_collision_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match=SRC_SEQ):
         apply_changes(spark, src, str(tmp_path / "dst"))
+
+
+def test_chained_replication_two_hops(spark, tmp_path):
+    """src → hop1 (changelog=True) → hop2: hop1's own logs must stay
+    gap-free (the apply core runs the same changelog heal as run_ingest)
+    so hop2 converges from hop1's feed alone; each hop names its own
+    seq column (src_commit_seq collides at hop 2 otherwise)."""
+    import os
+
+    src = _mk_src(tmp_path)
+    hop1_root = str(tmp_path / "h1")
+    hop2_root = str(tmp_path / "h2")
+    schema1 = T.StructType(
+        _SCHEMA.fields + [T.StructField(SRC_SEQ, T.LongType(), True)]
+    )
+    SnapshotTable.create(  # pre-created so hop1 produces a changelog
+        hop1_root, schema1, ["repo", "path"], n_buckets=4,
+        properties={"changelog": True},
+    )
+    rng = np.random.RandomState(3)
+    for c in range(3):
+        rows = [
+            (int(rng.randint(1, 200)),
+             "delete" if rng.rand() < 0.25 else "add",
+             "r", f"k{int(rng.randint(20)):03d}", None)
+            for _ in range(50)
+        ]
+        rows = [
+            (s, op, r_, p, f"v{s}" if op == "add" else None)
+            for (s, op, r_, p, _) in rows
+        ]
+        merge_into(spark, src, _b(spark, rows), _off(c + 1), scrub=False)
+        apply_changes(spark, src, hop1_root)
+        apply_changes(
+            spark, SnapshotTable(hop1_root), hop2_root, src_seq_col="hop2_seq"
+        )
+    delete_where(spark, src, condition="path >= 'k015'")
+    apply_changes(spark, src, hop1_root)
+    apply_changes(
+        spark, SnapshotTable(hop1_root), hop2_root, src_seq_col="hop2_seq"
+    )
+    h1 = SnapshotTable(hop1_root)
+    missing = [
+        s for s in range(1, h1.snapshot_id + 1) if not h1.changelog_ready(s)
+    ]
+    assert not missing, f"hop1 changelog gaps: {missing}"
+    _assert_converged(spark, src, h1)
+    v = verify_replica(spark, hop1_root, hop2_root, src_seq_col="hop2_seq")
+    assert v["mismatched"] == 0 and v["src_rows"] == v["dst_rows"]
+    # and end-to-end: hop2 payload+origin-seq equals the origin state
+    end = (
+        SnapshotTable(hop2_root).read(spark)
+        .select("repo", "path", "content", SRC_SEQ).toPandas()
+        .rename(columns={SRC_SEQ: "seq"})
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(_state(spark, src), end)
+
+
+def test_open_replica_rejects_unrelated_table(spark, tmp_path):
+    src = _mk_src(tmp_path)
+    merge_into(spark, src, _b(spark, [(1, "add", "r", "a", "v1")]),
+               _off(1), scrub=False)
+    SnapshotTable.create(  # unrelated table at the dst path (typo case)
+        str(tmp_path / "other"), _SCHEMA, ["repo", "path"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="not a replica"):
+        apply_changes(spark, src, str(tmp_path / "other"))
+
+
+def test_stream_apply_rejects_logless_source_without_orphan(spark, tmp_path):
+    import os
+
+    src = SnapshotTable.create(
+        str(tmp_path / "nolog"), _SCHEMA, ["repo", "path"], n_buckets=2
+    )
+    merge_into(spark, src, _b(spark, [(1, "add", "r", "a", "v1")]),
+               _off(1), scrub=False)
+    dst_root = str(tmp_path / "dst")
+    with pytest.raises(ValueError, match="changelog"):
+        stream_apply_changes(
+            spark, str(tmp_path / "nolog"), dst_root, str(tmp_path / "ckpt")
+        )
+    assert not os.path.exists(os.path.join(dst_root, "_current")), (
+        "error path must not leave an orphan replica"
+    )
