@@ -142,48 +142,6 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
-def contamination_overlap(
-    train: DataFrame,
-    test: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    min_shared: int = 1,
-) -> DataFrame:
-    """Train/benchmark DECONTAMINATION: per training document, the
-    distinct word n-gram shingles it shares with ANY benchmark/test
-    document — the standard pre-training hygiene check (flag or drop
-    training docs that contain eval data).
-
-    Shape: both sides reduce to DISTINCT per-doc shingles (`dedup.
-    shingles`, native array ops), then ONE equi-join on the shingle
-    string — an inverted index probe, never a doc×doc comparison — and a
-    per-TRAIN-doc aggregate (`count_distinct`), so the output is
-    O(contaminated train docs), not O(pairs). At corpus scale use a long
-    n (the published pipelines use 8-13-gram overlap) so shingles are
-    near-unique and the join fanout stays ~1; the benchmark side is
-    typically thousands of docs — small enough that AQE broadcasts it.
-
-    Returns (id_col, n_shared_shingles, n_test_docs) for train docs with
-    ``n_shared_shingles >= min_shared``.
-    """
-    from .dedup import shingles
-
-    tr = shingles(train, id_col, text_col, n)
-    te = shingles(test, id_col, text_col, n).select(
-        F.col(id_col).alias("_test_id"), "shingle"
-    )
-    return (
-        tr.join(te, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.count_distinct("shingle").alias("n_shared_shingles"),
-            F.count_distinct("_test_id").alias("n_test_docs"),
-        )
-        .filter(F.col("n_shared_shingles") >= min_shared)
-    )
-
-
 def hash_split(
     id_col: Column, fractions: dict[str, float], salt: str = "split-v1"
 ) -> Column:

@@ -1805,67 +1805,6 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_U = (
-    "('0x' || substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))"
-    "::BIGINT / 4294967296.0"
-)
-
-
-@register(
-    "corpus_decontaminate",
-    f"""
-    WITH a AS (
-      SELECT doc_id, text,
-             CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
-                  WHEN {_SPLIT_U} < 0.9 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM documents
-    ),
-    w AS (
-      SELECT doc_id, split, regexp_split_to_array(text, '\\s+') AS ws
-      FROM a WHERE split IN ('train', 'test')
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, split,
-             unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
-                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-      FROM w
-    ),
-    shn AS (SELECT doc_id, split, shingle FROM sh WHERE length(shingle) > 0),
-    j AS (
-      SELECT tr.doc_id, tr.shingle, te.doc_id AS test_id
-      FROM (SELECT doc_id, shingle FROM shn WHERE split = 'train') tr
-      JOIN (SELECT doc_id, shingle FROM shn WHERE split = 'test') te
-      USING (shingle)
-    )
-    SELECT doc_id,
-           count(DISTINCT shingle) AS n_shared_shingles,
-           count(DISTINCT test_id) AS n_test_docs
-    FROM j GROUP BY doc_id
-    HAVING count(DISTINCT shingle) >= 2
-    ORDER BY doc_id
-    """,
-)
-def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: training docs (hash-split) sharing ≥2
-    distinct 3-gram shingles with any test-split doc — the pre-training
-    hygiene pass that keeps eval data out of the corpus. Inverted-index
-    join + per-train-doc aggregate; O(contaminated docs) output (see
-    `text.contamination_overlap`). 3-grams at fixture scale; production
-    runs use 8-13-grams (near-unique shingles, ~1 join fanout)."""
-    d = _t(spark, sf_dir, "documents")
-    split = text.hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
-    dd = d.withColumn("split", split)
-    return text.contamination_overlap(
-        dd.filter(F.col("split") == "train"),
-        dd.filter(F.col("split") == "test"),
-        "doc_id",
-        "text",
-        n=3,
-        min_shared=2,
-    ).orderBy("doc_id")
-
-
 _REACH_CTES = (
     _shingle_cte(3).replace("WITH w AS", "WITH RECURSIVE w AS")
     + """,
