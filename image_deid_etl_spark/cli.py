@@ -159,9 +159,15 @@ def cmd_validate(args) -> None:
         _v = _AggView(table, _vname)
         try:
             _vm = _v.meta()
-            _ok = _os.path.isdir(
-                _os.path.join(_v.dir, _vm["state_dir"])
-            ) and _vm["applied_snapshot_id"] <= table.snapshot_id
+            _ok = (
+                _os.path.isdir(_os.path.join(_v.dir, _vm["state_dir"]))
+                and _vm["applied_snapshot_id"] <= table.snapshot_id
+                # COUNT DISTINCT aux dirs are load-bearing for refresh
+                and all(
+                    _os.path.isdir(_os.path.join(_v.dir, _ad))
+                    for _ad in _vm.get("aux_dirs", {}).values()
+                )
+            )
         except (FileNotFoundError, ValueError, KeyError):
             _ok = False
             _vm = {}

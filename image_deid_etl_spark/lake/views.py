@@ -190,6 +190,18 @@ class AggView:
                           (distinct_cols, "distinct_cols")):
             if len(set(lst)) != len(lst):
                 raise ValueError(f"duplicate columns in {what}")
+        # state/fold internals: a view column named like a state column
+        # ("cnt", the aux "nn") or carrying the underscore prefix every
+        # transient fold column uses would collide inside the refresh
+        # frames and break the view AFTER a successful create — reject
+        # at definition time
+        all_cols = group_cols + sum_cols + minmax_cols + distinct_cols
+        bad = {c for c in all_cols if c in ("cnt", "nn") or c.startswith("_")}
+        if bad:
+            raise ValueError(
+                f"view columns collide with state internals: {sorted(bad)} "
+                "(reserved: cnt, nn, and any _-prefixed name)"
+            )
         table._require_main("view creation")  # a branch-line applied id
         # would dangle after drop_branch; views track the published line
         v = cls(table, name)
@@ -198,25 +210,40 @@ class AggView:
         os.makedirs(v.dir, exist_ok=True)
         sid = table.snapshot_id
         base = table.read(spark, snapshot_id=sid)
-        state = base.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
-            *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
-            *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
-            *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
-            *[F.count_distinct(c).alias(f"nd_{c}") for c in distinct_cols],
-        )
-        sdir = v._write_state(state, n_partitions, group_cols)
-        aux_dirs = {}
-        for c in distinct_cols:
-            aux = (
-                base.filter(F.col(c).isNotNull())  # SQL DISTINCT skips nulls
-                .groupBy(*group_cols, c)
-                .agg(F.count(F.lit(1)).alias("nn"))
+        if distinct_cols:
+            # the state write + each aux seed is its own action — persist
+            # so the table is scanned once, not 1 + len(distinct_cols)
+            # times (narrowed to the view's columns first)
+            base = base.select(
+                *dict.fromkeys(
+                    group_cols + sum_cols + minmax_cols + distinct_cols
+                )
+            ).persist()
+        try:
+            state = base.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+                *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
+                *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
+                *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
+                *[F.count_distinct(c).alias(f"nd_{c}") for c in distinct_cols],
             )
-            # dirs share the "aux-" prefix (column → dir rides the meta;
-            # column names must not leak into path components)
-            aux_dirs[c] = v._write_state(aux, n_partitions, group_cols, prefix="aux")
+            sdir = v._write_state(state, n_partitions, group_cols)
+            aux_dirs = {}
+            for c in distinct_cols:
+                aux = (
+                    base.filter(F.col(c).isNotNull())  # DISTINCT skips nulls
+                    .groupBy(*group_cols, c)
+                    .agg(F.count(F.lit(1)).alias("nn"))
+                )
+                # dirs share the "aux-" prefix (column → dir rides the
+                # meta; column names must not leak into path components)
+                aux_dirs[c] = v._write_state(
+                    aux, n_partitions, group_cols, prefix="aux"
+                )
+        finally:
+            if distinct_cols:
+                base.unpersist()
         v._commit_meta(
             {
                 "name": name,
@@ -351,6 +378,16 @@ class AggView:
             .otherwise(F.lit(-1))
             .alias("_w")
         )
+        if d_cols:
+            # the classified feed feeds each aux write AND the main state
+            # delta — persist it once instead of recomputing it
+            # 1 + len(d_cols) times (on the snapshot-diff path every
+            # recomputation is a two-state bucket scan)
+            ch = ch.persist()
+        new_aux_dirs = dict(m.get("aux_dirs", {}))
+        nd_deltas: dict[str, DataFrame] = {}
+        aux_cached: list[DataFrame] = []
+        folded = None
         # COUNT DISTINCT auxiliary fold (before the main state join, so
         # the per-group nd deltas are ready to fold in): per distinct
         # column, weight-fold the window's (group, value) support counts
@@ -358,303 +395,303 @@ class AggView:
         # the group's distinct count by exactly ±1 — the ONLY time it
         # moves; same-value churn (update that keeps the value, or one
         # row of several deleted) nets to nothing, no recompute ever.
-        new_aux_dirs = dict(m.get("aux_dirs", {}))
-        nd_deltas: dict[str, DataFrame] = {}
-        aux_cached: list[DataFrame] = []
-        for c in d_cols:
-            dch = (
-                ch.filter(F.col(c).isNotNull())  # DISTINCT skips nulls
-                .select(*group_cols, c, w)
-                .groupBy(*group_cols, c)
-                .agg(F.sum("_w").alias("_d_nn"))
-            )
-            sa = self.aux_state(spark, c).alias("a")
-            da = dch.alias("d")
-            ja = sa.join(
-                da, _nullsafe_eq("a", "d", group_cols + [c]), "full_outer"
-            )
-
-            def pick_a(col: str):
-                return F.coalesce(F.col(f"a.{col}"), F.col(f"d.{col}"))
-
-            am = (
-                ja.select(
-                    *[pick_a(gcol).alias(gcol) for gcol in group_cols],
-                    pick_a(c).alias(c),
-                    (
-                        F.coalesce(F.col("a.nn"), F.lit(0))
-                        + F.coalesce(F.col("d._d_nn"), F.lit(0))
-                    ).alias("nn"),
-                    (F.coalesce(F.col("a.nn"), F.lit(0)) > 0).alias("_was"),
-                )
-                .withColumn("_now", F.col("nn") > 0)
-                .persist()
-            )
-            aux_cached.append(am)
-            # the write is the action that materializes the cache; the
-            # nd-delta below reuses it
-            new_aux_dirs[c] = self._write_state(
-                am.filter(F.col("nn") > 0).select(*group_cols, c, "nn"),
-                m.get("n_partitions", 1),
-                group_cols,
-                prefix="aux",
-            )
-            nd_deltas[c] = (
-                am.filter(F.col("_was") != F.col("_now"))
-                .groupBy(*group_cols)
-                .agg(
-                    F.sum(
-                        F.when(F.col("_now"), F.lit(1)).otherwise(F.lit(-1))
-                    ).alias("_d_nd")
-                )
-            )
-        measure_cols = list(dict.fromkeys(sum_cols + mm_cols))
-        added = F.col("_w") == 1  # postimages; removed = preimages
-        delta = (
-            ch.select(*group_cols, *measure_cols, w)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("_w").alias("_d_cnt"),
-                *[
-                    F.sum(F.col("_w") * F.col(c)).alias(f"_d_sum_{c}")
-                    for c in sum_cols
-                ],
-                *[
-                    F.sum(
-                        F.col("_w") * F.col(c).isNotNull().cast("long")
-                    ).alias(f"_d_nn_{c}")
-                    for c in sum_cols
-                ],
-                # MIN/MAX deltas: extremes of the window's added values
-                # (fold in with least/greatest) and of its removed values
-                # (the unsafe-extreme test)
-                *[
-                    x
-                    for c in mm_cols
-                    for x in (
-                        F.min(F.when(added, F.col(c))).alias(f"_add_min_{c}"),
-                        F.max(F.when(added, F.col(c))).alias(f"_add_max_{c}"),
-                        F.min(F.when(~added, F.col(c))).alias(f"_rm_min_{c}"),
-                        F.max(F.when(~added, F.col(c))).alias(f"_rm_max_{c}"),
-                    )
-                ],
-            )
-        )
-        # presence marker: a group value of NULL on one side of the full
-        # outer join is indistinguishable from "row absent" without it
-        s = self.state(spark).withColumn("_in_s", F.lit(1)).alias("s")
-        d = delta.alias("d")
-        j = s.join(d, _nullsafe_eq("s", "d", group_cols), "full_outer")
-        pick = lambda gcol: F.when(  # noqa: E731
-            F.col("_in_s").isNotNull(), F.col(f"s.{gcol}")
-        ).otherwise(F.col(f"d.{gcol}"))
-        state_types = {f.name: f.dataType for f in self.state(spark).schema.fields}
-        merged = j.select(
-            *[pick(gcol).alias(gcol) for gcol in group_cols],
-            (
-                F.coalesce(F.col("s.cnt"), F.lit(0))
-                + F.coalesce(F.col("d._d_cnt"), F.lit(0))
-            ).alias("cnt"),
-            *[
-                (
-                    F.coalesce(
-                        F.col(f"s.sum_{c}"),
-                        F.lit(0).cast(state_types[f"sum_{c}"]),
-                    )
-                    + F.coalesce(
-                        F.col(f"d._d_sum_{c}"),
-                        F.lit(0).cast(state_types[f"sum_{c}"]),
-                    )
-                )
-                .cast(state_types[f"sum_{c}"])
-                .alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-            *[
-                (
-                    F.coalesce(F.col(f"s.nn_{c}"), F.lit(0))
-                    + F.coalesce(F.col(f"d._d_nn_{c}"), F.lit(0))
-                ).alias(f"nn_{c}")
-                for c in sum_cols
-            ],
-            # nd carried from state here; the per-group deltas (computed
-            # from the aux fold above) join in right after the filter
-            *[
-                F.coalesce(F.col(f"s.nd_{c}"), F.lit(0)).alias(f"nd_{c}")
-                for c in d_cols
-            ],
-            # MIN/MAX optimistic fold (least/greatest skip nulls); the
-            # _unsafe flag marks groups whose removed values touched the
-            # stored extreme — their fold is invalid and they get an
-            # exact selective recompute below
-            *[
-                x
-                for c in mm_cols
-                for x in (
-                    F.least(F.col(f"s.min_{c}"), F.col(f"d._add_min_{c}")).alias(
-                        f"min_{c}"
-                    ),
-                    F.greatest(F.col(f"s.max_{c}"), F.col(f"d._add_max_{c}")).alias(
-                        f"max_{c}"
-                    ),
-                )
-            ],
-            *(
-                [
-                    F.coalesce(
-                        # only meaningful for groups with stored state (a
-                        # brand-new group folds purely from additions).
-                        # Per side: an extreme FELL (a removed value
-                        # reached it) AND the window's additions did not
-                        # re-cover it (an added value at or beyond the
-                        # stored extreme makes the fold provably exact —
-                        # routine rewrites of the extreme-holding row
-                        # stay on the O(changes) path)
-                        F.col("_in_s").isNotNull()
-                        & reduce(
-                            lambda a, b: a | b,
-                            [
-                                (
-                                    F.coalesce(
-                                        F.col(f"d._rm_min_{c}") <= F.col(f"s.min_{c}"),
-                                        F.lit(False),
-                                    )
-                                    & ~F.coalesce(
-                                        F.col(f"d._add_min_{c}") <= F.col(f"s.min_{c}"),
-                                        F.lit(False),
-                                    )
-                                )
-                                | (
-                                    F.coalesce(
-                                        F.col(f"d._rm_max_{c}") >= F.col(f"s.max_{c}"),
-                                        F.lit(False),
-                                    )
-                                    & ~F.coalesce(
-                                        F.col(f"d._add_max_{c}") >= F.col(f"s.max_{c}"),
-                                        F.lit(False),
-                                    )
-                                )
-                                for c in mm_cols
-                            ],
-                        ),
-                        F.lit(False),
-                    ).alias("_unsafe")
-                ]
-                if mm_cols
-                else []
-            ),
-        ).filter(F.col("cnt") > 0)
-        for c in d_cols:
-            mm_side = merged.alias("m")
-            nd = nd_deltas[c].alias("nd")
-            carried = [x for x in merged.columns if x != f"nd_{c}"]
-            merged = mm_side.join(
-                nd, _nullsafe_eq("m", "nd", group_cols), "left"
-            ).select(
-                *[F.col(f"m.{x}").alias(x) for x in carried],
-                (
-                    F.col(f"m.nd_{c}") + F.coalesce(F.col("nd._d_nd"), F.lit(0))
-                ).alias(f"nd_{c}"),
-            )
-        folded = None
-        if mm_cols:
-            # the folded frame feeds the unsafe probe and (maybe) the
-            # final merge — persist so the state join runs once
-            folded = merged.persist()
-            has_unsafe = (
-                folded.filter(F.col("_unsafe")).limit(1).count() > 0
-            )
-        if mm_cols and not has_unsafe:
-            # common case: every extreme held (or was re-covered by an
-            # addition) — no snapshot scan at all. Explicit, not left to
-            # AQE empty-relation propagation, and it keeps a lagging
-            # minmax view refreshable across EXPIRED interior snapshots
-            # exactly like a sum-only view whenever no extreme fell
-            merged = folded.drop("_unsafe")
-        elif mm_cols:
-            # selective recompute: exactly the unsafe groups, from a
-            # column-pruned (group + minmax cols) scan of the target
-            # snapshot, null-safe semi-joined to the unsafe keys
-            unsafe_keys = folded.filter(F.col("_unsafe")).select(*group_cols)
-            base = (
-                self.table.read(spark, snapshot_id=to_id)
-                .select(*group_cols, *mm_cols)
-                .alias("b")
-            )
-            u = unsafe_keys.alias("u")
-            rec = (
-                base.join(u, _nullsafe_eq("b", "u", group_cols), "left_semi")
-                .groupBy(*group_cols)
-                .agg(
-                    *[F.min(c).alias(f"_r_min_{c}") for c in mm_cols],
-                    *[F.max(c).alias(f"_r_max_{c}") for c in mm_cols],
-                )
-                .withColumn("_in_r", F.lit(1))
-                .alias("r")
-            )
-            mg = folded.alias("mg")
-            merged = mg.join(rec, _nullsafe_eq("mg", "r", group_cols), "left").select(
-                *[F.col(f"mg.{gcol}").alias(gcol) for gcol in group_cols],
-                F.col("mg.cnt").alias("cnt"),
-                *[F.col(f"mg.sum_{c}").alias(f"sum_{c}") for c in sum_cols],
-                *[F.col(f"mg.nn_{c}").alias(f"nn_{c}") for c in sum_cols],
-                *[F.col(f"mg.nd_{c}").alias(f"nd_{c}") for c in d_cols],
-                *[
-                    x
-                    for c in mm_cols
-                    for x in (
-                        F.when(
-                            F.col("_in_r").isNotNull(), F.col(f"r._r_min_{c}")
-                        )
-                        .otherwise(F.col(f"mg.min_{c}"))
-                        .alias(f"min_{c}"),
-                        F.when(
-                            F.col("_in_r").isNotNull(), F.col(f"r._r_max_{c}")
-                        )
-                        .otherwise(F.col(f"mg.max_{c}"))
-                        .alias(f"max_{c}"),
-                    )
-                ],
-            )
         try:
+            for c in d_cols:
+                dch = (
+                    ch.filter(F.col(c).isNotNull())  # DISTINCT skips nulls
+                    .select(*group_cols, c, w)
+                    .groupBy(*group_cols, c)
+                    .agg(F.sum("_w").alias("_d_nn"))
+                )
+                sa = self.aux_state(spark, c).alias("a")
+                da = dch.alias("d")
+                ja = sa.join(
+                    da, _nullsafe_eq("a", "d", group_cols + [c]), "full_outer"
+                )
+
+                def pick_a(col: str):
+                    return F.coalesce(F.col(f"a.{col}"), F.col(f"d.{col}"))
+
+                am = (
+                    ja.select(
+                        *[pick_a(gcol).alias(gcol) for gcol in group_cols],
+                        pick_a(c).alias(c),
+                        (
+                            F.coalesce(F.col("a.nn"), F.lit(0))
+                            + F.coalesce(F.col("d._d_nn"), F.lit(0))
+                        ).alias("nn"),
+                        (F.coalesce(F.col("a.nn"), F.lit(0)) > 0).alias("_was"),
+                    )
+                    .withColumn("_now", F.col("nn") > 0)
+                    .persist()
+                )
+                aux_cached.append(am)
+                # the write is the action that materializes the cache; the
+                # nd-delta below reuses it
+                new_aux_dirs[c] = self._write_state(
+                    am.filter(F.col("nn") > 0).select(*group_cols, c, "nn"),
+                    m.get("n_partitions", 1),
+                    group_cols,
+                    prefix="aux",
+                )
+                nd_deltas[c] = (
+                    am.filter(F.col("_was") != F.col("_now"))
+                    .groupBy(*group_cols)
+                    .agg(
+                        F.sum(
+                            F.when(F.col("_now"), F.lit(1)).otherwise(F.lit(-1))
+                        ).alias("_d_nd")
+                    )
+                )
+            measure_cols = list(dict.fromkeys(sum_cols + mm_cols))
+            added = F.col("_w") == 1  # postimages; removed = preimages
+            delta = (
+                ch.select(*group_cols, *measure_cols, w)
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum("_w").alias("_d_cnt"),
+                    *[
+                        F.sum(F.col("_w") * F.col(c)).alias(f"_d_sum_{c}")
+                        for c in sum_cols
+                    ],
+                    *[
+                        F.sum(
+                            F.col("_w") * F.col(c).isNotNull().cast("long")
+                        ).alias(f"_d_nn_{c}")
+                        for c in sum_cols
+                    ],
+                    # MIN/MAX deltas: extremes of the window's added values
+                    # (fold in with least/greatest) and of its removed values
+                    # (the unsafe-extreme test)
+                    *[
+                        x
+                        for c in mm_cols
+                        for x in (
+                            F.min(F.when(added, F.col(c))).alias(f"_add_min_{c}"),
+                            F.max(F.when(added, F.col(c))).alias(f"_add_max_{c}"),
+                            F.min(F.when(~added, F.col(c))).alias(f"_rm_min_{c}"),
+                            F.max(F.when(~added, F.col(c))).alias(f"_rm_max_{c}"),
+                        )
+                    ],
+                )
+            )
+            # presence marker: a group value of NULL on one side of the full
+            # outer join is indistinguishable from "row absent" without it
+            s = self.state(spark).withColumn("_in_s", F.lit(1)).alias("s")
+            d = delta.alias("d")
+            j = s.join(d, _nullsafe_eq("s", "d", group_cols), "full_outer")
+            pick = lambda gcol: F.when(  # noqa: E731
+                F.col("_in_s").isNotNull(), F.col(f"s.{gcol}")
+            ).otherwise(F.col(f"d.{gcol}"))
+            state_types = {f.name: f.dataType for f in self.state(spark).schema.fields}
+            merged = j.select(
+                *[pick(gcol).alias(gcol) for gcol in group_cols],
+                (
+                    F.coalesce(F.col("s.cnt"), F.lit(0))
+                    + F.coalesce(F.col("d._d_cnt"), F.lit(0))
+                ).alias("cnt"),
+                *[
+                    (
+                        F.coalesce(
+                            F.col(f"s.sum_{c}"),
+                            F.lit(0).cast(state_types[f"sum_{c}"]),
+                        )
+                        + F.coalesce(
+                            F.col(f"d._d_sum_{c}"),
+                            F.lit(0).cast(state_types[f"sum_{c}"]),
+                        )
+                    )
+                    .cast(state_types[f"sum_{c}"])
+                    .alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                *[
+                    (
+                        F.coalesce(F.col(f"s.nn_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d._d_nn_{c}"), F.lit(0))
+                    ).alias(f"nn_{c}")
+                    for c in sum_cols
+                ],
+                # nd carried from state here; the per-group deltas (computed
+                # from the aux fold above) join in right after the filter
+                *[
+                    F.coalesce(F.col(f"s.nd_{c}"), F.lit(0)).alias(f"nd_{c}")
+                    for c in d_cols
+                ],
+                # MIN/MAX optimistic fold (least/greatest skip nulls); the
+                # _unsafe flag marks groups whose removed values touched the
+                # stored extreme — their fold is invalid and they get an
+                # exact selective recompute below
+                *[
+                    x
+                    for c in mm_cols
+                    for x in (
+                        F.least(F.col(f"s.min_{c}"), F.col(f"d._add_min_{c}")).alias(
+                            f"min_{c}"
+                        ),
+                        F.greatest(F.col(f"s.max_{c}"), F.col(f"d._add_max_{c}")).alias(
+                            f"max_{c}"
+                        ),
+                    )
+                ],
+                *(
+                    [
+                        F.coalesce(
+                            # only meaningful for groups with stored state (a
+                            # brand-new group folds purely from additions).
+                            # Per side: an extreme FELL (a removed value
+                            # reached it) AND the window's additions did not
+                            # re-cover it (an added value at or beyond the
+                            # stored extreme makes the fold provably exact —
+                            # routine rewrites of the extreme-holding row
+                            # stay on the O(changes) path)
+                            F.col("_in_s").isNotNull()
+                            & reduce(
+                                lambda a, b: a | b,
+                                [
+                                    (
+                                        F.coalesce(
+                                            F.col(f"d._rm_min_{c}") <= F.col(f"s.min_{c}"),
+                                            F.lit(False),
+                                        )
+                                        & ~F.coalesce(
+                                            F.col(f"d._add_min_{c}") <= F.col(f"s.min_{c}"),
+                                            F.lit(False),
+                                        )
+                                    )
+                                    | (
+                                        F.coalesce(
+                                            F.col(f"d._rm_max_{c}") >= F.col(f"s.max_{c}"),
+                                            F.lit(False),
+                                        )
+                                        & ~F.coalesce(
+                                            F.col(f"d._add_max_{c}") >= F.col(f"s.max_{c}"),
+                                            F.lit(False),
+                                        )
+                                    )
+                                    for c in mm_cols
+                                ],
+                            ),
+                            F.lit(False),
+                        ).alias("_unsafe")
+                    ]
+                    if mm_cols
+                    else []
+                ),
+            ).filter(F.col("cnt") > 0)
+            for c in d_cols:
+                mm_side = merged.alias("m")
+                nd = nd_deltas[c].alias("nd")
+                carried = [x for x in merged.columns if x != f"nd_{c}"]
+                merged = mm_side.join(
+                    nd, _nullsafe_eq("m", "nd", group_cols), "left"
+                ).select(
+                    *[F.col(f"m.{x}").alias(x) for x in carried],
+                    (
+                        F.col(f"m.nd_{c}") + F.coalesce(F.col("nd._d_nd"), F.lit(0))
+                    ).alias(f"nd_{c}"),
+                )
+            if mm_cols:
+                # the folded frame feeds the unsafe probe and (maybe) the
+                # final merge — persist so the state join runs once
+                folded = merged.persist()
+                has_unsafe = (
+                    folded.filter(F.col("_unsafe")).limit(1).count() > 0
+                )
+            if mm_cols and not has_unsafe:
+                # common case: every extreme held (or was re-covered by an
+                # addition) — no snapshot scan at all. Explicit, not left to
+                # AQE empty-relation propagation, and it keeps a lagging
+                # minmax view refreshable across EXPIRED interior snapshots
+                # exactly like a sum-only view whenever no extreme fell
+                merged = folded.drop("_unsafe")
+            elif mm_cols:
+                # selective recompute: exactly the unsafe groups, from a
+                # column-pruned (group + minmax cols) scan of the target
+                # snapshot, null-safe semi-joined to the unsafe keys
+                unsafe_keys = folded.filter(F.col("_unsafe")).select(*group_cols)
+                base = (
+                    self.table.read(spark, snapshot_id=to_id)
+                    .select(*group_cols, *mm_cols)
+                    .alias("b")
+                )
+                u = unsafe_keys.alias("u")
+                rec = (
+                    base.join(u, _nullsafe_eq("b", "u", group_cols), "left_semi")
+                    .groupBy(*group_cols)
+                    .agg(
+                        *[F.min(c).alias(f"_r_min_{c}") for c in mm_cols],
+                        *[F.max(c).alias(f"_r_max_{c}") for c in mm_cols],
+                    )
+                    .withColumn("_in_r", F.lit(1))
+                    .alias("r")
+                )
+                mg = folded.alias("mg")
+                merged = mg.join(rec, _nullsafe_eq("mg", "r", group_cols), "left").select(
+                    *[F.col(f"mg.{gcol}").alias(gcol) for gcol in group_cols],
+                    F.col("mg.cnt").alias("cnt"),
+                    *[F.col(f"mg.sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                    *[F.col(f"mg.nn_{c}").alias(f"nn_{c}") for c in sum_cols],
+                    *[F.col(f"mg.nd_{c}").alias(f"nd_{c}") for c in d_cols],
+                    *[
+                        x
+                        for c in mm_cols
+                        for x in (
+                            F.when(
+                                F.col("_in_r").isNotNull(), F.col(f"r._r_min_{c}")
+                            )
+                            .otherwise(F.col(f"mg.min_{c}"))
+                            .alias(f"min_{c}"),
+                            F.when(
+                                F.col("_in_r").isNotNull(), F.col(f"r._r_max_{c}")
+                            )
+                            .otherwise(F.col(f"mg.max_{c}"))
+                            .alias(f"max_{c}"),
+                        )
+                    ],
+                )
             sdir = self._write_state(merged, m.get("n_partitions", 1), group_cols)
+            changed = spark.read.parquet(os.path.join(self.dir, sdir)).count()
+            self._commit_meta(
+                {
+                    **m,
+                    "applied_snapshot_id": to_id,
+                    "state_dir": sdir,
+                    "prev_state_dir": m["state_dir"],
+                    "aux_dirs": new_aux_dirs,
+                }
+            )
+            # retention: keep the CURRENT and the just-superseded state dirs
+            # (a concurrent reader that resolved the old pointer holds only a
+            # lazily-planned file listing, no open handles — one generation
+            # of grace covers it, the table's expire keep_last in miniature);
+            # everything older, plus orphans from crashed refreshes, is swept.
+            # Aux (COUNT DISTINCT) dirs follow the same one-generation rule.
+            live = (
+                {sdir, m["state_dir"]}
+                | set(new_aux_dirs.values())
+                | set(m.get("aux_dirs", {}).values())
+            )
+            for fn in os.listdir(self.dir):
+                if (
+                    fn.startswith("state-") or fn.startswith("aux-")
+                ) and fn not in live:
+                    shutil.rmtree(os.path.join(self.dir, fn), ignore_errors=True)
+            return {
+                "view": self.name,
+                "applied_snapshot_id": to_id,
+                "from_snapshot_id": frm,
+                "groups": changed,
+            }
         finally:
-            if folded is not None:
-                folded.unpersist()
+            # covers EVERY exit (a failing aux write must not pin caches
+            # in executor storage for the life of the app)
+            if d_cols:
+                ch.unpersist()
             for am in aux_cached:
                 am.unpersist()
-        changed = spark.read.parquet(os.path.join(self.dir, sdir)).count()
-        self._commit_meta(
-            {
-                **m,
-                "applied_snapshot_id": to_id,
-                "state_dir": sdir,
-                "prev_state_dir": m["state_dir"],
-                "aux_dirs": new_aux_dirs,
-            }
-        )
-        # retention: keep the CURRENT and the just-superseded state dirs
-        # (a concurrent reader that resolved the old pointer holds only a
-        # lazily-planned file listing, no open handles — one generation
-        # of grace covers it, the table's expire keep_last in miniature);
-        # everything older, plus orphans from crashed refreshes, is swept.
-        # Aux (COUNT DISTINCT) dirs follow the same one-generation rule.
-        live = (
-            {sdir, m["state_dir"]}
-            | set(new_aux_dirs.values())
-            | set(m.get("aux_dirs", {}).values())
-        )
-        for fn in os.listdir(self.dir):
-            if (
-                fn.startswith("state-") or fn.startswith("aux-")
-            ) and fn not in live:
-                shutil.rmtree(os.path.join(self.dir, fn), ignore_errors=True)
-        return {
-            "view": self.name,
-            "applied_snapshot_id": to_id,
-            "from_snapshot_id": frm,
-            "groups": changed,
-        }
+            if folded is not None:
+                folded.unpersist()
 
 
 def list_views(table: SnapshotTable) -> list[str]:

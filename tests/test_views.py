@@ -597,5 +597,49 @@ def test_view_aux_state_retention_one_generation(spark, tmp_path):
     assert "aux-deadbeefcafe" not in gen2, "crash orphan must be swept"
     assert len(gen2) == 2, "current + one superseded aux generation"
     assert v.meta()["aux_dirs"]["content"] in gen2
-    assert not (gen0 & gen2 - {v.meta()["aux_dirs"]["content"]}) or True
+    # the create-time aux dir is two generations old after two refreshes
+    assert not (gen0 & gen2), "no aux dir may survive two refreshes"
     assert_distinct_matches(spark, t, v, ["repo"], ["content"])
+
+
+def test_view_multi_distinct_with_minmax(spark, tmp_path):
+    """Two distinct columns + minmax in ONE view: the per-column nd fold
+    loop must carry every other column (incl. the _unsafe minmax marker)
+    through its sequential joins."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    t = multi_repo_table(spark, tmp_path)
+    v = AggView.create(
+        spark, t, "multi", ["repo"], [],
+        minmax_cols=["ts"], distinct_cols=["content", "ts"],
+    )
+    assert_distinct_matches(spark, t, v, ["repo"], ["content", "ts"])
+    seq = 2000
+    for c in range(3):
+        rows = []
+        for _ in range(35):
+            seq += 1
+            op = "delete" if rng.rand() < 0.3 else "add"
+            rows.append((
+                seq, op, f"repo{int(rng.randint(3))}",
+                f"p{int(rng.randint(30))}",
+                int(rng.randint(5)) if op == "add" else None,
+                f"w{int(rng.randint(4))}" if op == "add" else None,
+            ))
+        merge_into(spark, t, batch_df(spark, rows), offsets(c + 2), scrub=False)
+        v.refresh(spark)
+        assert_view_matches(spark, t, v, ["repo"], [], ["ts"])
+        assert_distinct_matches(spark, t, v, ["repo"], ["content", "ts"])
+    assert v.verify(spark)["ok"]
+
+
+def test_view_reserved_column_names_rejected(spark, tmp_path):
+    t = multi_repo_table(spark, tmp_path)
+    for kw in (
+        {"group_cols": ["cnt"]},
+        {"group_cols": ["repo"], "distinct_cols": ["nn"]},
+        {"group_cols": ["repo"], "sum_cols": ["_w"]},
+    ):
+        with pytest.raises(ValueError, match="internals|not in the table"):
+            AggView.create(spark, t, "badname", **kw)
