@@ -572,6 +572,7 @@ def cmd_view(args) -> None:
                 spark, table, args.name, args.group, args.sum or [],
                 minmax_cols=args.min_max or [],
                 distinct_cols=args.distinct or [],
+                where=args.where,
             )
             m = v.meta()
             print(
@@ -582,6 +583,7 @@ def cmd_view(args) -> None:
                         "sum_cols": m["sum_cols"],
                         "minmax_cols": m["minmax_cols"],
                         "distinct_cols": m["distinct_cols"],
+                        "where": m.get("where"),
                         "applied_snapshot_id": m["applied_snapshot_id"],
                     }
                 )
@@ -927,6 +929,10 @@ def main(argv: list[str] | None = None) -> None:
     vw.add_argument(
         "--distinct", nargs="+", default=None,
         help="columns to COUNT DISTINCT (exact, aux-state maintained)",
+    )
+    vw.add_argument(
+        "--where", default=None,
+        help="SQL predicate: maintain the aggregate of only matching rows",
     )
     vw.add_argument("--out", default=None, help="write `read` result as parquet")
     vw.set_defaults(fn=cmd_view)

@@ -128,6 +128,7 @@ class AggView:
         n_partitions: int = 1,
         minmax_cols: list[str] | None = None,
         distinct_cols: list[str] | None = None,
+        where: str | None = None,
     ) -> "AggView":
         """Define the view and seed its state with ONE full aggregation
         of the current snapshot (the only unconditional O(table) scan it
@@ -157,7 +158,19 @@ class AggView:
         state; each refresh joins the aux state once (hash-partitioned
         on the group columns, co-partitioned with every other state
         join). Values are compared null-safely; NULL values are ignored
-        (SQL ``COUNT(DISTINCT c)`` semantics)."""
+        (SQL ``COUNT(DISTINCT c)`` semantics).
+
+        ``where`` (optional SQL predicate over the table's columns)
+        makes this a PREDICATE view — the aggregate of ``SELECT … WHERE
+        <where> GROUP BY …``. Maintenance needs no special machinery:
+        every classified change row (pre- and postimage independently)
+        is filtered by the predicate before weighting, so a row UPDATED
+        into the predicate arrives as a pure +1, updated out of it as a
+        pure −1, and churn outside the predicate never touches the
+        state. The predicate must be deterministic over row values
+        (SQL WHERE semantics: a NULL predicate excludes the row); a
+        column added by later schema evolution reads as NULL on older
+        change rows."""
         import re
 
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
@@ -210,6 +223,8 @@ class AggView:
         os.makedirs(v.dir, exist_ok=True)
         sid = table.snapshot_id
         base = table.read(spark, snapshot_id=sid)
+        if where is not None:
+            base = base.filter(where)  # raises now on a bad predicate
         if distinct_cols:
             # the state write + each aux seed is its own action — persist
             # so the table is scanned once, not 1 + len(distinct_cols)
@@ -251,6 +266,7 @@ class AggView:
                 "sum_cols": sum_cols,
                 "minmax_cols": minmax_cols,
                 "distinct_cols": distinct_cols,
+                "where": where,
                 "applied_snapshot_id": sid,
                 "state_dir": sdir,
                 "aux_dirs": aux_dirs,
@@ -318,9 +334,11 @@ class AggView:
         sid = m["applied_snapshot_id"]
         sum_cols, mm_cols = m["sum_cols"], m.get("minmax_cols", [])
         d_cols = m.get("distinct_cols", [])
+        exp_base = self.table.read(spark, snapshot_id=sid)
+        if m.get("where") is not None:
+            exp_base = exp_base.filter(m["where"])
         expected = (
-            self.table.read(spark, snapshot_id=sid)
-            .groupBy(*m["group_cols"])
+            exp_base.groupBy(*m["group_cols"])
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
@@ -373,6 +391,11 @@ class AggView:
         mm_cols = m.get("minmax_cols", [])
         d_cols = m.get("distinct_cols", [])
         ch = self.table.classified_changes(spark, frm, to_id)
+        if m.get("where") is not None:
+            # predicate view: pre- and postimages filter INDEPENDENTLY —
+            # a row updated across the predicate boundary nets to a pure
+            # insert/delete through the weight column
+            ch = ch.filter(m["where"])
         w = (
             F.when(F.col("_change_type").isin("insert", "update"), F.lit(1))
             .otherwise(F.lit(-1))
@@ -610,11 +633,13 @@ class AggView:
                 # column-pruned (group + minmax cols) scan of the target
                 # snapshot, null-safe semi-joined to the unsafe keys
                 unsafe_keys = folded.filter(F.col("_unsafe")).select(*group_cols)
-                base = (
-                    self.table.read(spark, snapshot_id=to_id)
-                    .select(*group_cols, *mm_cols)
-                    .alias("b")
-                )
+                base = self.table.read(spark, snapshot_id=to_id)
+                if m.get("where") is not None:
+                    # predicate view: the recompute must see the same row
+                    # population the state tracks (filter BEFORE pruning —
+                    # the predicate may touch non-minmax columns)
+                    base = base.filter(m["where"])
+                base = base.select(*group_cols, *mm_cols).alias("b")
                 u = unsafe_keys.alias("u")
                 rec = (
                     base.join(u, _nullsafe_eq("b", "u", group_cols), "left_semi")

@@ -643,3 +643,53 @@ def test_view_reserved_column_names_rejected(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="internals|not in the table"):
             AggView.create(spark, t, "badname", **kw)
+
+
+def test_view_where_predicate_maintenance(spark, tmp_path):
+    """Predicate views: the state is the aggregate of only matching rows,
+    and updates that move rows ACROSS the predicate boundary net to pure
+    inserts/deletes — with sum + minmax + distinct all active."""
+
+    def recompute_where(t_):
+        return (
+            t_.read(spark).filter("ts >= 100")
+            .groupBy("repo")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("ts").alias("sum_ts"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                F.count_distinct("content").alias("distinct_content"),
+            )
+        )
+
+    t = multi_repo_table(spark, tmp_path)  # ts = 0,10,...,290
+    v = AggView.create(
+        spark, t, "hot", ["repo"], ["ts"],
+        minmax_cols=["ts"], distinct_cols=["content"], where="ts >= 100",
+    )
+    cols = recompute_where(t).columns
+    assert rows_of(v.read(spark).select(*cols)) == rows_of(recompute_where(t))
+    # cross-boundary moves: p5 (ts=50) enters, p20 (ts=200) leaves;
+    # in-predicate churn (p15 value flip) and out-of-predicate churn
+    # (p2 -> still below) must also land/not-land correctly
+    update_where(spark, t, set={"ts": "ts + 100"}, condition="path = 'p5'")
+    update_where(spark, t, set={"ts": "5"}, condition="path = 'p20'")
+    update_where(spark, t, set={"content": "'flip'"}, condition="path = 'p15'")
+    update_where(spark, t, set={"content": "'cold'"}, condition="path = 'p2'")
+    v.refresh(spark)
+    assert rows_of(v.read(spark).select(*cols)) == rows_of(recompute_where(t))
+    # delete the minimum in-predicate row of a group (minmax unsafe path
+    # under the predicate: the recompute scan must be filtered too)
+    delete_where(spark, t, condition="path = 'p12'")  # ts=120, repo0's min
+    v.refresh(spark)
+    assert rows_of(v.read(spark).select(*cols)) == rows_of(recompute_where(t))
+    assert v.verify(spark)["ok"]
+    # null-predicate rows are excluded (SQL WHERE)
+    merge_into(
+        spark, t,
+        batch_df(spark, [(500, "add", "repo0", "nullts", None, "zz")]),
+        offsets(9), scrub=False,
+    )
+    v.refresh(spark)
+    assert rows_of(v.read(spark).select(*cols)) == rows_of(recompute_where(t))
