@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import shutil
 import uuid
 from functools import reduce
@@ -77,6 +78,20 @@ from .table import SnapshotTable
 
 VIEWS = "views"
 _PTR = "_view.json"
+
+# Best-effort definition-time guard for predicate views: function CALLS
+# (name followed by "(") that read randomness, the clock, or input
+# position — each evaluates differently at seed time vs refresh time, so
+# the maintained state would silently drift from any recompute. Column
+# references named like these don't match (no paren); zero-arg
+# unix_timestamp() reads the clock while the arg form is deterministic.
+_NONDET_PRED_RE = _re.compile(
+    r"\b(?:rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
+    r"current_timestamp|current_date|current_timezone|now|localtimestamp|"
+    r"input_file_name|spark_partition_id)\s*\("
+    r"|\bunix_timestamp\s*\(\s*\)",
+    _re.IGNORECASE,
+)
 
 
 def _nullsafe_eq(left: str, right: str, cols: list[str]):
@@ -170,9 +185,21 @@ class AggView:
         state. The predicate must be deterministic over row values
         (SQL WHERE semantics: a NULL predicate excludes the row); a
         column added by later schema evolution reads as NULL on older
-        change rows."""
+        change rows. Nondeterministic or clock-reading predicates would
+        admit pre/postimages inconsistently across refreshes and
+        silently drift the state, so known offenders (``rand()``,
+        ``current_timestamp()``, …) are rejected here — a best-effort
+        definition-time guard, same discipline as the reserved-name
+        checks below."""
         import re
 
+        if where is not None and _NONDET_PRED_RE.search(where):
+            raise ValueError(
+                "where predicate must be deterministic over row values: "
+                "random / clock / input-position functions would evaluate "
+                "differently at seed time vs each refresh and silently "
+                f"drift the view state (predicate: {where!r})"
+            )
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
             # same filesystem-safe discipline as branch names: the name
             # is a path component under <root>/views/

@@ -693,3 +693,24 @@ def test_view_where_predicate_maintenance(spark, tmp_path):
     )
     v.refresh(spark)
     assert rows_of(v.read(spark).select(*cols)) == rows_of(recompute_where(t))
+
+
+def test_view_nondeterministic_where_rejected(spark, tmp_path):
+    """Random / clock / input-position predicates would drift the state
+    (seed vs refresh evaluate them differently) — rejected at create."""
+    t = multi_repo_table(spark, tmp_path)
+    for pred in (
+        "rand() < 0.5",
+        "ts >= unix_timestamp( ) - 86400",
+        "content < uuid()",
+        "ts > 1 AND repo < CURRENT_TIMESTAMP()",
+    ):
+        with pytest.raises(ValueError, match="deterministic"):
+            AggView.create(spark, t, "driftview", ["repo"], [], where=pred)
+    # column names that merely LOOK like the functions are fine, and the
+    # arg form of unix_timestamp is deterministic
+    v = AggView.create(
+        spark, t, "okpred", ["repo"], [],
+        where="content IS NOT NULL AND ts < unix_timestamp('2030-01-01', 'yyyy-MM-dd')",
+    )
+    assert v.meta()["where"].startswith("content IS NOT NULL")
