@@ -127,16 +127,37 @@ def cmd_validate(args) -> None:
         sys.exit(f"error: {e}")
     spark = _spark(args.cpus)
     df = table.read(spark)
+    # content-shaped stats only where the canonical feed columns exist —
+    # tables with user schemas (dims, replicas of foreign tables) still
+    # get row counts and the full fsck walk below
+    has_content = "content" in df.columns
     stats = df.agg(
         F.count(F.lit(1)).alias("live_rows"),
-        F.countDistinct("repo").alias("repos"),
-        F.sum(F.length("content")).alias("content_bytes"),
-        F.count(F.when(F.col("content").isNull(), 1)).alias("null_content"),
+        F.countDistinct("repo" if "repo" in df.columns else df.columns[0]).alias(
+            "repos"
+        ),
+        *(
+            [
+                F.sum(F.length("content")).alias("content_bytes"),
+                F.count(F.when(F.col("content").isNull(), 1)).alias(
+                    "null_content"
+                ),
+            ]
+            if has_content
+            else []
+        ),
     ).collect()[0]
-    if args.report:
+    if args.report and has_content:
         # missing-value side-outputs, reference analog: the unmapped-row CSV
         # reports of `validate` (`main_pipeline.py:44-58`, F8 split)
-        anomalies = df.filter(F.col("lang").isNull() | F.col("content").isNull())
+        anomalies = df.filter(
+            (
+                F.col("lang").isNull()
+                if "lang" in df.columns
+                else F.lit(False)
+            )
+            | F.col("content").isNull()
+        )
         anomalies.write.mode("overwrite").parquet(f"{args.report}/missing_metadata")
         leaked = df.filter(
             F.col("content").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
@@ -168,6 +189,14 @@ def cmd_validate(args) -> None:
                     for _ad in _vm.get("aux_dirs", {}).values()
                 )
             )
+            if _ok and _vm.get("kind") == "join":
+                # join views: the dim side must still resolve, and its
+                # cursor must not be ahead of the dim head (a dim
+                # rollback strands the view just like a fact rollback)
+                from .lake.table import SnapshotTable as _ST
+
+                _dim = _ST(_vm["dim_root"])
+                _ok = _vm["applied_dim_snapshot_id"] <= _dim.snapshot_id
         except (FileNotFoundError, ValueError, KeyError):
             _ok = False
             _vm = {}
@@ -253,8 +282,10 @@ def cmd_validate(args) -> None:
                 "offsets": table.offsets(),
                 "live_rows": stats["live_rows"],
                 "repos": stats["repos"],
-                "content_bytes": stats["content_bytes"],
-                "null_content_rows": stats["null_content"],
+                "content_bytes": stats["content_bytes"] if has_content else None,
+                "null_content_rows": (
+                    stats["null_content"] if has_content else None
+                ),
                 "snapshots": table.snapshots(),
                 "refs": table.refs(),
                 "lineage_commits": len(table.lineage()),
@@ -549,6 +580,7 @@ def cmd_alter(args) -> None:
 
 def cmd_view(args) -> None:
     from .cdc.engine import open_table
+    from .lake.join_views import JoinAggView, open_view
     from .lake.views import AggView, list_views
     from .session import build_session
 
@@ -568,35 +600,58 @@ def cmd_view(args) -> None:
         if args.action == "create":
             if not args.group:
                 sys.exit("error: create needs --group")
-            v = AggView.create(
-                spark, table, args.name, args.group, args.sum or [],
-                minmax_cols=args.min_max or [],
-                distinct_cols=args.distinct or [],
-                where=args.where,
-            )
+            if args.join_dim:
+                if args.min_max or args.distinct:
+                    sys.exit(
+                        "error: join views support --sum only "
+                        "(min/max and distinct are single-table)"
+                    )
+                if not args.on:
+                    sys.exit("error: --join-dim needs --on fk[=dimcol] ...")
+                try:
+                    dim = open_table(args.join_dim)
+                except FileNotFoundError as e:
+                    sys.exit(f"error: {e}")
+                v = JoinAggView.create(
+                    spark, table, dim, args.name, args.on, args.group,
+                    args.sum or [], where=args.where,
+                )
+            else:
+                v = AggView.create(
+                    spark, table, args.name, args.group, args.sum or [],
+                    minmax_cols=args.min_max or [],
+                    distinct_cols=args.distinct or [],
+                    where=args.where,
+                )
             m = v.meta()
             print(
                 json.dumps(
                     {
                         "created": args.name,
+                        "kind": m.get("kind", "agg"),
                         "group_cols": m["group_cols"],
                         "sum_cols": m["sum_cols"],
                         "minmax_cols": m["minmax_cols"],
                         "distinct_cols": m["distinct_cols"],
                         "where": m.get("where"),
+                        "dim_root": m.get("dim_root"),
+                        "on": m.get("on"),
                         "applied_snapshot_id": m["applied_snapshot_id"],
+                        "applied_dim_snapshot_id": m.get(
+                            "applied_dim_snapshot_id"
+                        ),
                     }
                 )
             )
         elif args.action == "refresh":
-            print(json.dumps(AggView(table, args.name).refresh(spark)))
+            print(json.dumps(open_view(table, args.name).refresh(spark)))
         elif args.action == "verify":
-            rep = AggView(table, args.name).verify(spark)
+            rep = open_view(table, args.name).verify(spark)
             print(json.dumps(rep))
             if not rep["ok"]:
                 sys.exit(2)
         elif args.action == "read":
-            df = AggView(table, args.name).read(spark)
+            df = open_view(table, args.name).read(spark)
             if args.out:
                 df.write.mode("overwrite").parquet(args.out)
                 print(json.dumps({"groups": df.count(), "out": args.out}))
@@ -933,6 +988,15 @@ def main(argv: list[str] | None = None) -> None:
     vw.add_argument(
         "--where", default=None,
         help="SQL predicate: maintain the aggregate of only matching rows",
+    )
+    vw.add_argument(
+        "--join-dim", default=None,
+        help="dim table root: maintain the aggregate of this table "
+        "INNER JOIN dim (delta-maintained from both change feeds)",
+    )
+    vw.add_argument(
+        "--on", nargs="+", default=None,
+        help="join columns for --join-dim: factcol[=dimcol] ...",
     )
     vw.add_argument("--out", default=None, help="write `read` result as parquet")
     vw.set_defaults(fn=cmd_view)

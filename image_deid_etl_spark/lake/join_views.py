@@ -1,0 +1,485 @@
+"""Incremental materialized JOIN views — delta-maintained enrichment
+rollups over ``fact ⋈ dim``.
+
+`lake.views.AggView` maintains ``γ(σ(T))`` from one table's change feed.
+This module extends the same discipline to the canonical warehouse
+shape: an aggregate over an INNER equi-join of two `SnapshotTable`\\ s
+(events per dim attribute, bytes per enrichment tier, …) kept current
+from BOTH tables' classified change feeds, never re-running the join
+over the full fact table.
+
+Delta rule (the bilinear identity for joins — DBSP / differential
+dataflow's ``Δ(F ⋈ D)``; every leg carries signed weights):
+
+    ΔQ  =  ΔF ⋈ D_new   (weight wf)
+         + F_new ⋈ ΔD   (weight wd)
+         − ΔF ⋈ ΔD      (weight wf·wd)
+
+where ``ΔF``/``ΔD`` are `classified_changes` rows weighted +1
+(insert/update postimages) / −1 (preimages/deletes). The algebra
+telescopes exactly: substituting ``F_old = F_new − ΔF`` into
+``Q_new − Q_old = ΔF⋈D_new + F_old⋈ΔD`` gives the three legs above, so
+the refresh needs ONLY the two current snapshots plus the window's
+change feeds — no old-snapshot retention, and a lagging view catches up
+across expired interiors exactly like a single-table view whenever the
+windows' materialized logs are retained.
+
+Every fact-side consequence falls out of the weights with no
+special-casing: a fact row re-pointed to a different dim key decrements
+the old enrichment group and increments the new one; a dim attribute
+update MOVES every joined fact row between groups (its preimage leg
+carries −1 for each); a dim delete drops its facts from the view; a dim
+insert adopts the already-present facts that reference it (leg 2 finds
+them by the join itself). Dim-key multiplicity (several live dim rows
+per key) multiplies contributions on both the view and the recompute —
+bag-join semantics, the identity holds row-for-row.
+
+Scale shape: leg 2 joins the FULL fact snapshot to a delta-sized dim
+change set — an equi-join AQE resolves to a broadcast-hash join over
+the fact scan whenever ΔD is small (the common case: dims churn
+slowly), so no fact shuffle. Legs 1 and 3 are delta-sized on the fact
+side. The state merge is the same co-partitioned null-safe full-outer
+join as the single-table view.
+
+Scope: COUNT/SUM/AVG measures (the distributive set) plus an optional
+deterministic ``where`` predicate over the joined columns — filtering
+each signed leg row independently preserves the identity (σ distributes
+over signed unions), exactly the predicate-view argument. MIN/MAX and
+COUNT DISTINCT are deliberately not offered here: their selective
+recompute would need the joined relation per unsafe group, a different
+cost model than the single-table scan — define them on a single table
+or materialize the join first.
+
+Storage/commit discipline, state layout, `read` rendering and the
+one-generation retention sweep are inherited from `AggView` unchanged;
+the pointer additionally carries ``dim_root``, the join pairs and the
+dim-side cursor (``applied_dim_snapshot_id``). `fsck` checks both
+cursors.
+
+Reference analog: the reference answers every "subjects per cohort so
+far" question by re-querying joined Postgres tables (`database.py:17-46`
++ the per-study join in `custom_etl.py:73-118`); this module is that
+join made a maintained artifact of the lake.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import SnapshotTable
+from .views import _NONDET_PRED_RE, _PTR, AggView, _nullsafe_eq
+
+
+def _norm_on(on) -> list[tuple[str, str]]:
+    """Normalize the join spec to [(fact_col, dim_col), …]: a dict
+    fact→dim, a list of "fc=dc" / bare shared-name strings, or tuples."""
+    pairs = []
+    if isinstance(on, dict):
+        pairs = list(on.items())
+    else:
+        for item in on:
+            if isinstance(item, str):
+                fc, _, dc = item.partition("=")
+                pairs.append((fc, dc or fc))
+            else:
+                fc, dc = item
+                pairs.append((fc, dc))
+    if not pairs:
+        raise ValueError("join views need at least one join column pair")
+    return [(str(fc), str(dc)) for fc, dc in pairs]
+
+
+class JoinAggView(AggView):
+    """Handle to one materialized join-aggregate view. Lives under the
+    FACT table's ``views/`` directory; the dim side is reopened from the
+    pointer's ``dim_root`` (always the dim's published main line)."""
+
+    _KIND = "join"
+
+    def dim(self) -> SnapshotTable:
+        return SnapshotTable(self.meta()["dim_root"])
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        fact: SnapshotTable,
+        dim: SnapshotTable,
+        name: str,
+        on,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+        n_partitions: int = 1,
+        where: str | None = None,
+    ) -> "JoinAggView":
+        """Define the view and seed it with ONE join + aggregation of the
+        two current snapshots (the only unconditional O(fact) work it
+        ever does). ``on`` maps fact join columns to dim join columns
+        (dict, ``"fc=dc"`` strings, or bare names present on both
+        sides); the join is INNER with plain equality, so NULL join keys
+        never contribute — on either path. Exposed columns are the fact
+        payload plus the dim payload; a name present on BOTH sides is
+        rejected unless it is a same-named join pair (then the single
+        exposed column is the shared key). ``where`` follows the
+        predicate-view contract (deterministic, SQL WHERE null
+        semantics), evaluated over the JOINED columns."""
+        import re
+
+        if where is not None and _NONDET_PRED_RE.search(where):
+            raise ValueError(
+                "where predicate must be deterministic over row values: "
+                "random / clock / input-position functions would evaluate "
+                "differently at seed time vs each refresh and silently "
+                f"drift the view state (predicate: {where!r})"
+            )
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"view name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+            )
+        sum_cols = list(sum_cols or [])
+        group_cols = list(group_cols)
+        pairs = _norm_on(on)
+        fact_cols = [f.name for f in fact.schema().fields]
+        dim_cols = [f.name for f in dim.schema().fields]
+        for fc, dc in pairs:
+            if fc not in fact_cols:
+                raise ValueError(f"join column {fc!r} not in the fact schema")
+            if dc not in dim_cols:
+                raise ValueError(f"join column {dc!r} not in the dim schema")
+        # exposure: fact payload + dim payload; same-named join pairs
+        # collapse to the fact side, any OTHER shared name is ambiguous
+        # in the joined frame (and in `where`) — reject at definition
+        same_key = {fc for fc, dc in pairs if fc == dc}
+        clash = (set(fact_cols) & set(dim_cols)) - same_key
+        if clash:
+            raise ValueError(
+                f"columns on both sides of the join: {sorted(clash)} "
+                "(rename one side, or join on them)"
+            )
+        dim_exposed = [c for c in dim_cols if c not in same_key]
+        exposed = fact_cols + dim_exposed
+        missing = (set(group_cols) | set(sum_cols)) - set(exposed)
+        if missing:
+            raise ValueError(
+                f"view columns not in the joined schema: {sorted(missing)}"
+            )
+        if not group_cols:
+            raise ValueError("at least one group column is required")
+        if set(group_cols) & set(sum_cols):
+            raise ValueError("columns cannot be both group and measure")
+        for lst in (group_cols, sum_cols):
+            if len(set(lst)) != len(lst):
+                raise ValueError("duplicate view columns")
+        bad = {c for c in group_cols + sum_cols if c in ("cnt", "nn") or c.startswith("_")}
+        if bad:
+            raise ValueError(
+                f"view columns collide with state internals: {sorted(bad)}"
+            )
+        fact._require_main("view creation")
+        dim._require_main("join view dim")
+        v = cls(fact, name)
+        if os.path.exists(v._meta_path()):
+            raise ValueError(f"view {name!r} already exists")
+        os.makedirs(v.dir, exist_ok=True)
+        f_sid, d_sid = fact.snapshot_id, dim.snapshot_id
+        meta = {
+            "name": name,
+            "kind": "join",
+            "dim_root": os.path.abspath(dim.root),
+            "on": [list(p) for p in pairs],
+            "fact_cols": fact_cols,
+            "dim_exposed": dim_exposed,
+            "group_cols": group_cols,
+            "sum_cols": sum_cols,
+            "minmax_cols": [],
+            "distinct_cols": [],
+            "where": where,
+            "applied_snapshot_id": f_sid,
+            "applied_dim_snapshot_id": d_sid,
+            "state_dir": None,
+            "n_partitions": n_partitions,
+        }
+        base = v._joined(
+            fact.read(spark, snapshot_id=f_sid).select(*fact_cols),
+            dim.read(spark, snapshot_id=d_sid).select(*dim_cols),
+            meta,
+        )
+        if where is not None:
+            base = base.filter(where)  # raises now on a bad predicate
+        state = base.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
+        )
+        meta["state_dir"] = v._write_state(state, n_partitions, group_cols)
+        v._commit_meta(meta)
+        return v
+
+    # ------------------------------------------------------------------ #
+    # join plumbing
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _joined(f_df: DataFrame, d_df: DataFrame, m: dict) -> DataFrame:
+        """Inner equi-join of a fact-side and a dim-side frame, projected
+        to the exposed columns (plus any extra columns either side
+        carries — the legs ride their weight columns through here)."""
+        pairs = [tuple(p) for p in m["on"]]
+        fact_cols = m["fact_cols"]
+        dim_exposed = m["dim_exposed"]
+        f_extra = [c for c in f_df.columns if c not in fact_cols]
+        d_extra = [c for c in d_df.columns if c not in set(dim_exposed) | {dc for _, dc in pairs}]
+        f = f_df.alias("f")
+        d = d_df.alias("d")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"f.{fc}") == F.col(f"d.{dc}") for fc, dc in pairs],
+        )
+        return f.join(d, cond, "inner").select(
+            *[F.col(f"f.{c}").alias(c) for c in fact_cols + f_extra],
+            *[F.col(f"d.{c}").alias(c) for c in dim_exposed + d_extra],
+        )
+
+    @staticmethod
+    def _weight(alias: str):
+        return (
+            F.when(
+                F.col("_change_type").isin("insert", "update"), F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias(alias)
+        )
+
+    # ------------------------------------------------------------------ #
+    # incremental refresh
+    # ------------------------------------------------------------------ #
+    def refresh(
+        self,
+        spark: SparkSession,
+        to_snapshot_id: int | None = None,
+        to_dim_snapshot_id: int | None = None,
+    ) -> dict:
+        """Fold both windows' classified changes through the three-leg
+        delta join into the state. O(fact deltas + dim deltas + fact
+        rows joined to changed dim keys + view state); the fact table is
+        never re-joined in full. Crash-safe exactly like the base view:
+        immutable state dirs, one pointer swap commits BOTH cursors."""
+        self.table._require_main("view refresh")
+        m = self.meta()
+        self._require_kind(m)
+        dim = self.dim()
+        f_from, d_from = m["applied_snapshot_id"], m["applied_dim_snapshot_id"]
+        f_to = self.table.snapshot_id if to_snapshot_id is None else to_snapshot_id
+        d_to = dim.snapshot_id if to_dim_snapshot_id is None else to_dim_snapshot_id
+        if f_to < f_from or d_to < d_from:
+            raise ValueError(
+                f"view {self.name!r} is at (fact {f_from}, dim {d_from}), "
+                f"ahead of ({f_to}, {d_to}) — roll forward only"
+            )
+        if f_to == f_from and d_to == d_from:
+            return {
+                "view": self.name,
+                "applied_snapshot_id": f_from,
+                "applied_dim_snapshot_id": d_from,
+                "groups": 0,
+            }
+        group_cols, sum_cols = m["group_cols"], m["sum_cols"]
+        dF = dD = None
+        cached = []
+        try:
+            if f_to > f_from:
+                dF = self.table.classified_changes(spark, f_from, f_to).select(
+                    *m["fact_cols"], self._weight("_wf")
+                )
+            if d_to > d_from:
+                dD = dim.classified_changes(spark, d_from, d_to).select(
+                    *[
+                        f.name for f in dim.schema(d_to).fields
+                        if f.name
+                        in set(m["dim_exposed"]) | {dc for _, dc in m["on"]}
+                    ],
+                    self._weight("_wd"),
+                )
+            if dF is not None and dD is not None:
+                # each delta feeds two legs; on the snapshot-diff path a
+                # classified feed is a two-state bucket scan — compute once
+                dF = dF.persist()
+                dD = dD.persist()
+                cached = [dF, dD]
+            dim_payload = [
+                f.name for f in dim.schema(d_to).fields
+                if f.name in set(m["dim_exposed"]) | {dc for _, dc in m["on"]}
+            ]
+            legs = []
+            if dF is not None:
+                d_new = dim.read(spark, snapshot_id=d_to).select(*dim_payload)
+                legs.append(
+                    self._joined(dF, d_new, m).withColumn("_w", F.col("_wf"))
+                )
+            if dD is not None:
+                # AQE broadcasts the delta-sized dim side — the fact scan
+                # joins without a shuffle in the common small-churn case
+                f_new = self.table.read(spark, snapshot_id=f_to).select(
+                    *m["fact_cols"]
+                )
+                legs.append(
+                    self._joined(f_new, dD, m).withColumn("_w", F.col("_wd"))
+                )
+            if dF is not None and dD is not None:
+                legs.append(
+                    self._joined(dF, dD, m).withColumn(
+                        "_w", -F.col("_wf") * F.col("_wd")
+                    )
+                )
+            exposed = m["fact_cols"] + m["dim_exposed"]
+            ch = reduce(
+                DataFrame.unionByName,
+                [leg.select(*exposed, "_w") for leg in legs],
+            )
+            if m.get("where") is not None:
+                # signed leg rows filter INDEPENDENTLY — σ distributes
+                # over the signed union, same as single-table predicate
+                # views
+                ch = ch.filter(m["where"])
+            delta = ch.groupBy(*group_cols).agg(
+                F.sum("_w").alias("_d_cnt"),
+                *[
+                    F.sum(F.col("_w") * F.col(c)).alias(f"_d_sum_{c}")
+                    for c in sum_cols
+                ],
+                *[
+                    F.sum(
+                        F.col("_w") * F.col(c).isNotNull().cast("long")
+                    ).alias(f"_d_nn_{c}")
+                    for c in sum_cols
+                ],
+            )
+            # state merge: identical to the base view's cnt/sum/nn fold
+            # (null-safe full outer on the group columns, presence marker
+            # for NULL groups, sums widened back to the stored types)
+            s = self.state(spark).withColumn("_in_s", F.lit(1)).alias("s")
+            d = delta.alias("d")
+            j = s.join(d, _nullsafe_eq("s", "d", group_cols), "full_outer")
+            pick = lambda gcol: F.when(  # noqa: E731
+                F.col("_in_s").isNotNull(), F.col(f"s.{gcol}")
+            ).otherwise(F.col(f"d.{gcol}"))
+            state_types = {
+                f.name: f.dataType for f in self.state(spark).schema.fields
+            }
+            merged = j.select(
+                *[pick(gcol).alias(gcol) for gcol in group_cols],
+                (
+                    F.coalesce(F.col("s.cnt"), F.lit(0))
+                    + F.coalesce(F.col("d._d_cnt"), F.lit(0))
+                ).alias("cnt"),
+                *[
+                    (
+                        F.coalesce(
+                            F.col(f"s.sum_{c}"),
+                            F.lit(0).cast(state_types[f"sum_{c}"]),
+                        )
+                        + F.coalesce(
+                            F.col(f"d._d_sum_{c}"),
+                            F.lit(0).cast(state_types[f"sum_{c}"]),
+                        )
+                    )
+                    .cast(state_types[f"sum_{c}"])
+                    .alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                *[
+                    (
+                        F.coalesce(F.col(f"s.nn_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d._d_nn_{c}"), F.lit(0))
+                    ).alias(f"nn_{c}")
+                    for c in sum_cols
+                ],
+            ).filter(F.col("cnt") > 0)
+            sdir = self._write_state(merged, m.get("n_partitions", 1), group_cols)
+            changed = spark.read.parquet(os.path.join(self.dir, sdir)).count()
+            self._commit_meta(
+                {
+                    **m,
+                    "applied_snapshot_id": f_to,
+                    "applied_dim_snapshot_id": d_to,
+                    "state_dir": sdir,
+                    "prev_state_dir": m["state_dir"],
+                }
+            )
+            live = {sdir, m["state_dir"]}
+            for fn in os.listdir(self.dir):
+                if fn.startswith("state-") and fn not in live:
+                    shutil.rmtree(os.path.join(self.dir, fn), ignore_errors=True)
+            return {
+                "view": self.name,
+                "applied_snapshot_id": f_to,
+                "applied_dim_snapshot_id": d_to,
+                "from_snapshot_id": f_from,
+                "from_dim_snapshot_id": d_from,
+                "groups": changed,
+            }
+        finally:
+            for c in cached:
+                c.unpersist()
+
+    # ------------------------------------------------------------------ #
+    # audit
+    # ------------------------------------------------------------------ #
+    def verify(self, spark: SparkSession) -> dict:
+        """Audit: re-run the join + aggregation at the view's applied
+        (fact, dim) snapshot pair and compare with the stored state.
+        O(fact) by design; needs both snapshots retained."""
+        m = self.meta()
+        self._require_kind(m)
+        sum_cols = m["sum_cols"]
+        dim = self.dim()
+        dim_payload = [
+            f.name
+            for f in dim.schema(m["applied_dim_snapshot_id"]).fields
+            if f.name in set(m["dim_exposed"]) | {dc for _, dc in m["on"]}
+        ]
+        base = self._joined(
+            self.table.read(spark, snapshot_id=m["applied_snapshot_id"]).select(
+                *m["fact_cols"]
+            ),
+            dim.read(spark, snapshot_id=m["applied_dim_snapshot_id"]).select(
+                *dim_payload
+            ),
+            m,
+        )
+        if m.get("where") is not None:
+            base = base.filter(m["where"])
+        expected = base.groupBy(*m["group_cols"]).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[F.count(c).alias(f"nn_{c}") for c in sum_cols],
+        )
+        got = self.state(spark).select(*expected.columns)
+        extra = got.exceptAll(expected).count()
+        missing = expected.exceptAll(got).count()
+        return {
+            "view": self.name,
+            "applied_snapshot_id": m["applied_snapshot_id"],
+            "applied_dim_snapshot_id": m["applied_dim_snapshot_id"],
+            "groups": got.count(),
+            "extra_rows": extra,
+            "missing_rows": missing,
+            "ok": extra == 0 and missing == 0,
+        }
+
+
+def open_view(table: SnapshotTable, name: str) -> AggView:
+    """Open a view by name with the class matching its stored kind."""
+    v = AggView(table, name)
+    if not os.path.exists(os.path.join(v.dir, _PTR)):
+        raise FileNotFoundError(f"view {name!r} does not exist")
+    if v.meta().get("kind", "agg") == "join":
+        return JoinAggView(table, name)
+    return v

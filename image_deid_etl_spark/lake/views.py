@@ -106,10 +106,24 @@ def _nullsafe_eq(left: str, right: str, cols: list[str]):
 class AggView:
     """Handle to one materialized aggregate view of a `SnapshotTable`."""
 
+    _KIND = "agg"  # meta "kind"; join views (`lake.join_views`) override
+
     def __init__(self, table: SnapshotTable, name: str):
         self.table = table
         self.name = name
         self.dir = os.path.join(table.root, VIEWS, name)
+
+    def _require_kind(self, m: dict) -> None:
+        """A single-table handle driving a join view's state (or vice
+        versa) would fold the wrong delta rule over it — reject before
+        touching anything. `open_view` picks the right class."""
+        kind = m.get("kind", "agg")
+        if kind != self._KIND:
+            raise ValueError(
+                f"view {self.name!r} is kind={kind!r}; open it with "
+                f"{'JoinAggView' if kind == 'join' else 'AggView'} "
+                "(lake.join_views.open_view dispatches)"
+            )
 
     # ------------------------------------------------------------------ #
     # pointer IO (the view's `_current`)
@@ -358,6 +372,7 @@ class AggView:
         this is the incident tool, not the refresh path. Requires the
         applied snapshot to still be retained."""
         m = self.meta()
+        self._require_kind(m)
         sid = m["applied_snapshot_id"]
         sum_cols, mm_cols = m["sum_cols"], m.get("minmax_cols", [])
         d_cols = m.get("distinct_cols", [])
@@ -400,6 +415,7 @@ class AggView:
         still-pointed previous state."""
         self.table._require_main("view refresh")
         m = self.meta()
+        self._require_kind(m)
         frm = m["applied_snapshot_id"]
         to_id = self.table.snapshot_id if to_snapshot_id is None else to_snapshot_id
         if to_id < frm:

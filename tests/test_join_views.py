@@ -1,0 +1,294 @@
+"""Join views (`lake.join_views.JoinAggView`): delta-maintained
+aggregates over fact ⋈ dim, refreshed from BOTH tables' change feeds.
+
+Every test pins the one invariant that matters: after any mix of
+fact-side and dim-side churn, `read` equals the full recompute
+σ(F ⋈ D) → groupBy → agg at the view's applied snapshot pair."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into, update_where
+from image_deid_etl_spark.lake.join_views import JoinAggView, open_view
+from image_deid_etl_spark.lake.table import SnapshotTable
+from image_deid_etl_spark.lake.views import AggView
+
+from tests.test_delete import offsets  # noqa: F401
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("fk", T.StringType(), True),
+    ]
+)
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("fk", T.StringType(), False),
+        T.StructField("slot", T.LongType(), False),
+        T.StructField("region", T.StringType(), True),
+        T.StructField("boost", T.LongType(), True),
+    ]
+)
+
+
+def fact_batch(spark, rows):
+    """rows: (seq, op, repo, path, ts, fk)"""
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+        ]
+        + FACT_SCHEMA.fields
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def dim_batch(spark, rows):
+    """rows: (seq, op, fk, slot, region, boost)"""
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+        ]
+        + DIM_SCHEMA.fields
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def make_pair(spark, tmp_path, properties=None):
+    """Fact: 24 rows across 5 repos, fk = k0..k3 round-robin (+ one NULL
+    fk row). Dim: k0..k2 present (k3 dangling on the fact side),
+    regions A/A/B, slot 0."""
+    fact = SnapshotTable.create(
+        str(tmp_path / "fact"), FACT_SCHEMA, ["repo", "path"], 4,
+        properties=properties,
+    )
+    rows = [
+        (i + 1, "add", f"repo{i % 5}", f"p{i}", i * 10, f"k{i % 4}")
+        for i in range(24)
+    ] + [(25, "add", "repo0", "pnull", 999, None)]
+    merge_into(spark, fact, fact_batch(spark, rows), offsets(1), scrub=False)
+    dim = SnapshotTable.create(
+        str(tmp_path / "dim"), DIM_SCHEMA, ["fk", "slot"], 2,
+        properties=properties,
+    )
+    merge_into(
+        spark, dim,
+        dim_batch(spark, [
+            (1, "add", "k0", 0, "A", 1),
+            (2, "add", "k1", 0, "A", 5),
+            (3, "add", "k2", 0, "B", 9),
+        ]),
+        offsets(1), scrub=False,
+    )
+    return fact, dim
+
+
+def recompute(spark, fact, dim, where=None, group=("region",), sums=("ts",)):
+    f = fact.read(spark).select("repo", "path", "ts", "fk").alias("f")
+    d = dim.read(spark).select("fk", "slot", "region", "boost").alias("d")
+    j = f.join(d, F.col("f.fk") == F.col("d.fk"), "inner").select(
+        F.col("f.repo").alias("repo"),
+        F.col("f.path").alias("path"),
+        F.col("f.ts").alias("ts"),
+        F.col("f.fk").alias("fk"),
+        F.col("d.slot").alias("slot"),
+        F.col("d.region").alias("region"),
+        F.col("d.boost").alias("boost"),
+    )
+    if where:
+        j = j.filter(where)
+    return j.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sums],
+    )
+
+
+def rows_of(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda tp: tuple((x is None, x) for x in tp),
+    )
+
+
+def assert_parity(spark, v, fact, dim, where=None, group=("region",), sums=("ts",)):
+    exp = recompute(spark, fact, dim, where=where, group=group, sums=sums)
+    got = v.read(spark).select(*exp.columns)
+    assert rows_of(got) == rows_of(exp)
+
+
+def test_join_view_fact_churn(spark, tmp_path):
+    fact, dim = make_pair(spark, tmp_path)
+    v = JoinAggView.create(
+        spark, fact, dim, "by_region", ["fk"], ["region"], ["ts"]
+    )
+    assert_parity(spark, v, fact, dim)
+    # inserts: one joining k0, one referencing the dangling k3 (stays
+    # out), one NULL fk (never joins)
+    merge_into(
+        spark, fact,
+        fact_batch(spark, [
+            (100, "add", "repo0", "new0", 1000, "k0"),
+            (101, "add", "repo1", "new1", 2000, "k3"),
+            (102, "add", "repo2", "new2", 3000, None),
+        ]),
+        offsets(2), scrub=False,
+    )
+    # fk move: repo0/p0 k0 -> k2 (region A -> B); payload update in
+    # place; delete a joined row
+    update_where(spark, fact, set={"fk": "'k2'"}, condition="path = 'p0'")
+    update_where(spark, fact, set={"ts": "ts + 7"}, condition="path = 'p1'")
+    delete_where(spark, fact, condition="path = 'p2'")
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim)
+    assert v.verify(spark)["ok"]
+    # no-op refresh
+    rep = v.refresh(spark)
+    assert rep["groups"] == 0
+
+
+def test_join_view_dim_churn(spark, tmp_path):
+    fact, dim = make_pair(spark, tmp_path)
+    v = JoinAggView.create(
+        spark, fact, dim, "by_region", ["fk"], ["region"], ["ts", "boost"]
+    )
+    # dim attribute update moves EVERY joined k1 fact from A to B
+    update_where(spark, dim, set={"region": "'B'"}, condition="fk = 'k1'")
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim, sums=("ts", "boost"))
+    # dim delete orphans k2 facts; dim insert ADOPTS the pre-existing k3
+    # facts (leg 2 finds them without touching the fact change feed)
+    delete_where(spark, dim, condition="fk = 'k2'")
+    merge_into(
+        spark, dim,
+        dim_batch(spark, [(50, "add", "k3", 0, "C", 2)]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim, sums=("ts", "boost"))
+    assert v.verify(spark)["ok"]
+
+
+def test_join_view_both_sides_and_multiplicity(spark, tmp_path):
+    fact, dim = make_pair(spark, tmp_path)
+    v = JoinAggView.create(
+        spark, fact, dim, "by_region", ["fk"], ["region"], ["ts"]
+    )
+    # one window, churn on BOTH sides incl. the same key k0: fact adds a
+    # k0 row and moves one k0 row away; dim re-regions k0 AND gains a
+    # second slot for k1 (each k1 fact now joins TWICE); plus a brand-new
+    # key k9 on both sides at once (the ΔF⋈ΔD leg corrects the double
+    # count)
+    merge_into(
+        spark, fact,
+        fact_batch(spark, [
+            (200, "add", "repo0", "b0", 500, "k0"),
+            (201, "add", "repo1", "b9", 700, "k9"),
+        ]),
+        offsets(2), scrub=False,
+    )
+    update_where(spark, fact, set={"fk": "'k1'"}, condition="path = 'p4'")
+    update_where(spark, dim, set={"region": "'Z'"}, condition="fk = 'k0'")
+    merge_into(
+        spark, dim,
+        dim_batch(spark, [
+            (60, "add", "k1", 1, "B", 3),
+            (61, "add", "k9", 0, "Q", 4),
+        ]),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim)
+    assert v.verify(spark)["ok"]
+    # dim-side delete of one slot halves k1 multiplicity again
+    delete_where(spark, dim, condition="fk = 'k1' AND slot = 1")
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim)
+
+
+def test_join_view_where_mixed_predicate(spark, tmp_path):
+    fact, dim = make_pair(spark, tmp_path)
+    pred = "ts >= 60 AND boost > 1"
+    v = JoinAggView.create(
+        spark, fact, dim, "hot", ["fk"], ["region"], ["ts"], where=pred,
+    )
+    assert_parity(spark, v, fact, dim, where=pred)
+    # fact-side boundary moves (ts across 60) and dim-side boundary moves
+    # (boost across 1) in one window
+    update_where(spark, fact, set={"ts": "ts + 100"}, condition="path = 'p3'")
+    update_where(spark, fact, set={"ts": "5"}, condition="path = 'p13'")
+    update_where(spark, dim, set={"boost": "0"}, condition="fk = 'k2'")
+    update_where(spark, dim, set={"boost": "8"}, condition="fk = 'k0'")
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim, where=pred)
+    assert v.verify(spark)["ok"]
+
+
+def test_join_view_changelog_fold_path(spark, tmp_path):
+    """Parity when both windows are served by materialized logs (the
+    fold path) rather than the snapshot diff."""
+    fact, dim = make_pair(spark, tmp_path, properties={"changelog": "true"})
+    fact.materialize_changelog(spark)
+    dim.materialize_changelog(spark)
+    v = JoinAggView.create(
+        spark, fact, dim, "by_region", ["fk"], ["region"], ["ts"]
+    )
+    merge_into(
+        spark, fact,
+        fact_batch(spark, [(300, "add", "repo3", "c1", 400, "k2")]),
+        offsets(2), scrub=False,
+    )
+    fact.materialize_changelog(spark)
+    update_where(spark, dim, set={"region": "'D'"}, condition="fk = 'k2'")
+    v.refresh(spark)
+    assert_parity(spark, v, fact, dim)
+    assert v.verify(spark)["ok"]
+
+
+def test_join_view_validation_and_dispatch(spark, tmp_path):
+    fact, dim = make_pair(spark, tmp_path)
+    # ambiguous shared column: build a dim whose payload collides with a
+    # fact column that is NOT the join pair
+    clash_dim = SnapshotTable.create(
+        str(tmp_path / "clash"),
+        T.StructType(
+            [
+                T.StructField("fk", T.StringType(), False),
+                T.StructField("ts", T.LongType(), True),
+            ]
+        ),
+        ["fk"], 2,
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        JoinAggView.create(spark, fact, clash_dim, "bad", ["fk"], ["fk"], [])
+    with pytest.raises(ValueError, match="not in the fact"):
+        JoinAggView.create(spark, fact, dim, "bad", [("nope", "fk")], ["region"], [])
+    with pytest.raises(ValueError, match="deterministic"):
+        JoinAggView.create(
+            spark, fact, dim, "bad", ["fk"], ["region"], [],
+            where="rand() < 0.5",
+        )
+    with pytest.raises(ValueError, match="joined schema"):
+        JoinAggView.create(spark, fact, dim, "bad", ["fk"], ["nocol"], [])
+    v = JoinAggView.create(spark, fact, dim, "jv", ["fk"], ["region"], ["ts"])
+    # kind guards, both directions
+    with pytest.raises(ValueError, match="kind"):
+        AggView(fact, "jv").refresh(spark)
+    with pytest.raises(ValueError, match="kind"):
+        AggView(fact, "jv").verify(spark)
+    av = AggView.create(spark, fact, "plain", ["repo"], ["ts"])
+    with pytest.raises(ValueError, match="kind"):
+        JoinAggView(fact, "plain").refresh(spark)
+    # open_view dispatches on stored kind
+    assert isinstance(open_view(fact, "jv"), JoinAggView)
+    assert type(open_view(fact, "plain")) is AggView
+    with pytest.raises(FileNotFoundError):
+        open_view(fact, "ghost")
+    with pytest.raises(ValueError, match="already exists"):
+        JoinAggView.create(spark, fact, dim, "jv", ["fk"], ["region"], [])
+    assert av.verify(spark)["ok"]
