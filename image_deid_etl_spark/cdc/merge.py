@@ -979,13 +979,18 @@ def merge_into(
             raise SimulatedCrash("crash injected between apply and commit")
 
         # -- atomic commit: files + offsets + (maybe) evolved schema ----------
-        snap = table.commit_snapshot(
+        # optimistic-concurrency: anchored at `parent_snapshot`; an
+        # intervening commit that provably touched only OTHER buckets
+        # (e.g. a concurrent compaction) is rebased over, a genuine
+        # conflict — our buckets, the feed cursor, the partition spec —
+        # raises ConcurrentCommitError for the caller to re-plan
+        snap = table.commit_snapshot_optimistic(
+            parent_snapshot,
             new_files=entries,
             replaced_paths=matched_rel,
             offsets=offsets,
             schema=new_schema if evolved else None,
             started_at=started,
-            expected_parent=parent_snapshot,
             entry_updates=bloom_updates,
             lineage_extra={
                 "match_sec": round(t_match, 3),
@@ -1190,7 +1195,6 @@ def update_where(
     }
 
     anchor = table.snapshot_id  # BEFORE the scan (see docstring)
-    offsets = table.offsets()
     started = time.time()
     if where:
         where = {c: (_utc_bound(lo), _utc_bound(hi)) for c, (lo, hi) in where.items()}
@@ -1306,12 +1310,15 @@ def update_where(
             live_u.unpersist()
     if fail_before_commit:
         raise SimulatedCrash("crash injected between apply and commit")
-    snap = table.commit_snapshot(
+    # data-only commit: offsets=None carries the PARENT's cursor, so an
+    # optimistic rebase over a concurrent disjoint-bucket ingest adopts
+    # its advanced offsets instead of clobbering them
+    snap = table.commit_snapshot_optimistic(
+        anchor,
         new_files=new_entries,
-        offsets=offsets,
+        offsets=None,
         replaced_paths=replaced,
         started_at=started,
-        expected_parent=anchor,
         lineage_extra={
             "update_where": True,
             "rows_updated": n,

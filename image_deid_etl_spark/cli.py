@@ -307,7 +307,9 @@ def cmd_expire(args) -> None:
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
     res = table.expire_snapshots(
-        keep_last=args.keep_last, changelog_keep_last=args.changelog_keep_last
+        keep_last=args.keep_last,
+        changelog_keep_last=args.changelog_keep_last,
+        orphan_grace_s=args.orphan_grace,
     )
     print(json.dumps(res))
 
@@ -876,6 +878,11 @@ def main(argv: list[str] | None = None) -> None:
         help="also drop per-commit change logs older than the last N "
              "commits (default: keep all — CDC retention is decoupled "
              "from snapshot retention)",
+    )
+    x.add_argument(
+        "--orphan-grace", type=float, default=600.0,
+        help="skip orphan attempt dirs modified within this many seconds "
+             "(protects in-flight optimistic writers); 0 = sweep all",
     )
     x.set_defaults(fn=cmd_expire)
 

@@ -53,8 +53,10 @@ that folds the resulting small files back together per bucket.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -258,6 +260,36 @@ def _with_diff_identity(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFram
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced the table between apply and commit."""
+
+
+#: one re-entrant lock per table root: makes the manifest-read → pointer-swap
+#: section of a commit atomic WITHIN a process, so the common deployment — an
+#: ingest thread plus a maintenance/compaction thread sharing one driver —
+#: gets true commit atomicity. Cross-PROCESS writers still rely on the
+#: documented best-effort CAS (`expected_parent`) + `commit_snapshot_optimistic`
+#: rebase, exactly like Iceberg's optimistic loop against a non-locking catalog.
+_COMMIT_LOCKS: dict[str, threading.RLock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(root: str) -> threading.RLock:
+    key = os.path.realpath(root)
+    with _COMMIT_LOCKS_GUARD:
+        lock = _COMMIT_LOCKS.get(key)
+        if lock is None:
+            lock = _COMMIT_LOCKS[key] = threading.RLock()
+        return lock
+
+
+def _with_commit_lock(fn):
+    """Serialize pointer-moving sections (commit, publish, drop) per root."""
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        with _commit_lock(self.root):
+            return fn(self, *args, **kwargs)
+
+    return inner
 
 
 def bucket_expr(n_buckets: int, cols: list[str]):
@@ -1016,6 +1048,7 @@ class SnapshotTable:
             out[name] = {"base": info["base"], "head": head}
         return out
 
+    @_with_commit_lock
     def publish_branch(self, name: str, spark: SparkSession | None = None) -> dict:
         """Atomically fast-forward the published table to the branch
         head (the WAP publish). Requires the published head to still be
@@ -1065,6 +1098,7 @@ class SnapshotTable:
                     self.materialize_changelog(spark, sid)
         return {"published": name, "snapshot_id": head, "commits": head - base}
 
+    @_with_commit_lock
     def drop_branch(self, name: str) -> dict:
         """Abandon a branch: remove its ref + pointer, then eagerly
         delete everything its commits wrote — manifests, lineage,
@@ -2072,6 +2106,146 @@ class SnapshotTable:
             updates[e["path"]] = upd
         return updates
 
+    def _rebase_conflict(
+        self,
+        base_snapshot: int,
+        head: dict,
+        write_buckets: set[int],
+        *,
+        advances_offsets: bool,
+        evolves_schema: bool,
+        sets_properties: bool,
+    ) -> str | None:
+        """Why a commit computed against ``base_snapshot`` must NOT be
+        replayed on top of ``head`` — or ``None`` when the rebase is
+        provably safe.
+
+        The bucket check is exact and O(n_buckets): a carried bucket
+        keeps its manifest shard NAME, and every path that changes a
+        bucket's state (new files, replaced files, unresolved-mark
+        add/remove, metadata-only resolve) rewrites its shard under a
+        fresh name — so ``base.shard[b] == head.shard[b]`` proves bucket
+        ``b``'s files and version-resolution state are byte-identical
+        between the two snapshots.
+        """
+        try:
+            bm = self.manifest(base_snapshot, with_files=False)
+        except (FileNotFoundError, ValueError):
+            return f"base snapshot {base_snapshot} is no longer resolvable"
+        if "file_shards" not in bm or "file_shards" not in head:
+            return "legacy inline-files manifest (single-writer only)"
+        if head["partition_spec"] != bm["partition_spec"]:
+            return "partition spec changed concurrently (rebucket)"
+        if evolves_schema and head["schema_version"] != bm["schema_version"]:
+            # OUR evolution was computed from the base schema; replaying it
+            # could silently drop columns the intervening evolution added.
+            # (A NON-evolving commit tolerates intervening adds/widening:
+            # it carries the head's schema, and its parquet files read
+            # fine under the wider schema — missing columns scan as null,
+            # narrower types up-cast.)
+            return "schema evolved concurrently"
+        if advances_offsets and head["offsets"] != bm["offsets"]:
+            return "feed cursor advanced concurrently (second ingest writer)"
+        if sets_properties and head["properties"] != bm["properties"]:
+            return "table properties changed concurrently"
+        bs, hs = bm["file_shards"], head["file_shards"]
+        clash = sorted(b for b in write_buckets if bs.get(str(b)) != hs.get(str(b)))
+        if clash:
+            return f"buckets {clash[:8]} changed concurrently"
+        return None
+
+    def commit_snapshot_optimistic(
+        self, base_snapshot: int, *, max_rebases: int = 5, **kwargs
+    ) -> int:
+        """Optimistic-concurrency commit: `commit_snapshot` anchored at
+        ``base_snapshot``, with Iceberg-style retry when another writer
+        advanced the table first.
+
+        On `ConcurrentCommitError` the conflict validator
+        (`_rebase_conflict`) decides whether the commit's effects are
+        independent of everything that landed in ``(base, head]`` — same
+        partition spec, untouched shard names for every bucket this
+        commit writes or replaces, cursor/schema/properties rules — and
+        if so simply retries at the new head: `commit_snapshot` re-reads
+        the parent manifest at call time, so carried buckets, offsets
+        default, seq_high and scrub_dirty all fold against the head.
+        A genuine conflict raises with the reason; the caller re-plans
+        (re-runs the whole operation) or surfaces the error.
+
+        Offsets rule: a commit whose explicit ``offsets`` equal the base
+        snapshot's (compact / delete / update — "carry the cursor
+        unchanged") is re-expressed as carry-parent, so a rebase adopts
+        the head's advanced cursor instead of clobbering it. An ingest
+        commit (offsets genuinely advance) conflicts with any concurrent
+        cursor move — two writers draining one feed is never safe.
+
+        This makes the classic concurrent pair — ingest loop + a
+        maintenance/compaction daemon — converge without coordination.
+        """
+        if "expected_parent" in kwargs:
+            raise ValueError(
+                "commit_snapshot_optimistic manages expected_parent itself"
+            )
+        write_buckets: set[int] = set(kwargs.get("touched_buckets") or ())
+        for e in kwargs.get("new_files") or ():
+            write_buckets.add(e["bucket"])
+        write_buckets |= set(kwargs.get("unresolved_add") or ())
+        write_buckets |= set(kwargs.get("unresolved_remove") or ())
+        unparseable = False
+        for p in kwargs.get("replaced_paths") or ():
+            b = self._bucket_of_path(p)
+            if b is None:
+                unparseable = True
+            else:
+                write_buckets.add(b)
+        advances_offsets = kwargs.get("offsets") is not None
+        if advances_offsets:
+            try:
+                base_off = self.manifest(base_snapshot, with_files=False)["offsets"]
+            except (FileNotFoundError, ValueError):
+                base_off = None  # refused later by _rebase_conflict
+            if kwargs["offsets"] == base_off:
+                kwargs["offsets"] = None  # data-only: carry the head's cursor
+                advances_offsets = False
+        evolves_schema = kwargs.get("schema") is not None
+        sets_properties = kwargs.get("properties") is not None
+        attempt = base_snapshot
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_rebases + 1):
+            try:
+                return self.commit_snapshot(expected_parent=attempt, **kwargs)
+            except ConcurrentCommitError as e:
+                last = e
+                head = self.manifest(with_files=False)
+                if head["snapshot_id"] == attempt:
+                    # the pointer did NOT move: this is a guard (sid staged
+                    # on a branch, stale branch line), not a commit race —
+                    # no rebase can clear it, surface it verbatim
+                    raise
+                reason = (
+                    "replaced file outside the bucket layout"
+                    if unparseable
+                    else self._rebase_conflict(
+                        base_snapshot,
+                        head,
+                        write_buckets,
+                        advances_offsets=advances_offsets,
+                        evolves_schema=evolves_schema,
+                        sets_properties=sets_properties,
+                    )
+                )
+                if reason is not None:
+                    raise ConcurrentCommitError(
+                        f"cannot rebase commit (base snapshot {base_snapshot}) "
+                        f"onto head {head['snapshot_id']}: {reason}"
+                    ) from e
+                attempt = head["snapshot_id"]
+        raise ConcurrentCommitError(
+            f"gave up after {max_rebases} rebases; table under heavy "
+            "concurrent write load"
+        ) from last
+
+    @_with_commit_lock
     def commit_snapshot(
         self,
         new_files: list[dict],
@@ -2101,11 +2275,16 @@ class SnapshotTable:
         metadata earned since the parent manifest (lazily built bloom
         sidecars) into the carried entries.
 
-        The table is SINGLE-WRITER by design (like the reference's one
-        cron-driven pipeline); ``expected_parent`` adds an optimistic
-        check so a second writer fails loudly instead of silently
-        clobbering the pointer (Iceberg-style compare-and-swap — here
-        best-effort, since POSIX rename can't truly CAS).
+        Concurrency: ``expected_parent`` is the optimistic check — a
+        second writer fails loudly (`ConcurrentCommitError`) instead of
+        silently clobbering the pointer. `commit_snapshot_optimistic`
+        layers Iceberg-style validate-and-retry on top so provably
+        disjoint writers (ingest + compaction daemon) converge without
+        coordination. In-process the whole read→swap section holds the
+        per-root commit lock (true atomicity for multi-threaded
+        drivers); cross-process the check is best-effort, since POSIX
+        rename can't truly CAS (the reference's deployment is one
+        cron-driven pipeline: `__main__.py:98-133`).
 
         ``unresolved_add`` marks buckets whose new files may hold
         superseded key versions (MoR / adaptive appends);
@@ -2363,9 +2542,15 @@ class SnapshotTable:
         entries = self.write_snapshot_files(
             df, self.snapshot_id + 1, cluster_by=cluster_by
         )
-        self.commit_snapshot(
+        # optimistic data-only commit (offsets=None carries the parent's
+        # cursor): a compaction daemon racing the ingest loop rebases
+        # cleanly as long as the ingest landed in other buckets; a clash
+        # on a compacted bucket raises and the caller just re-runs —
+        # compaction is re-plannable by construction
+        self.commit_snapshot_optimistic(
+            m["snapshot_id"],
             new_files=entries,
-            offsets=self.offsets(),
+            offsets=None,
             replaced_paths=replaced,
             lineage_extra={
                 "compaction": True,
@@ -2373,7 +2558,6 @@ class SnapshotTable:
                 **({"cluster_by": cluster_by} if cluster_by else {}),
             },
             started_at=started,
-            expected_parent=m["snapshot_id"],
             # a version-resolving rewrite leaves its buckets one-row-per-
             # key: clear them from the unresolved set (base rows reset in
             # commit_snapshot)
@@ -2606,7 +2790,10 @@ class SnapshotTable:
         }
 
     def expire_snapshots(
-        self, keep_last: int = 2, changelog_keep_last: int | None = None
+        self,
+        keep_last: int = 2,
+        changelog_keep_last: int | None = None,
+        orphan_grace_s: float = 600.0,
     ) -> dict:
         """Maintenance GC: drop old snapshot manifests and delete data files
         no retained snapshot references (Iceberg `expireSnapshots` analog).
@@ -2621,6 +2808,16 @@ class SnapshotTable:
         the changelog (CDC consumers fold windows whose interior
         snapshots are gone; retention is decoupled, as in Delta CDF).
         Pass an int to also drop logs older than the last N commits.
+
+        ``orphan_grace_s``: the orphan data-file sweep skips attempt
+        directories modified within this window. An optimistic writer
+        mid-rebase has files on disk whose target snapshot id is already
+        <= current (a competitor won the id) but whose commit is about
+        to reference them at head+1 — the id test alone would reclaim
+        them out from under it. Age is the discriminator (Iceberg's
+        ``remove_orphan_files`` ``older_than`` horizon): anything still
+        unreferenced after the grace has no live writer. Pass 0 to force
+        the old id-only behavior (tests / known-quiescent tables).
         """
         self._require_main("expire_snapshots")
         snaps = self.snapshots()
@@ -2720,12 +2917,18 @@ class SnapshotTable:
         orphan_files = 0
         ddir = os.path.join(self.root, DATA)
         if os.path.isdir(ddir):
+            now = time.time()
             for dname in sorted(os.listdir(ddir)):
                 m = re.match(r"snap-(\d{10})-", dname)
                 if not m or int(m.group(1)) > current:
                     continue
                 droot = os.path.join(ddir, dname)
                 if not os.path.isdir(droot):
+                    continue
+                try:
+                    if now - os.path.getmtime(droot) < orphan_grace_s:
+                        continue  # possibly an in-flight rebasing writer
+                except OSError:
                     continue
                 kept_any = False
                 for dirpath, _dirs, fnames in os.walk(droot):

@@ -1,0 +1,330 @@
+"""Multi-writer optimistic concurrency (`commit_snapshot_optimistic`).
+
+The engine's commit is an Iceberg-style optimistic loop: a commit
+computed against a base snapshot that loses the pointer race is REBASED
+onto the new head when the conflict validator proves independence —
+same partition spec, untouched shard names for every bucket the commit
+writes or replaces, no concurrent feed-cursor move when this commit
+advances the cursor. A genuine conflict raises `ConcurrentCommitError`
+for the caller to re-plan. These tests pin:
+
+* the classic concurrent pair — ingest loop + compaction daemon — in
+  both directions and both outcomes (rebase vs refuse);
+* the data-only offsets rule (a rebased compact/update adopts the
+  head's advanced cursor instead of clobbering it);
+* refusal on partition-spec / schema / cursor races;
+* a threaded ingest-vs-compaction run converging to the pandas oracle;
+* the expire orphan-sweep grace window that protects in-flight
+  optimistic writers' attempt dirs.
+
+Reference analog: the reference runs ONE cron pipeline
+(`__main__.py:98-133`); this is the multi-writer generalization a
+shared 100 TB table needs (ingest + maintenance daemons).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pandas as pd
+import pytest
+
+from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.merge import merge_into, update_where
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+from image_deid_etl_spark.lake.table import (
+    ConcurrentCommitError,
+    SnapshotTable,
+    bucket_expr,
+)
+
+from tests.test_delete import batch_df, make_table, offsets  # noqa: F401
+from tests.test_e2e_slice import engine_state
+from tests.test_table import SCHEMA, _fake_entry
+from tests.test_update import rows_by_path
+
+
+def _buckets_of(spark, paths: list[str], n: int = 4) -> dict[str, int]:
+    """Key → bucket id under the engine's own hash (probe via Spark —
+    xxhash64 has no cheap Python twin)."""
+    df = spark.createDataFrame(
+        [("r", p) for p in paths], "repo string, path string"
+    )
+    return {
+        r["path"]: r["b"]
+        for r in df.select(
+            "path", bucket_expr(n, ["repo", "path"]).alias("b")
+        ).collect()
+    }
+
+
+def _race_key_outside(bmap: dict[str, int], bucket: int) -> str:
+    """A candidate key hashing OUTSIDE ``bucket`` (deterministic probe)."""
+    return next(p for p in bmap if p.startswith("race") and bmap[p] != bucket)
+
+
+CANDS = [f"race{i}" for i in range(12)]
+
+
+def test_compact_rebases_over_disjoint_ingest(spark, tmp_path):
+    """A compaction that loses the commit race to an ingest landing in a
+    DIFFERENT bucket rebases: both effects land, and the compact's
+    data-only commit adopts the ingest's advanced feed cursor."""
+    t = make_table(spark, tmp_path, target_file_rows=4)
+    bmap = _buckets_of(spark, [f"p{i}" for i in range(40)] + CANDS)
+    b_c = bmap["p0"]
+    race_path = _race_key_outside(bmap, b_c)
+    race = batch_df(spark, [(500, "add", "r", race_path, 99, "x")])
+    base = t.snapshot_id
+
+    orig = t.write_snapshot_files
+
+    def hijack(df, snap_id, **kw):
+        out = orig(df, snap_id, **kw)
+        t.write_snapshot_files = orig  # restore BEFORE the racing merge
+        merge_into(spark, t, race, offsets(2), scrub=False)
+        return out
+
+    t.write_snapshot_files = hijack
+    try:
+        res = t.compact(spark, buckets=[b_c], min_files_per_bucket=2)
+    finally:
+        t.write_snapshot_files = orig
+    assert res["compacted_buckets"] == [b_c]
+    # race commit + rebased compact commit
+    assert t.snapshot_id == base + 2
+    # the rebase must ADOPT the ingest's cursor, not clobber it
+    assert t.offsets()["committed_feed_files"] == 2
+    state = rows_by_path(spark, t)
+    assert state[race_path] == ("x", 500)
+    assert len(state) == 41
+    assert (
+        len([f for f in t.manifest()["files"] if f["bucket"] == b_c])
+        == res["files_after"]
+    ), "the rebased commit must reference exactly the compacted rewrite"
+
+
+def test_compact_conflicts_on_same_bucket_then_replans(spark, tmp_path):
+    """An ingest landing in the bucket BEING compacted is a genuine
+    conflict: the compact raises with the bucket named, the ingest's
+    write survives untouched, and a plain re-run (the documented
+    re-plan) succeeds."""
+    t = make_table(spark, tmp_path, target_file_rows=4)
+    b_c = _buckets_of(spark, ["p0"])["p0"]
+    race = batch_df(spark, [(500, "add", "r", "p0", 99, "x")])
+
+    orig = t.write_snapshot_files
+
+    def hijack(df, snap_id, **kw):
+        out = orig(df, snap_id, **kw)
+        t.write_snapshot_files = orig
+        merge_into(spark, t, race, offsets(2), scrub=False)
+        return out
+
+    t.write_snapshot_files = hijack
+    try:
+        with pytest.raises(ConcurrentCommitError, match="buckets"):
+            t.compact(spark, buckets=[b_c], min_files_per_bucket=2)
+    finally:
+        t.write_snapshot_files = orig
+    assert rows_by_path(spark, t)["p0"] == ("x", 500)
+    res = t.compact(spark, buckets=[b_c], min_files_per_bucket=2)
+    assert res["compacted_buckets"] == [b_c]
+    assert rows_by_path(spark, t)["p0"] == ("x", 500)
+
+
+def test_update_rebases_over_disjoint_ingest(spark, tmp_path):
+    """Predicate UPDATE whose matched files are disjoint from a racing
+    ingest's bucket rebases instead of failing (the conflict-case twin
+    lives in tests/test_update.py)."""
+    t = make_table(spark, tmp_path)
+    bmap = _buckets_of(spark, [f"p{i}" for i in range(40)] + CANDS)
+    race_path = _race_key_outside(bmap, bmap["p7"])
+    race = batch_df(spark, [(500, "add", "r", race_path, 99, "x")])
+
+    orig = t.write_snapshot_files
+
+    def hijack(df, snap_id, **kw):
+        out = orig(df, snap_id, **kw)
+        t.write_snapshot_files = orig
+        merge_into(spark, t, race, offsets(2), scrub=False)
+        return out
+
+    t.write_snapshot_files = hijack
+    try:
+        res = update_where(
+            spark, t, set={"content": "'patched'"}, condition="path = 'p7'"
+        )
+    finally:
+        t.write_snapshot_files = orig
+    assert res["updated"] == 1
+    state = rows_by_path(spark, t)
+    assert state["p7"][0] == "patched"
+    assert state[race_path] == ("x", 500)
+    assert t.offsets()["committed_feed_files"] == 2
+
+
+def test_ingest_rebases_over_disjoint_compaction(spark, tmp_path):
+    """The other direction: an ingest that loses the race to a
+    compaction of a different bucket rebases — its cursor advance is
+    preserved because the compaction was data-only."""
+    t = make_table(spark, tmp_path, target_file_rows=4)
+    bmap = _buckets_of(spark, [f"p{i}" for i in range(40)])
+    b0 = bmap["p0"]
+    b_other = next(b for b in bmap.values() if b != b0)
+    batch = batch_df(spark, [(500, "update", "r", "p0", 99, "x")])
+    paths_before = {
+        f["path"] for f in t.manifest()["files"] if f["bucket"] == b_other
+    }
+
+    orig = t.write_snapshot_files
+
+    def hijack(df, snap_id, **kw):
+        out = orig(df, snap_id, **kw)
+        t.write_snapshot_files = orig
+        t.compact(spark, buckets=[b_other], min_files_per_bucket=2)
+        return out
+
+    t.write_snapshot_files = hijack
+    try:
+        merge_into(spark, t, batch, offsets(2), scrub=False)
+    finally:
+        t.write_snapshot_files = orig
+    state = rows_by_path(spark, t)
+    assert state["p0"] == ("x", 500)
+    assert t.offsets()["committed_feed_files"] == 2
+    paths_after = {
+        f["path"] for f in t.manifest()["files"] if f["bucket"] == b_other
+    }
+    assert paths_after and paths_after.isdisjoint(paths_before), (
+        "the rebased ingest must carry the compaction's rewrite, not "
+        "resurrect the pre-compaction files"
+    )
+
+
+def test_rebase_refusals(spark, tmp_path):
+    """Cursor, partition-spec and schema races are genuine conflicts."""
+    t = make_table(spark, tmp_path)
+    base = t.snapshot_id
+    merge_into(
+        spark,
+        t,
+        batch_df(spark, [(500, "add", "r", "p0", 99, "x")]),
+        offsets(2),
+        scrub=False,
+    )
+    with pytest.raises(ConcurrentCommitError, match="feed cursor"):
+        t.commit_snapshot_optimistic(base, new_files=[], offsets=offsets(3))
+
+    base2 = t.snapshot_id
+    schema2 = t.schema()
+    t.rebucket(spark, 8)
+    with pytest.raises(ConcurrentCommitError, match="partition spec"):
+        t.commit_snapshot_optimistic(base2, new_files=[], offsets=offsets(4))
+
+    # schema race: competitor evolves (new column) while ours also evolves
+    base3 = t.snapshot_id
+    evolved = spark.createDataFrame(
+        [(900, "add", "r", "pnew", 1, "y", "extra-val")],
+        "seq long, op string, repo string, path string, ts int, "
+        "content string, extra string",
+    )
+    merge_into(spark, t, evolved, offsets(5), scrub=False)
+    assert "extra" in t.schema().fieldNames()
+    with pytest.raises(ConcurrentCommitError, match="schema evolved"):
+        t.commit_snapshot_optimistic(base3, new_files=[], schema=schema2)
+
+
+def test_threaded_ingest_and_compaction_converge(spark, tmp_path):
+    """The deployment this exists for: an ingest loop and a compaction
+    daemon sharing one driver, no coordination. Conflicted compactions
+    just retry; the final state must equal the pandas oracle fold and
+    offsets must account every feed file exactly once."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=3000, n_keys=200, n_files=12)
+    write_feed(feed, spec)
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def ingester():
+        try:
+            # one feed file per batch → 12 commits to race against; a
+            # same-bucket clash with the compactor surfaces here as
+            # ConcurrentCommitError — offsets mark the exact resume point,
+            # so the retry re-drains the remaining frontier exactly-once
+            for _ in range(30):
+                try:
+                    run_ingest(
+                        spark,
+                        root,
+                        feed,
+                        max_files_per_batch=1,
+                        auto_compact_files=None,
+                    )
+                except ConcurrentCommitError:
+                    continue
+                t = open_or_create_table(root)
+                if t.offsets()["committed_feed_files"] >= 12:
+                    return
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+        finally:
+            done.set()
+
+    def compactor():
+        while not done.is_set():
+            try:
+                t2 = open_or_create_table(root)
+                t2.compact(spark, min_files_per_bucket=3)
+            except ConcurrentCommitError:
+                pass  # lost a same-bucket race — re-plan next tick
+            except FileNotFoundError:
+                pass  # table not created yet
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+            time.sleep(0.02)
+
+    ti = threading.Thread(target=ingester)
+    tc = threading.Thread(target=compactor)
+    ti.start(), tc.start()
+    ti.join(timeout=600), tc.join(timeout=60)
+    assert not errors, errors
+    t = open_or_create_table(root)
+    assert t.offsets()["committed_feed_files"] == 12
+    expected = sha256_state(fold_feed(make_events(spec)))
+    got = engine_state(spark, root)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expected, check_dtype=False
+    )
+
+
+def test_expire_grace_spares_fresh_attempt_dirs(tmp_path):
+    """The orphan sweep's age horizon: a freshly-written attempt dir may
+    belong to an in-flight optimistic writer mid-rebase (its target id
+    can already be <= current), so the default grace skips it; grace=0
+    restores the aggressive sweep for quiescent tables."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    t.commit_snapshot(
+        [_fake_entry(1, 0, 1)],
+        offsets={"committed_feed_files": 1, "max_seq_seen": 9, "batch_id": 0},
+    )
+    t.commit_snapshot(
+        [_fake_entry(2, 1, 2)],
+        offsets={"committed_feed_files": 2, "max_seq_seen": 9, "batch_id": 1},
+    )
+    # an unreferenced attempt dir targeting an already-taken id — exactly
+    # what a rebasing writer's files look like mid-flight
+    orphan = os.path.join(t.root, "data", "snap-0000000002-cafecafe")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("in-flight attempt")
+    res = t.expire_snapshots(keep_last=10)  # default grace
+    assert res["removed_orphan_files"] == 0
+    assert os.path.isdir(orphan)
+    res = t.expire_snapshots(keep_last=10, orphan_grace_s=0.0)
+    assert res["removed_orphan_files"] == 1
+    assert not os.path.exists(orphan)

@@ -273,7 +273,9 @@ def test_expire_sweeps_orphan_attempt_dirs(spark, tmp_path):
     with open(os.path.join(inflight, "part-fake.parquet"), "w") as f:
         f.write("not yet committed")
 
-    res = t.expire_snapshots(keep_last=100)  # retain ALL snapshots
+    # grace=0: the test's orphans are seconds old; default grace would
+    # (correctly) defer them to a later sweep
+    res = t.expire_snapshots(keep_last=100, orphan_grace_s=0.0)  # retain ALL
     assert res["expired_snapshots"] == []
     assert res["removed_files"] == 0
     assert res["removed_orphan_files"] > 0

@@ -166,21 +166,24 @@ def test_update_crash_then_replay_is_idempotent(spark, tmp_path):
     assert res["updated"] == 10
     assert sum(1 for v in rows_by_path(spark, t).values() if v[0] == "u") == 10
     # the crashed attempt's uuid dir is referenced by no manifest
-    swept = t.expire_snapshots(keep_last=1)
+    swept = t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
     assert swept["removed_orphan_files"] >= 1
 
 
 def test_update_anchors_concurrency_at_scan_time(spark, tmp_path):
     """A commit landing between the update's matching scan and its
-    commit must fail the update, not let a stale-matched rewrite land
-    over the new state. (Staged via expected_parent: the racing commit
-    moves the table after the anchor is taken.)"""
+    commit — IN A BUCKET THE UPDATE MATCHED — must fail the update, not
+    let a stale-matched rewrite land over the new state. (Racing on the
+    same key makes the bucket clash deterministic; a provably disjoint
+    racing commit is instead rebased over — tests/test_concurrency.py.)"""
     from image_deid_etl_spark.lake.table import ConcurrentCommitError
 
     t = make_table(spark, tmp_path)
     # racing writer lands between our (simulated) scan and commit: take
-    # the update's view, then advance the table, then try to commit
-    race = batch_df(spark, [(500, "add", "r", "race", 99, "x")])
+    # the update's view, then advance the table, then try to commit.
+    # The race touches p0 — a row `ts < 10` matched — so its file is
+    # both replaced by the update and rewritten by the race.
+    race = batch_df(spark, [(500, "add", "r", "p0", 99, "x")])
 
     orig = t.write_snapshot_files
 
@@ -196,7 +199,8 @@ def test_update_anchors_concurrency_at_scan_time(spark, tmp_path):
             update_where(spark, t, set={"content": "'u'"}, condition="ts < 10")
     finally:
         t.write_snapshot_files = orig
-    assert rows_by_path(spark, t)["p0"] == ("v0", 1), "stale rewrite must not land"
+    # the racing write won; the stale '…u' rewrite must not have landed
+    assert rows_by_path(spark, t)["p0"] == ("x", 500), "stale rewrite must not land"
 
 
 def test_update_on_unresolved_mor_bucket_resolves_it(spark, tmp_path):
