@@ -1,0 +1,165 @@
+"""Generic CDC envelope adapter: connector change events → engine feed.
+
+The engine's own feed format (`cdc/feed.py`) is flat parquet chunks of
+``(seq, op, <key cols>, <payload cols>)``. Real change-data capture
+usually arrives instead as JSON *envelopes* in the shape popularized by
+Debezium / Kafka Connect::
+
+    {"before": {...}|null, "after": {...}|null,
+     "op": "c"|"u"|"d"|"r", "ts_ms": 1700000000123,
+     "source": {"lsn": 4711, ...}}
+
+(optionally nested one level under ``"payload"`` when the producer ships
+the Connect schema wrapper). This module turns a DataFrame with one
+JSON-string/bytes column of such envelopes into the engine's batch shape
+— pure `from_json` + column surgery, JVM-only and whole-stage-codegen
+friendly, and because it is nothing but column expressions it works
+IDENTICALLY on a streaming DataFrame (``spark.readStream`` → decode →
+``foreachBatch(merge_into)``).
+
+Mapping rules (the standard connector contract):
+
+* ``op``: ``c`` (create) and ``r`` (snapshot read) → ``add``; ``u`` →
+  ``update``; ``d`` → ``delete``. Case-insensitive; anything else is a
+  reject.
+* row image: ``after`` for add/update; ``before`` for delete (a delete's
+  ``after`` is null — the key columns must come from the pre-image).
+* ``seq``: the source's total-order position — ``source.<seq_field>``
+  (default ``lsn``, the WAL position; MySQL producers would pass e.g.
+  ``pos``). The engine's LWW and exactly-once replay derive entirely
+  from this number, so a reject (not a guess) is the only safe response
+  when it is missing.
+* malformed JSON, unknown op, missing seq and missing row image are
+  split into a REJECTS frame carrying the raw value + reason — the
+  quarantine discipline of the validation gate (reference:
+  `custom_etl.py:86-118`'s skip-and-log on unparseable studies), never
+  silent drops.
+
+At 100 TB feed scale nothing here shuffles: decode is a map-only
+projection over whatever partitioning the source (Kafka, object-store
+JSON) already has; the MERGE downstream repartitions by bucket exactly
+once, as for native feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: connector op code → engine op
+_OP_MAP = {"c": "add", "r": "add", "u": "update", "d": "delete"}
+
+
+def envelope_schema(
+    payload_schema: T.StructType,
+    seq_field: str = "lsn",
+    wrapper: str | None = None,
+) -> T.StructType:
+    """The `from_json` schema for one envelope of ``payload_schema`` rows.
+
+    ``wrapper`` nests the whole envelope under that field (the Connect
+    ``"payload"`` wrapper). Unknown producer fields are simply not in
+    the schema and get dropped by PERMISSIVE parsing — the adapter only
+    ever reads the five contract fields.
+    """
+    env = T.StructType(
+        [
+            T.StructField("before", payload_schema, True),
+            T.StructField("after", payload_schema, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                "source",
+                T.StructType([T.StructField(seq_field, T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    if wrapper:
+        env = T.StructType([T.StructField(wrapper, env, True)])
+    return env
+
+
+def decode_envelopes(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+    seq_field: str = "lsn",
+    wrapper: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Decode a column of JSON CDC envelopes into (events, rejects).
+
+    ``events`` has the engine batch shape ``(seq, op, <payload cols>)``
+    ready for `cdc.merge.merge_into`; ``rejects`` carries ``(raw,
+    reason)`` for quarantine. Both are lazy projections of ``df`` —
+    batch or streaming alike.
+    """
+    schema = envelope_schema(payload_schema, seq_field, wrapper)
+    parsed = df.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), schema)
+    )
+    env = F.col("_env." + wrapper) if wrapper else F.col("_env")
+    op_raw = F.lower(env["op"])
+    seq = env["source"][seq_field].cast("long")
+    image = F.when(op_raw == "d", env["before"]).otherwise(env["after"])
+    # reject ladder: first matching reason wins; a null ladder = clean.
+    # `from_json` is PERMISSIVE — malformed input parses to a null
+    # struct, and a present-but-opless object is equally unusable.
+    reason = (
+        F.when(env.isNull() | op_raw.isNull(), F.lit("malformed_envelope"))
+        .when(~op_raw.isin(*_OP_MAP), F.lit("unknown_op"))
+        .when(seq.isNull(), F.lit("missing_seq"))
+        .when(image.isNull(), F.lit("missing_row_image"))
+    )
+    op = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv]), op_raw
+    )
+    events = parsed.filter(reason.isNull()).select(
+        seq.alias("seq"),
+        op.alias("op"),
+        *[image[f.name].alias(f.name) for f in payload_schema.fields],
+    )
+    rejects = parsed.filter(reason.isNotNull()).select(
+        F.col(value_col).cast("string").alias("raw"), reason.alias("reason")
+    )
+    return events, rejects
+
+
+def apply_envelope_batch(
+    spark,
+    table,
+    envelopes: DataFrame,
+    offsets: dict,
+    payload_schema: T.StructType | None = None,
+    scrub: bool = True,
+    **decode_kwargs,
+) -> dict:
+    """One-call batch path: decode + MERGE + reject accounting.
+
+    ``offsets`` is the CALLER's cursor (e.g. Kafka ``{topic-partition:
+    next offset}`` plus a ``batch_id``) — it commits atomically with the
+    data exactly like a native feed's frontier, which is what makes the
+    envelope path exactly-once: replaying the same envelopes with the
+    same cursor is a no-op at the LWW layer and a visible no-advance at
+    the cursor layer. ``payload_schema`` defaults to the table's data
+    schema (engine columns excluded). Returns ``{"snapshot_id", "events",
+    "rejects"}``; rejects are COUNTED here — persisting them is the
+    caller's routing decision (they carry source-specific raw bytes the
+    lake table deliberately never stores).
+    """
+    from .merge import merge_into
+
+    if payload_schema is None:
+        payload_schema = table.schema()  # user schema (engine cols excluded)
+    events, rejects = decode_envelopes(envelopes, payload_schema, **decode_kwargs)
+    n_rejects = rejects.count()
+    n_events = events.count()
+    if n_events == 0:
+        return {
+            "snapshot_id": table.snapshot_id,
+            "events": 0,
+            "rejects": n_rejects,
+        }
+    snap = merge_into(spark, table, events, offsets=offsets, scrub=scrub)
+    return {"snapshot_id": snap, "events": n_events, "rejects": n_rejects}

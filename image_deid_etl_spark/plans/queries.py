@@ -1189,6 +1189,93 @@ def cdc_lww_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_envelope_decode",
+    """
+    WITH mapped AS (
+      SELECT CASE event_type
+               WHEN 'signup'   THEN 'add'
+               WHEN 'purchase' THEN 'update'
+               WHEN 'click'    THEN 'update'
+               WHEN 'error'    THEN 'delete'
+             END AS op,
+             event_id, user_id, props
+      FROM events
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_seq,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT props) AS BIGINT) AS n_props
+    FROM mapped WHERE op IS NOT NULL
+    GROUP BY op
+    UNION ALL
+    SELECT 'reject:unknown_op', CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM events
+    WHERE event_type NOT IN ('signup', 'purchase', 'click', 'error')
+    ORDER BY op
+    """,
+)
+def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope round trip (`cdc/envelope.py`): events rendered
+    as connector JSON envelopes (c/u/d + one unknown op class), decoded
+    back through `decode_envelopes`, and aggregated per decoded op —
+    the oracle computes the same aggregate RELATIONALLY (no JSON), so
+    any mangling in the op mapping, the before/after image choice, the
+    seq extraction or the payload string escaping diverges the hash.
+    Map-only decode: the lone shuffle is the final aggregation."""
+    from pyspark.sql import types as T
+
+    from ..cdc.envelope import decode_envelopes
+
+    ev = _t(spark, sf_dir, "events")
+    op_code = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type").isin("purchase", "click"), F.lit("u"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("z"))  # 'view' → unknown-op reject path
+    )
+    payload = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("props").alias("props"),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(op_code == "d", payload).alias("before"),
+                F.when(op_code != "d", payload).alias("after"),
+                op_code.alias("op"),
+                (F.col("event_id") + F.lit(1700000000000)).alias("ts_ms"),
+                F.struct(F.col("event_id").cast("long").alias("lsn")).alias(
+                    "source"
+                ),
+            )
+        ).alias("value")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    events, rejects = decode_envelopes(raw, schema)
+    decoded = events.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("seq").alias("sum_seq"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("props").alias("n_props"),
+    )
+    rej = rejects.groupBy(
+        F.concat(F.lit("reject:"), F.col("reason")).alias("op")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(None).cast("long").alias("sum_seq"),
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(None).cast("long").alias("n_props"),
+    )
+    return decoded.unionByName(rej).orderBy("op")
+
+
+@register(
     "fuzzy_levenshtein_match",
     """
     SELECT n_name, r_name, dist FROM (

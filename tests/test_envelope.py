@@ -1,0 +1,304 @@
+"""CDC envelope adapter (`cdc/envelope.py`): connector JSON → engine feed.
+
+Pins the standard Debezium / Kafka-Connect contract — op mapping
+(c/r→add, u→update, d→delete with the BEFORE image), seq from
+``source.<seq_field>``, the Connect ``payload`` wrapper, the reject
+ladder (malformed / unknown op / missing seq / missing row image) — and
+the two properties that make the adapter an engine-grade ingest path:
+
+* equivalence: folding a feed through JSON envelopes produces the SAME
+  table state (per-row sha256) as the native flat-batch path;
+* exactly-once: replaying the same envelopes with the same cursor is a
+  visible no-op;
+* plan shape: decode is a map-only projection (no Exchange) so it adds
+  zero shuffles at 100 TB feed scale, batch or streaming alike.
+
+Reference analog: the validation/quarantine gate of
+`custom_etl.py:86-118` (skip-and-log, never silent drops).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.envelope import (
+    apply_envelope_batch,
+    decode_envelopes,
+)
+from image_deid_etl_spark.cdc.merge import merge_into
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+from tests.test_delete import batch_df, offsets
+from tests.test_e2e_slice import engine_state
+from tests.test_table import SCHEMA
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def env_json(
+    seq,
+    op,
+    row: dict | None,
+    *,
+    before: dict | None = None,
+    seq_field: str = "lsn",
+    wrapper: str | None = None,
+    drop_source: bool = False,
+):
+    e = {
+        "before": before,
+        "after": None if op == "d" else row,
+        "op": op,
+        "ts_ms": 1700000000000 + (seq or 0),
+        "source": None if drop_source else {seq_field: seq, "db": "x"},
+    }
+    if op == "d":
+        e["before"] = row if before is None else before
+    if wrapper:
+        e = {wrapper: e, "schema": {"type": "struct"}}
+    return json.dumps(e)
+
+
+def row(path, ts, content, repo="r"):
+    return {"repo": repo, "path": path, "ts": ts, "content": content}
+
+
+def raw_df(spark, strings):
+    return spark.createDataFrame([(s,) for s in strings], "value string")
+
+
+def make_empty_table(spark, tmp_path, name="t"):
+    return SnapshotTable.create(str(tmp_path / name), SCHEMA, ["repo", "path"], 4)
+
+
+def test_decode_op_mapping_and_images(spark):
+    """c/r → add (after image), u → update (after), d → delete (before)."""
+    raw = raw_df(
+        spark,
+        [
+            env_json(1, "c", row("a", 1, "v1")),
+            env_json(2, "r", row("b", 2, "v2")),
+            env_json(3, "u", row("a", 3, "v3")),
+            env_json(4, "d", row("b", 4, None)),
+            env_json(5, "U", row("a", 5, "v5")),  # case-insensitive
+        ],
+    )
+    events, rejects = decode_envelopes(raw, PAYLOAD)
+    assert rejects.count() == 0
+    got = {r["seq"]: (r["op"], r["path"], r["content"]) for r in events.collect()}
+    assert got == {
+        1: ("add", "a", "v1"),
+        2: ("add", "b", "v2"),
+        3: ("update", "a", "v3"),
+        4: ("delete", "b", None),  # before image carries the key
+        5: ("update", "a", "v5"),
+    }
+    assert [f.name for f in events.schema.fields] == [
+        "seq",
+        "op",
+        "repo",
+        "path",
+        "ts",
+        "content",
+    ]
+
+
+def test_decode_reject_ladder(spark):
+    """Each malformation routes to the right reason; nothing is dropped."""
+    raw = raw_df(
+        spark,
+        [
+            "{not json at all",
+            json.dumps({"foo": 1}),  # parses, but no op
+            env_json(1, "x", row("a", 1, "v")),  # unknown op
+            env_json(None, "c", row("a", 1, "v")),  # null seq
+            env_json(2, "c", row("a", 1, "v"), drop_source=True),  # no source
+            env_json(3, "d", None),  # delete with no before image
+            env_json(4, "c", row("ok", 1, "v")),  # the one clean row
+        ],
+    )
+    events, rejects = decode_envelopes(raw, PAYLOAD)
+    got = {r["raw"]: r["reason"] for r in rejects.collect()}
+    assert len(got) == 6
+    reasons = sorted(got.values())
+    assert reasons == [
+        "malformed_envelope",
+        "malformed_envelope",
+        "missing_row_image",
+        "missing_seq",
+        "missing_seq",
+        "unknown_op",
+    ]
+    assert [r["path"] for r in events.collect()] == ["ok"]
+
+
+def test_connect_payload_wrapper_and_custom_seq_field(spark):
+    """The Connect schema wrapper nests the envelope under `payload`;
+    MySQL-style producers carry the position under another name."""
+    raw = raw_df(
+        spark,
+        [
+            env_json(7, "c", row("w", 1, "v"), wrapper="payload", seq_field="pos"),
+        ],
+    )
+    events, rejects = decode_envelopes(
+        raw, PAYLOAD, wrapper="payload", seq_field="pos"
+    )
+    assert rejects.count() == 0
+    r = events.collect()[0]
+    assert (r["seq"], r["op"], r["path"]) == (7, "add", "w")
+
+
+def test_decode_is_map_only(spark):
+    """No Exchange in the decoded plan: the adapter adds zero shuffles."""
+    raw = raw_df(spark, [env_json(1, "c", row("a", 1, "v"))])
+    events, rejects = decode_envelopes(raw, PAYLOAD)
+    for df in (events, rejects):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_envelope_path_equals_native_path(spark, tmp_path):
+    """Same logical feed via JSON envelopes vs native flat batches →
+    byte-identical table state (the adapter is a faithful ingest path)."""
+    feed = [
+        (1, "add", "p0", 0, "v0"),
+        (2, "add", "p1", 1, "v1"),
+        (3, "update", "p0", 2, "v0b"),
+        (4, "add", "p2", 3, "v2"),
+        (5, "delete", "p1", 4, None),
+        (6, "update", "p2", 5, "v2b"),
+    ]
+    native = make_empty_table(spark, tmp_path, "native")
+    merge_into(
+        spark,
+        native,
+        batch_df(spark, [(s, op, "r", p, ts, c) for s, op, p, ts, c in feed]),
+        offsets(1),
+        scrub=False,
+    )
+
+    op_code = {"add": "c", "update": "u", "delete": "d"}
+    envs = [
+        env_json(s, op_code[op], row(p, ts, c)) for s, op, p, ts, c in feed
+    ]
+    enveloped = make_empty_table(spark, tmp_path, "env")
+    res = apply_envelope_batch(
+        spark, enveloped, raw_df(spark, envs), offsets(1), scrub=False
+    )
+    assert res["events"] == len(feed) and res["rejects"] == 0
+
+    a = engine_state(spark, native.root)
+    b = engine_state(spark, enveloped.root)
+    assert a.equals(b)
+
+
+def test_envelope_replay_is_exactly_once(spark, tmp_path):
+    """Replaying the same envelopes with the same cursor: cursor does not
+    advance twice and the state is unchanged (LWW + offsets idempotence)."""
+    t = make_empty_table(spark, tmp_path)
+    envs = raw_df(
+        spark,
+        [env_json(i + 1, "c", row(f"p{i}", i, f"v{i}")) for i in range(8)],
+    )
+    r1 = apply_envelope_batch(spark, t, envs, offsets(1), scrub=False)
+    state1 = engine_state(spark, t.root)
+    r2 = apply_envelope_batch(spark, t, envs, offsets(1), scrub=False)
+    assert r2["events"] == 8
+    assert engine_state(spark, t.root).equals(state1)
+    assert t.offsets()["batch_id"] == 0  # cursor did not double-advance
+    # dedup happened at the LWW layer: row count stable
+    assert t.read(spark).count() == 8
+
+
+def test_envelope_rejects_do_not_block_clean_rows(spark, tmp_path):
+    """A poisoned batch merges its clean rows and counts the rest."""
+    t = make_empty_table(spark, tmp_path)
+    res = apply_envelope_batch(
+        spark,
+        t,
+        raw_df(
+            spark,
+            [
+                env_json(1, "c", row("good", 1, "v")),
+                "garbage{{{",
+                env_json(2, "z", row("bad-op", 1, "v")),
+            ],
+        ),
+        offsets(1),
+        scrub=False,
+    )
+    assert res == {"snapshot_id": t.snapshot_id, "events": 1, "rejects": 2}
+    assert {r.path for r in t.read(spark).select("path").collect()} == {"good"}
+
+
+def test_envelope_streaming_matches_batch(spark, tmp_path):
+    """readStream over envelope JSON files → decode → foreachBatch MERGE
+    equals the batch fold of the same envelopes: the adapter is pure
+    column surgery, so the streaming plan is the batch plan."""
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    feed = [
+        (1, "c", row("s0", 0, "a")),
+        (2, "c", row("s1", 1, "b")),
+        (3, "u", row("s0", 2, "a2")),
+        (4, "d", row("s1", 3, None)),
+    ]
+    # two files → at least two micro-batches under maxFilesPerTrigger=1
+    for i, chunk in enumerate((feed[:2], feed[2:])):
+        with open(src / f"chunk{i}.json", "w") as f:
+            for s, op, r in chunk:
+                f.write(env_json(s, op, r) + "\n")
+
+    t = make_empty_table(spark, tmp_path, "stream_t")
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    events, _rejects = decode_envelopes(stream, PAYLOAD)
+    assert events.isStreaming
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cur = t.offsets().get("batch_id", -1)
+        merge_into(
+            spark,
+            t,
+            batch_df,
+            {"batch_id": cur + 1, "stream": True},
+            scrub=False,
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_t = make_empty_table(spark, tmp_path, "batch_t")
+    apply_envelope_batch(
+        spark,
+        batch_t,
+        raw_df(spark, [env_json(s, op, r) for s, op, r in feed]),
+        offsets(1),
+        scrub=False,
+    )
+    assert engine_state(spark, t.root).equals(engine_state(spark, batch_t.root))
