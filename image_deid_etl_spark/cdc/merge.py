@@ -865,7 +865,10 @@ def merge_into(
     # instead of table size. crc32(file path) is only a grouping id;
     # a collision merely merges two cohorts (harmless).
     if matched_abs:
-        existing = spark.read.schema(table._read_schema()).parquet(*matched_abs)
+        # scan_files, not a raw schema read: rename-normalized — a raw
+        # read would scan a renamed column as null in pre-rename files
+        # and this REWRITE would then persist the nulls
+        existing = table.scan_files(spark, matched_abs)
     else:
         existing = spark.createDataFrame([], table._read_schema())
     existing = existing.withColumn("_fg", F.crc32(F.input_file_name()).cast("long"))
@@ -1171,7 +1174,12 @@ def update_where(
     (lo, hi) bounds, also used for file pruning) combine with AND.
     Returns ``{"updated", "files_rewritten", "snapshot_id"}``.
     """
-    from ..lake.table import _lww_latest_versions, _stats_entry_pred, _utc_bound
+    from ..lake.table import (
+        _lww_latest_versions,
+        _priors_map,
+        _stats_entry_pred,
+        _utc_bound,
+    )
 
     assignments = dict(set)
     del set  # the param name mirrors SQL/Delta; restore no-builtin hygiene
@@ -1233,7 +1241,11 @@ def update_where(
     resolved = sorted({*range(table.id_space())} - unres)
 
     # -- narrow matching scan over resolved buckets' candidate files ------
-    pred = _stats_entry_pred(where) if where else None
+    pred = (
+        _stats_entry_pred(where, _priors_map(table.schema().fields))
+        if where
+        else None
+    )
     entries = table.files_for_buckets({*resolved}) if resolved else []
     if pred is not None:
         entries = [f for f in entries if pred(f)]
@@ -1241,7 +1253,9 @@ def update_where(
     matched_rel = {*()}
     n_resolved = 0
     if entries:
-        cand = spark.read.schema(read_schema).parquet(*by_abs)
+        # rename-normalized + _metadata materialized through the
+        # projection (the matching predicate may reference renamed cols)
+        cand = table.scan_files(spark, list(by_abs), with_metadata=True)
         hits = (
             cand.filter(_matched())
             .select(F.col("_metadata.file_path").alias("_fp"))
@@ -1284,8 +1298,9 @@ def update_where(
         if matched_rel:
             parts.append(
                 _transform(
-                    spark.read.schema(read_schema).parquet(
-                        *[os.path.join(table.root, p) for p in sorted(matched_rel)]
+                    table.scan_files(
+                        spark,
+                        [os.path.join(table.root, p) for p in sorted(matched_rel)],
                     )
                 )
             )

@@ -106,6 +106,52 @@ def _open_replica(
     )
 
 
+def _sync_columns(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    head: int,
+    spark: SparkSession | None = None,
+) -> dict:
+    """Mirror the source's column evolution (renames + drops) onto the
+    replica before applying data.
+
+    The change feed carries DATA only — an `alter_columns` rename/drop on
+    the source is a metadata commit with an empty change window. Without
+    mirroring it, the replica would fork its namespace: untouched rows
+    keep the old column while newly applied rows write the new one.
+    Renames are detected from the source fields' prior-physical-name
+    metadata (a source column whose prior list names a LIVE replica
+    column), drops from the source's ``dropped_columns`` tombstones; ADDs
+    need no action (the apply merge's additive evolution handles them).
+    Replica-side guards (a replica view referencing the column, replica
+    changelog needing `spark`) surface as the errors `alter_columns`
+    raises — resolve them on the replica and re-apply."""
+    from ..lake.table import _field_priors
+
+    src_schema = src.schema(head)
+    dst_live = {f.name for f in dst.schema().fields}
+    rename: dict[str, str] = {}
+    for f in src_schema.fields:
+        if f.name in dst_live:
+            continue
+        for old in _field_priors(f):
+            if old in dst_live:
+                rename[old] = f.name
+                break
+    src_names = {f.name for f in src_schema.fields}
+    src_dropped = set(
+        src.manifest(head, with_files=False)["properties"].get(
+            "dropped_columns", ()
+        )
+    )
+    # only names the source POSITIVELY dropped; replica-local extras
+    # (src_seq_col, user additions) are never in that list
+    drop = sorted((dst_live & src_dropped) - src_names - set(rename))
+    if rename or drop:
+        dst.alter_columns(rename=rename or None, drop=drop or None, spark=spark)
+    return {"renamed": rename, "dropped": drop}
+
+
 def _as_feed(
     changes: DataFrame,
     payload_cols: list[str],
@@ -212,6 +258,7 @@ def apply_changes(
             "src_snapshot": applied,
             "snapshot_id": dst.snapshot_id,
         }
+    _sync_columns(src, dst, head, spark=spark)
     payload_cols = [f.name for f in src.schema(head).fields]
     changes = src.classified_changes(spark, applied, head)
     # the window nets per key, so every row applies at the window head
@@ -252,7 +299,11 @@ def stream_apply_changes(
 
     src_t = SnapshotTable(src_root)
     src = stream_changes(spark, src_root, max_files_per_trigger)
-    _open_replica(src_t, dst_root, src_seq_col)  # create up front, once
+    dst0 = _open_replica(src_t, dst_root, src_seq_col)  # create up front, once
+    # mirror source renames/drops before any epoch lands (the stream
+    # normalizes old logs to the source's CURRENT names, so the replica
+    # must speak them too); a rename mid-stream applies at next restart
+    _sync_columns(src_t, dst0, src_t.snapshot_id, spark=spark)
     payload_cols = [f.name for f in src_t.schema().fields]
     ckpt_id = _checkpoint_stream_id(checkpoint_dir)
 

@@ -549,8 +549,14 @@ def cmd_alter(args) -> None:
     from .lake.table import ConcurrentCommitError
 
     table = _open_maybe_branch(args.table, args.branch)
+    schema_ops = bool(args.add_column or args.drop_column or args.rename_column)
+    if not args.set and not schema_ops:
+        sys.exit(
+            "error: nothing to alter — pass --set and/or "
+            "--add-column/--drop-column/--rename-column"
+        )
     props: dict = {}
-    for key, val in args.set:
+    for key, val in args.set or ():
         if key == "changelog":
             if val not in ("true", "false"):
                 sys.exit(f"error: changelog must be true|false, got {val!r}")
@@ -567,7 +573,16 @@ def cmd_alter(args) -> None:
 
         spark = build_session(app_name="alter")
     try:
-        snap = table.set_properties(props, spark=spark)
+        snap = table.snapshot_id
+        if props:
+            snap = table.set_properties(props, spark=spark)
+        if schema_ops:
+            snap = table.alter_columns(
+                add=[tuple(p) for p in args.add_column or ()],
+                drop=list(args.drop_column or ()),
+                rename={o: n for o, n in args.rename_column or ()},
+                spark=spark,
+            )
     except (ValueError, ConcurrentCommitError) as e:
         sys.exit(f"error: {e}")
     print(
@@ -575,6 +590,10 @@ def cmd_alter(args) -> None:
             {
                 "snapshot_id": snap,
                 "properties": table.manifest(with_files=False)["properties"],
+                "columns": {
+                    f.name: f.dataType.simpleString()
+                    for f in table.schema().fields
+                },
             }
         )
     )
@@ -967,7 +986,19 @@ def main(argv: list[str] | None = None) -> None:
     al.add_argument("--table", required=True)
     al.add_argument(
         "--set", nargs=2, action="append", metavar=("KEY", "VALUE"),
-        required=True, help="e.g. --set changelog true --set stats_cols a,b",
+        default=None, help="e.g. --set changelog true --set stats_cols a,b",
+    )
+    al.add_argument(
+        "--add-column", nargs=2, action="append", metavar=("NAME", "TYPE"),
+        default=None, help="append a nullable column, e.g. --add-column score double",
+    )
+    al.add_argument(
+        "--drop-column", action="append", metavar="NAME", default=None,
+        help="remove a column (name is tombstoned; old files keep bytes)",
+    )
+    al.add_argument(
+        "--rename-column", nargs=2, action="append", metavar=("OLD", "NEW"),
+        default=None, help="rename without rewriting any data file",
     )
     al.add_argument("--branch", default=None, help="stage the change on a branch")
     al.set_defaults(fn=cmd_alter)

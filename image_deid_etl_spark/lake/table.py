@@ -103,6 +103,74 @@ KEY_SEP = "\x1f"
 #: only is what makes the merge-time and scan-time picks agree.
 _LWW_HASH_EXCLUDE = {f.name for f in ENGINE_COLS} | {"_fg", "_bh1", "_bh2", "_rn"}
 
+#: names no user column may ever take: engine columns plus every internal
+#: working-column name any code path materializes on a scan
+RESERVED_COL_NAMES = _LWW_HASH_EXCLUDE | {"_sid", "_ph", "_change_type", "_metadata"}
+
+#: StructField.metadata key carrying a renamed column's prior physical
+#: names (newest first). Data files written before the rename store the
+#: column under one of these names; `_physical_read` coalesces them back
+#: into the logical column at scan time — the Iceberg name-mapping idea,
+#: with explicit prior-name tracking instead of field ids.
+_PRIORS_KEY = "physical_priors"
+
+
+def _field_priors(f: T.StructField) -> list[str]:
+    md = f.metadata or {}
+    return [str(n) for n in md.get(_PRIORS_KEY, ())]
+
+
+def _priors_map(fields) -> dict[str, list[str]]:
+    """logical column → prior physical names, only for renamed columns."""
+    out = {}
+    for f in fields:
+        p = _field_priors(f)
+        if p:
+            out[f.name] = p
+    return out
+
+
+def _physical_read(spark, paths, fields, with_metadata: bool = False):
+    """Read table/changelog parquet files under ``fields`` (the logical
+    schema), normalizing physical column names across renames.
+
+    A file written before `alter_columns(rename=...)` stores the column
+    under its then-current name; the read schema here includes every
+    prior name (same — current, possibly widened — type, so the parquet
+    reader's by-name projection nulls the absent ones and upcasts the
+    narrow ones), and one projection coalesces ``(current, *priors)``
+    back into the logical name. Exactly one alias is physically present
+    per file, so the coalesce is a rename, not a merge. Tables that have
+    never renamed get the identity plan (no extra Project node — the
+    plan-pinned scan shapes are unchanged).
+
+    ``with_metadata`` materializes the `_metadata` file-source struct
+    through the projection for callers that need `_metadata.file_path`
+    downstream (hidden metadata columns do not survive a Project unless
+    selected at the scan).
+    """
+    pri = _priors_map(fields)
+    if not pri:
+        return spark.read.schema(T.StructType(list(fields))).parquet(*paths)
+    phys = list(fields)
+    for f in fields:
+        for old in _field_priors(f):
+            phys.append(T.StructField(old, f.dataType, True))
+    df = spark.read.schema(T.StructType(phys)).parquet(*paths)
+    sel = []
+    for f in fields:
+        p = pri.get(f.name)
+        if p:
+            sel.append(
+                F.coalesce(F.col(f.name), *[F.col(o) for o in p]).alias(f.name)
+            )
+        else:
+            sel.append(F.col(f.name))
+    if with_metadata:
+        sel.append(F.col("_metadata"))
+    return df.select(*sel)
+
+
 #: `write_changelog_rows` gap guard: deepest run of missing logs a capture
 #: commit will synchronously backfill before writing its own. A crash gap
 #: is 1-2 commits; anything deeper (changelog toggled, a long adaptive
@@ -936,6 +1004,225 @@ class SnapshotTable:
         return snap
 
     # ------------------------------------------------------------------ #
+    # column evolution (ALTER TABLE ADD / DROP / RENAME COLUMN)
+    # ------------------------------------------------------------------ #
+    def _view_column_refs(self) -> dict[str, set[str]]:
+        """view name → columns of THIS table its definition references
+        (group/measure/distinct/join-key cols, plus a conservative
+        word-match against the raw WHERE text). Read straight from the
+        on-disk `_view.json`s — no import of the view modules."""
+        out: dict[str, set[str]] = {}
+        vdir = os.path.join(self.root, "views")
+        if not os.path.isdir(vdir):
+            return out
+        for name in os.listdir(vdir):
+            try:
+                with open(os.path.join(vdir, name, "_view.json")) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if not isinstance(m, dict):
+                continue
+            cols: set[str] = set()
+            for k in ("group_cols", "sum_cols", "minmax_cols", "distinct_cols"):
+                cols |= set(m.get(k) or ())
+            for pair in m.get("on") or ():
+                cols.add(pair[0])  # fact-side join key (this table)
+            out[name] = (cols, m.get("where"))
+        return out
+
+    def _check_view_refs(self, touched: set[str], action: str) -> None:
+        import re
+
+        for name, (cols, where) in self._view_column_refs().items():
+            hard = touched & cols
+            if hard:
+                raise ValueError(
+                    f"cannot {action} column(s) {sorted(hard)}: referenced "
+                    f"by view {name!r} — drop or redefine the view first"
+                )
+            if where:
+                soft = [
+                    c for c in touched
+                    if re.search(rf"\b{re.escape(c)}\b", where)
+                ]
+                if soft:
+                    raise ValueError(
+                        f"cannot {action} column(s) {soft}: view {name!r}'s "
+                        f"WHERE text mentions them — drop or redefine the "
+                        "view first"
+                    )
+
+    def alter_columns(
+        self,
+        add: list[tuple[str, "T.DataType | str"]] | None = None,
+        drop: list[str] | None = None,
+        rename: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
+    ) -> int:
+        """Explicit column evolution in ONE metadata-only commit:
+
+        * ``add`` — append nullable columns; existing files scan them as
+          null (the same read-compatibility additive ingest evolution
+          relies on).
+        * ``drop`` — remove columns from the schema. Old files keep the
+          bytes physically (reads project them away; rewrites shed them
+          naturally); the NAME is tombstoned forever, because re-adding
+          it would resurrect those bytes on read. Pick a new name — the
+          tombstone is the price of drop-without-rewrite.
+        * ``rename`` — change a column's logical name without touching
+          one data file: the old name is recorded as a prior physical
+          name in the field metadata and every scan coalesces
+          ``(new, *priors)`` back together (`_physical_read`). Rewrites
+          (MERGE/UPDATE/compact/rebucket) write the new name, migrating
+          files incrementally. Renaming a ``stats_cols``/``cluster_by``
+          column updates those properties atomically; old files' stats
+          keep pruning via the prior name.
+
+        Refused: key columns (the table's identity — Iceberg refuses
+        identity-partition renames for the same reason), engine/reserved
+        names, names any retained file may still store (tombstones +
+        priors), columns referenced by registered views (their
+        definitions store names), and dropping a ``stats_cols`` /
+        ``cluster_by`` column (update the property first — an implicit
+        property edit hidden inside a drop is how configs rot).
+
+        Changelog rule: on a changelog-enabled table ``spark`` is
+        REQUIRED (this commit's empty log must be materialized — the
+        `set_properties` no-permanent-gap rule). Time travel reads at
+        pre-alter snapshots use that snapshot's schema unchanged.
+
+        Reference analog: the reference pipeline's schema is fixed in
+        code (`custom_etl.py` frame construction); this is the
+        controlled-evolution surface a long-lived 100 TB lake table
+        needs instead.
+        """
+        self._require_main("alter_columns")
+        add = list(add or ())
+        drop = list(drop or ())
+        rename = dict(rename or {})
+        if not (add or drop or rename):
+            raise ValueError("nothing to alter")
+        cur = self.manifest(with_files=False)
+        schema = T.StructType.fromJson(cur["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        keys = set(cur["partition_spec"]["columns"])
+        props = dict(cur["properties"])
+        stats_cols = list(props.get("stats_cols") or ())
+        cluster_by = list(props.get("cluster_by") or ())
+        retired = set(props.get("dropped_columns", ()))
+        for f in schema.fields:
+            retired |= set(_field_priors(f))
+
+        touched = set(drop) | set(rename)
+        for c in touched:
+            if c not in by_name:
+                raise ValueError(f"no such column: {c!r}")
+            if c in keys:
+                raise ValueError(
+                    f"cannot drop/rename key column {c!r} — the merge key "
+                    "is the table's identity"
+                )
+        overlap = set(drop) & set(rename)
+        if overlap:
+            raise ValueError(f"columns both dropped and renamed: {sorted(overlap)}")
+        for c in drop:
+            if c in stats_cols or c in cluster_by:
+                raise ValueError(
+                    f"column {c!r} is in stats_cols/cluster_by — update the "
+                    "property first (set_properties), then drop"
+                )
+        self._check_view_refs(touched, "drop/rename")
+
+        # name admission: new names must be non-reserved and must not be a
+        # name any retained file may still store under another meaning
+        incoming = [n for n, _ in add] + list(rename.values())
+        for n in incoming:
+            if not n or not isinstance(n, str):
+                raise ValueError(f"invalid column name: {n!r}")
+            if n in RESERVED_COL_NAMES or n.startswith("_"):
+                raise ValueError(f"column name {n!r} is reserved")
+            if n in retired:
+                raise ValueError(
+                    f"column name {n!r} was dropped or renamed away and old "
+                    "data files may still store it; pick a new name"
+                )
+
+        new_fields: list[T.StructField] = []
+        for f in schema.fields:
+            if f.name in drop:
+                continue
+            if f.name in rename:
+                new = rename[f.name]
+                md = dict(f.metadata or {})
+                md[_PRIORS_KEY] = [f.name] + _field_priors(f)
+                new_fields.append(
+                    T.StructField(new, f.dataType, f.nullable, md)
+                )
+            else:
+                new_fields.append(f)
+        for n, dt in add:
+            dtype = _parse_dtype(dt)
+            new_fields.append(T.StructField(n, dtype, True))
+        from collections import Counter
+
+        dups = [n for n, c in Counter(f.name for f in new_fields).items() if c > 1]
+        if dups:
+            raise ValueError(f"column name collision: {sorted(dups)}")
+        new_schema = T.StructType(new_fields)
+
+        # tombstone dropped names AND their priors (files may store either)
+        dropped_now = set(drop)
+        for c in drop:
+            dropped_now |= set(_field_priors(by_name[c]))
+        new_retired = sorted(set(props.get("dropped_columns", ())) | dropped_now)
+        props_changed = False
+        if new_retired != sorted(props.get("dropped_columns", ())):
+            props["dropped_columns"] = new_retired
+            props_changed = True
+        if rename:
+            new_stats = [rename.get(c, c) for c in stats_cols]
+            new_cluster = [rename.get(c, c) for c in cluster_by]
+            if new_stats != stats_cols:
+                props["stats_cols"] = new_stats
+                props_changed = True
+            if new_cluster != cluster_by:
+                props["cluster_by"] = new_cluster
+                props_changed = True
+
+        if spark is None and bool(props.get("changelog")):
+            raise ValueError(
+                "changelog-enabled table: alter_columns needs `spark` to "
+                "materialize this commit's (empty) log — a skipped log is "
+                "a permanent gap"
+            )
+        snap = self.commit_snapshot(
+            [],
+            schema=new_schema,
+            properties=props if props_changed else None,
+            lineage_extra={
+                "alter_columns": {
+                    "add": [[n, _parse_dtype(dt).simpleString()] for n, dt in add],
+                    "drop": sorted(drop),
+                    "rename": rename,
+                }
+            },
+            expected_parent=cur["snapshot_id"],
+        )
+        if spark is not None and self.changelog_enabled():
+            self.materialize_changelog(spark, snap)
+        return snap
+
+    def add_column(self, name: str, dtype, spark=None) -> int:
+        return self.alter_columns(add=[(name, dtype)], spark=spark)
+
+    def drop_column(self, name: str, spark=None) -> int:
+        return self.alter_columns(drop=[name], spark=spark)
+
+    def rename_column(self, old: str, new: str, spark=None) -> int:
+        return self.alter_columns(rename={old: new}, spark=spark)
+
+    # ------------------------------------------------------------------ #
     # branches (write-audit-publish)
     # ------------------------------------------------------------------ #
     # A branch is a WRITABLE named ref: its own pointer file beside
@@ -1233,6 +1520,7 @@ class SnapshotTable:
         """
         cur = self.schema()
         names = {f.name for f in cur.fields}
+        blocked = self._retired_names()
         fields = list(cur.fields)
         for f in incoming.fields:
             if isinstance(f.dataType, T.NullType):
@@ -1249,10 +1537,34 @@ class SnapshotTable:
                         f"incoming={f.dataType}"
                     )
                 if widened != cf.dataType:
-                    fields[i] = T.StructField(f.name, widened, cf.nullable)
+                    # keep metadata: a widened column's prior physical
+                    # names must survive type evolution
+                    fields[i] = T.StructField(
+                        f.name, widened, cf.nullable, cf.metadata
+                    )
             else:
+                if f.name in blocked:
+                    # resurrection guard: retained files still PHYSICALLY
+                    # hold data under this name (a dropped column, or a
+                    # live column's pre-rename name) — re-adding it would
+                    # silently resurface that data on reads
+                    raise ValueError(
+                        f"column name {f.name!r} was dropped or renamed away "
+                        "and old data files may still store it; pick a new "
+                        "name (see alter_columns docstring)"
+                    )
                 fields.append(T.StructField(f.name, f.dataType, True))
         return T.StructType(fields)
+
+    def _retired_names(self) -> set[str]:
+        """Names no NEW column may take: every dropped column (tombstoned
+        in properties) and every live column's prior physical names —
+        retained data files may still store payload under any of them."""
+        m = self.manifest(with_files=False)
+        out = set(m["properties"].get("dropped_columns", ()))
+        for f in T.StructType.fromJson(m["schema"]).fields:
+            out |= set(_field_priors(f))
+        return out
 
     # ------------------------------------------------------------------ #
     # read path
@@ -1287,7 +1599,25 @@ class SnapshotTable:
         if not files:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
-        return spark.read.schema(schema).parquet(*paths)
+        return _physical_read(spark, paths, schema.fields)
+
+    def scan_files(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        snapshot_id: int | None = None,
+        with_metadata: bool = False,
+    ) -> DataFrame:
+        """Read specific data files (absolute paths) under the table's
+        logical read schema, rename-normalized (`_physical_read`). The
+        one entry point every rewrite path (MERGE match, UPDATE, compact,
+        rebucket) must use: reading a renamed column by raw schema would
+        scan pre-rename files as null and a rewrite would then null the
+        column out — silent data loss."""
+        fields = self._read_schema(snapshot_id).fields
+        if not paths:
+            return spark.createDataFrame([], T.StructType(list(fields)))
+        return _physical_read(spark, list(paths), fields, with_metadata)
 
     def read(
         self,
@@ -1356,7 +1686,11 @@ class SnapshotTable:
             # filter (F.lit of a naive datetime resolves via the SESSION
             # timezone) agree on the same instant for any session tz
             where = {c: (_utc_bound(lo), _utc_bound(hi)) for c, (lo, hi) in where.items()}
-        pred = _stats_entry_pred(where) if where else None
+        pred = (
+            _stats_entry_pred(where, _priors_map(self.schema(snapshot_id).fields))
+            if where
+            else None
+        )
         unres = self.unresolved_buckets(snapshot_id)
         if not unres:
             raw = self.read_raw(spark, snapshot_id, entry_pred=pred)
@@ -1824,11 +2158,12 @@ class SnapshotTable:
         cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
         # ONE scan relation over all per-commit dirs (not a union of N
         # plans); the commit id rides in from the directory name
-        logs = (
-            spark.read.schema(self.changelog_read_schema(to_id))
-            .parquet(*[self._changelog_dir(s) for s in sids])
-            .withColumn("_sid", self.changelog_sid_col())
-        )
+        logs = _physical_read(
+            spark,
+            [self._changelog_dir(s) for s in sids],
+            self.changelog_read_schema(to_id).fields,
+            with_metadata=True,  # changelog_sid_col reads _metadata.file_path
+        ).withColumn("_sid", self.changelog_sid_col())
         ev_sid = F.when(F.col("_change_type") != "update_preimage", F.col("_sid"))
         pre_sid = F.when(
             F.col("_change_type").isin("update_preimage", "delete"), F.col("_sid")
@@ -2663,9 +2998,8 @@ class SnapshotTable:
         if not files:
             return []
         key_cols = self.key_cols()
-        schema = self._read_schema()
         paths = [os.path.join(self.root, f["path"]) for f in files]
-        df = spark.read.schema(schema).parquet(*paths)
+        df = self.scan_files(spark, paths)
         if resolve:
             df = _lww_latest_versions(df, key_cols=key_cols)
         df = df.withColumn("_bucket", bucket_expr(target_n, key_cols))
@@ -2998,6 +3332,33 @@ _INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
 _FLOAT_ORDER = [T.FloatType(), T.DoubleType()]
 
 
+def _parse_dtype(dt) -> T.DataType:
+    """DataType passthrough, or a DDL type string ('long', 'array<int>',
+    'map<string,string>', ...) parsed via Spark's own DDL parser so the
+    CLI and the API accept the same spellings."""
+    if isinstance(dt, T.DataType):
+        return dt
+    if not isinstance(dt, str):
+        raise ValueError(f"invalid column type: {dt!r}")
+    simple = {
+        "string": T.StringType(), "long": T.LongType(),
+        "bigint": T.LongType(), "int": T.IntegerType(),
+        "integer": T.IntegerType(), "short": T.ShortType(),
+        "byte": T.ByteType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+        "binary": T.BinaryType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }.get(dt.strip().lower())
+    if simple is not None:
+        return simple
+    try:
+        # complex DDL ('array<int>', 'map<string,string>', 'decimal(12,2)')
+        # — Spark's own parser, needs an active session
+        return T._parse_datatype_string(dt)
+    except Exception:
+        raise ValueError(f"unparseable column type: {dt!r}") from None
+
+
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
     """The wider of two types along a safe widening chain; None = conflict."""
     for order in (_INT_ORDER, _FLOAT_ORDER):
@@ -3040,21 +3401,29 @@ def _stat_norm(v):
     return v
 
 
-def _stats_entry_pred(where: dict):
+def _stats_entry_pred(where: dict, priors: dict[str, list[str]] | None = None):
     """Manifest-entry predicate for `read(where=...)`: False only when a
     file's recorded ``col_stats`` range PROVABLY misses every bound —
     missing stats, unknown columns, or incomparable types keep the file
-    (conservative; the residual Spark filter guarantees exactness)."""
+    (conservative; the residual Spark filter guarantees exactness).
+    ``priors`` (logical column → prior physical names) lets pruning use
+    stats a pre-rename file recorded under the column's old name."""
     norm = {
         c: (_stat_norm(lo) if lo is not None else None,
             _stat_norm(hi) if hi is not None else None)
         for c, (lo, hi) in where.items()
     }
+    priors = priors or {}
 
     def pred(f: dict) -> bool:
         st = f.get("col_stats") or {}
         for c, (lo, hi) in norm.items():
             rng = st.get(c)
+            if not rng:
+                for old in priors.get(c, ()):
+                    rng = st.get(old)
+                    if rng:
+                        break
             if not rng or rng[0] is None or rng[1] is None:
                 continue
             try:

@@ -245,11 +245,38 @@ def stream_changes(
         raise ValueError(
             f"table {table_root} was not created with changelog=True"
         )
-    reader = spark.readStream.schema(t.changelog_read_schema())
+    from pyspark.sql import types as T
+
+    from ..lake.table import _field_priors, _priors_map
+
+    # rename normalization, streaming flavor: logs written before an
+    # alter_columns rename store the old physical name — read with every
+    # prior alias in the schema and coalesce back to the logical column
+    # (same column surgery as the batch `_physical_read`)
+    fields = list(t.changelog_read_schema().fields)
+    pri = _priors_map(fields)
+    phys = fields + [
+        T.StructField(old, f.dataType, True)
+        for f in fields
+        for old in _field_priors(f)
+    ]
+    reader = spark.readStream.schema(T.StructType(phys))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(os.path.join(table_root, CHANGELOG, "commit-*"))
     src = src.withColumn("_commit_snapshot", t.changelog_sid_col())
+    if pri:
+        src = src.select(
+            *[
+                F.coalesce(F.col(f.name), *[F.col(o) for o in pri[f.name]]).alias(
+                    f.name
+                )
+                if f.name in pri
+                else F.col(f.name)
+                for f in fields
+            ],
+            F.col("_commit_snapshot"),
+        )
     if not include_preimages:
         src = src.filter(F.col("_change_type") != "update_preimage")
     return src

@@ -1,0 +1,266 @@
+"""Column evolution (`alter_columns`): ADD / DROP / RENAME without data
+rewrites.
+
+The contract under test: a rename is one metadata commit — zero data
+files touched — and every read path (scan, MERGE match+rewrite, UPDATE,
+DELETE, compact, changelog fold, streaming changelog) coalesces the old
+physical name back into the logical column; rewrites migrate files to
+the new name incrementally; dropped/renamed-away names are tombstoned
+forever because retained files still store bytes under them
+(resurrection guard — the failure mode Iceberg field-ids exist for).
+
+Reference analog: the reference's frame schema is fixed in code
+(`custom_etl.py` construction); this is the controlled-evolution surface
+a long-lived lake table needs instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into, update_where
+from image_deid_etl_spark.lake.table import ConcurrentCommitError, SnapshotTable
+
+from tests.test_delete import BATCH_SCHEMA, batch_df, make_table, offsets
+from tests.test_table import SCHEMA
+
+
+def body_of(spark, t, col="body"):
+    return {r["path"]: r[col] for r in t.read(spark).select("path", col).collect()}
+
+
+def test_rename_is_metadata_only_and_reads_old_files(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    files_before = {f["path"] for f in t.manifest()["files"]}
+    t.rename_column("content", "body")
+    assert {f["path"] for f in t.manifest()["files"]} == files_before
+    assert [f.name for f in t.schema().fields] == ["repo", "path", "ts", "body"]
+    got = body_of(spark, t)
+    assert got["p3"] == "v3" and len(got) == 40
+
+
+def test_add_column_nulls_then_fills(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.add_column("score", "double")
+    assert t.read(spark).filter(F.col("score").isNull()).count() == 40
+    b = spark.createDataFrame(
+        [(1000, "update", "r", "p1", 99, "v1b", 0.5)],
+        T.StructType(BATCH_SCHEMA.fields + [T.StructField("score", T.DoubleType())]),
+    )
+    merge_into(spark, t, b, offsets(2), scrub=False)
+    got = {r["path"]: r["score"] for r in t.read(spark).select("path", "score").collect()}
+    assert got["p1"] == 0.5 and got["p2"] is None
+
+
+def test_merge_update_delete_after_rename(spark, tmp_path):
+    """The full mutation surface speaks the NEW name; old files' values
+    survive every rewrite (the scan_files normalization under MERGE's
+    cohort rewrite, UPDATE's matched rewrite, DELETE's tombstones)."""
+    t = make_table(spark, tmp_path)
+    t.rename_column("content", "body")
+    renamed_batch = T.StructType(
+        BATCH_SCHEMA.fields[:2]
+        + [f for f in BATCH_SCHEMA.fields[2:] if f.name != "content"]
+        + [T.StructField("body", T.StringType())]
+    )
+    b = spark.createDataFrame([(1000, "update", "r", "p0", 99, "v0b")], renamed_batch)
+    merge_into(spark, t, b, offsets(2), scrub=False)
+    got = body_of(spark, t)
+    # p0 updated; its FILE cohort was rewritten — other rows in the same
+    # file must keep values read through the prior physical name
+    assert got["p0"] == "v0b" and got["p5"] == "v5"
+
+    res = update_where(spark, t, set={"body": "upper(body)"}, condition="body = 'v7'")
+    assert res["updated"] == 1
+    assert body_of(spark, t)["p7"] == "V7"
+
+    res = delete_where(spark, t, condition="body = 'v9'")
+    assert res["deleted"] == 1
+    assert "p9" not in body_of(spark, t)
+
+
+def test_rename_updates_stats_cols_and_pruning_spans_rename(spark, tmp_path):
+    """Old files recorded col_stats under the old name; `read(where=...)`
+    on the NEW name must still file-prune via the prior-name stats and
+    return exact results."""
+    full = T.StructType(
+        SCHEMA.fields[:2] + [T.StructField("ts", T.LongType())] + SCHEMA.fields[2:]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "s"), full, ["repo", "path"], 4,
+        properties={"stats_cols": ["ts"]},
+    )
+    b = batch_df(spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(40)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    t.rename_column("ts", "event_ts")
+    assert t.manifest(with_files=False)["properties"]["stats_cols"] == ["event_ts"]
+    pruned = t.read(spark, where={"event_ts": (3, 3)})
+    rows = pruned.collect()
+    assert {r["path"] for r in rows} == {"p3"}
+    # the bounded read listed strictly fewer files than the full scan
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+
+
+def test_drop_hides_rename_back_refused_time_travel_keeps(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    pre = t.snapshot_id
+    t.rename_column("content", "body")
+    t.drop_column("body")
+    assert [f.name for f in t.schema().fields] == ["repo", "path", "ts"]
+    assert "body" not in t.read(spark).columns
+    # tombstones: the dropped name AND its prior physical name
+    for n in ("body", "content"):
+        with pytest.raises(ValueError, match="dropped or renamed"):
+            t.add_column(n, "string")
+    # ingest-side resurrection guard: additive evolution refuses too
+    b = spark.createDataFrame(
+        [(2000, "add", "r", "pX", 1, "boom")], BATCH_SCHEMA
+    )  # carries 'content'
+    with pytest.raises(ValueError, match="dropped or renamed"):
+        merge_into(spark, t, b, offsets(3), scrub=False)
+    # time travel reads the old schema with the old values
+    old = t.read(spark, snapshot_id=pre)
+    assert "content" in old.columns
+    assert {r["content"] for r in old.filter("path = 'p3'").collect()} == {"v3"}
+
+
+def test_guards(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="key column"):
+        t.rename_column("repo", "repo2")
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("path")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("_deleted", "boolean")
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("content", "commit_seq")
+    with pytest.raises(ValueError, match="collision"):
+        t.rename_column("content", "ts")
+    with pytest.raises(ValueError, match="already|collision"):
+        t.add_column("ts", "long")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("ghost")
+    full = T.StructType(
+        SCHEMA.fields[:2] + [T.StructField("ts", T.LongType())] + SCHEMA.fields[2:]
+    )
+    t2 = SnapshotTable.create(
+        str(tmp_path / "s2"), full, ["repo", "path"], 2,
+        properties={"stats_cols": ["ts"]},
+    )
+    with pytest.raises(ValueError, match="stats_cols"):
+        t2.drop_column("ts")
+
+
+def test_view_reference_refusal(spark, tmp_path):
+    from image_deid_etl_spark.lake.views import AggView
+
+    t = make_table(spark, tmp_path)
+    AggView.create(spark, t, "by_ts", group_cols=["ts"], sum_cols=[])
+    with pytest.raises(ValueError, match="view 'by_ts'"):
+        t.rename_column("ts", "event_ts")
+    with pytest.raises(ValueError, match="view 'by_ts'"):
+        t.drop_column("ts")
+    # un-referenced column still alterable
+    t.rename_column("content", "body")
+
+
+def test_changelog_fold_and_stream_across_rename(spark, tmp_path):
+    """A change window spanning the rename folds under the CURRENT names
+    with pre-rename payload values intact, on both the materialized-log
+    path and the streaming consumer."""
+    t = SnapshotTable.create(
+        str(tmp_path / "c"), SCHEMA, ["repo", "path"], 4,
+        properties={"changelog": True},
+    )
+    b = batch_df(spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(6)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    with pytest.raises(ValueError, match="needs `spark`"):
+        t.rename_column("content", "body")
+    t.rename_column("content", "body", spark=spark)
+    renamed_batch = T.StructType(
+        BATCH_SCHEMA.fields[:2]
+        + [f for f in BATCH_SCHEMA.fields[2:] if f.name != "content"]
+        + [T.StructField("body", T.StringType())]
+    )
+    b2 = spark.createDataFrame([(100, "update", "r", "p2", 50, "v2b")], renamed_batch)
+    merge_into(spark, t, b2, offsets(2), scrub=False)
+
+    ch = t.read_changes(spark, 0).orderBy("path")
+    got = {r["path"]: r["body"] for r in ch.collect()}
+    assert got["p0"] == "v0" and got["p2"] == "v2b"
+
+    from image_deid_etl_spark.streaming.ingest import stream_changes
+
+    src = stream_changes(spark, t.root)
+    assert "body" in src.columns and "content" not in src.columns
+    seen = []
+    q = (
+        src.writeStream.foreachBatch(
+            lambda df, _id: seen.extend(df.select("path", "body", "_change_type").collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by = {(r["path"], r["_change_type"]): r["body"] for r in seen}
+    assert by[("p0", "insert")] == "v0"  # pre-rename log, old physical name
+    assert by[("p2", "update")] == "v2b"  # post-rename log
+
+
+def test_rename_on_unresolved_mor_bucket(spark, tmp_path):
+    """LWW version resolution across files that straddle the rename:
+    old-name file holds v1, new-name file holds v2 — the scan window
+    must pick v2 and still read v1 rows' payload for untouched keys."""
+    t = SnapshotTable.create(
+        str(tmp_path / "m"), SCHEMA, ["repo", "path"], 2,
+        properties={"merge_mode": "mor"},
+    )
+    b = batch_df(spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(8)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    t.rename_column("content", "body")
+    renamed_batch = T.StructType(
+        BATCH_SCHEMA.fields[:2]
+        + [f for f in BATCH_SCHEMA.fields[2:] if f.name != "content"]
+        + [T.StructField("body", T.StringType())]
+    )
+    b2 = spark.createDataFrame([(100, "update", "r", "p1", 50, "v1b")], renamed_batch)
+    merge_into(spark, t, b2, offsets(2), scrub=False)
+    assert t.unresolved_buckets()  # MoR appends outstanding
+    got = body_of(spark, t)
+    assert got["p1"] == "v1b" and got["p4"] == "v4"
+    # resolve-compaction migrates everything to the new physical name
+    t.compact(spark, min_files_per_bucket=1, resolve_versions=True)
+    assert body_of(spark, t) == got
+
+
+def test_alter_cas_refuses_stale_base(spark, tmp_path):
+    """Two racing alters: the loser's CAS must refuse, not silently
+    merge over the winner's schema."""
+    t = make_table(spark, tmp_path)
+    t2 = SnapshotTable(t.root)
+    t.rename_column("content", "body")
+    # t2 holds no stale state (manifest re-read per call) — simulate the
+    # race by patching its commit to claim the PRE-alter parent
+    orig = t2.commit_snapshot
+
+    def stale_commit(*a, **kw):
+        kw["expected_parent"] = kw["expected_parent"] - 1
+        return orig(*a, **kw)
+
+    t2.commit_snapshot = stale_commit
+    with pytest.raises(ConcurrentCommitError):
+        t2.add_column("score", "double")
+
+
+def test_rebucket_after_rename_preserves_values(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.rename_column("content", "body")
+    before = body_of(spark, t)
+    t.rebucket(spark, 8)
+    assert body_of(spark, t) == before
+    assert t.n_buckets() == 8

@@ -310,3 +310,54 @@ def test_stream_apply_rejects_logless_source_without_orphan(spark, tmp_path):
     assert not os.path.exists(os.path.join(dst_root, "_current")), (
         "error path must not leave an orphan replica"
     )
+
+
+def test_apply_changes_mirrors_rename_and_drop(spark, tmp_path):
+    """r5 column evolution: a source rename/drop is a metadata commit with
+    an EMPTY change window — `_sync_columns` must mirror it onto the
+    replica before data applies, or the replica's namespace forks
+    (untouched rows under the old name, new rows under the new one)."""
+    src = _mk_src(tmp_path)
+    dst_root = str(tmp_path / "dst")
+    merge_into(
+        spark, src,
+        _b(spark, [(i + 1, "add", "r", f"p{i}", f"v{i}") for i in range(6)]),
+        _off(1), scrub=False,
+    )
+    apply_changes(spark, src, dst_root)
+
+    src.rename_column("content", "body", spark=spark)
+    renamed = T.StructType(
+        _BATCH.fields[:4] + [T.StructField("body", T.StringType(), True)]
+    )
+    merge_into(
+        spark, src,
+        spark.createDataFrame([(100, "update", "r", "p1", "v1b")], renamed),
+        _off(2), scrub=False,
+    )
+    apply_changes(spark, src, dst_root)
+    dst = SnapshotTable(dst_root)
+    names = [f.name for f in dst.schema().fields]
+    assert "body" in names and "content" not in names
+    got = {r["path"]: r["body"] for r in dst.read(spark).collect()}
+    # both the re-applied row AND the pre-rename untouched rows live
+    # under the new name on the replica
+    assert got["p1"] == "v1b" and got["p3"] == "v3"
+    v = verify_replica(spark, src, dst)
+    assert v["mismatched"] == 0 and v["src_rows"] == v["dst_rows"]
+
+    # drop mirrors too (add a throwaway column on both sides first)
+    src.add_column("tmpcol", "string", spark=spark)
+    wide = T.StructType(renamed.fields + [T.StructField("tmpcol", T.StringType())])
+    merge_into(
+        spark, src,
+        spark.createDataFrame([(200, "add", "r", "q", "vq", "x")], wide),
+        _off(3), scrub=False,
+    )
+    apply_changes(spark, src, dst_root)
+    src.drop_column("tmpcol", spark=spark)
+    apply_changes(spark, src, dst_root)
+    dst = SnapshotTable(dst_root)
+    assert "tmpcol" not in [f.name for f in dst.schema().fields]
+    v = verify_replica(spark, src, dst)
+    assert v["mismatched"] == 0
