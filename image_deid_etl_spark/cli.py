@@ -299,6 +299,25 @@ def cmd_validate(args) -> None:
         sys.exit(2)
 
 
+def cmd_inspect(args) -> None:
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="inspect")
+    df = {
+        "history": table.history,
+        "files": table.file_entries,
+        "buckets": table.bucket_summary,
+    }[args.what](spark)
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_expire(args) -> None:
     from .cdc.engine import open_table
 
@@ -888,6 +907,17 @@ def main(argv: list[str] | None = None) -> None:
     common(v)
     v.add_argument("--report", default=None, help="write anomaly side-outputs here")
     v.set_defaults(fn=cmd_validate)
+
+    ins = sub.add_parser(
+        "inspect",
+        help="metadata tables: history (one row per commit), files "
+        "(manifest entries), buckets (per-bucket layout health) — "
+        "JSON lines",
+    )
+    ins.add_argument("--table", required=True)
+    ins.add_argument("what", choices=["history", "files", "buckets"])
+    ins.add_argument("--limit", type=int, default=None)
+    ins.set_defaults(fn=cmd_inspect)
 
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
     x.add_argument("--table", required=True)

@@ -3327,6 +3327,113 @@ class SnapshotTable:
                 out.append(json.load(f))
         return out
 
+    # ------------------------------------------------------------------ #
+    # metadata tables (Iceberg `history` / `files` / `partitions` analog)
+    # ------------------------------------------------------------------ #
+    # Observability as DataFrames, so operational questions — which
+    # buckets are hot, how many files are under-sized, when did snapshot
+    # N land and what did it do — are ordinary queries. All three are
+    # built from driver-held metadata (lineage files, manifest shards):
+    # the engine already keeps that at O(files) driver scale by design,
+    # and the rows are parallelized out immediately.
+
+    #: op-marker keys in lineage entries, checked in order; absent → "write"
+    _HISTORY_OPS = (
+        "bootstrap", "rollback", "rebucket_begin", "rebucket_step",
+        "rebucket", "set_properties", "alter_columns", "update_where",
+        "resolved_metadata_only", "compaction",
+    )
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """One row per retained commit: what landed, when, and how big.
+        ``operation`` is derived from the lineage entry's marker keys
+        (plain ingest merges carry none → ``write``); ``detail`` is the
+        raw lineage JSON for anything schema'd columns don't surface."""
+        rows = []
+        for e in self.lineage():
+            op = next((k for k in self._HISTORY_OPS if k in e), "write")
+            parts = e.get("partitions") or []
+            rows.append(
+                (
+                    int(e["snapshot_id"]),
+                    float(e["committed_at"]),
+                    op,
+                    int(e["batch_id"]) if e.get("batch_id") is not None else None,
+                    len(parts),
+                    int(sum(p.get("rows_written") or 0 for p in parts)),
+                    int(sum(p.get("bytes") or 0 for p in parts)),
+                    len(e.get("files_replaced") or [])
+                    if isinstance(e.get("files_replaced"), list)
+                    else int(e.get("files_replaced") or 0),
+                    bool(e.get("adaptive_append")),
+                    json.dumps({k: v for k, v in e.items() if k != "partitions"}),
+                )
+            )
+        schema = (
+            "snapshot_id long, committed_at double, operation string, "
+            "batch_id long, files_written int, rows_written long, "
+            "bytes_written long, files_replaced int, adaptive_append boolean, "
+            "detail string"
+        )
+        return spark.createDataFrame(rows, schema).orderBy("snapshot_id")
+
+    def file_entries(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """The manifest's file list as a DataFrame (Iceberg `files`):
+        one row per live data file with its bucket, row/byte counts,
+        seq/key ranges, bloom presence and recorded column stats
+        (JSON — stats columns vary per table)."""
+        rows = [
+            (
+                f["path"],
+                int(f["bucket"]),
+                int(f.get("rows") or 0),
+                int(f.get("bytes") or 0),
+                f.get("seq_min"),
+                f.get("seq_max"),
+                f.get("key_min"),
+                f.get("key_max"),
+                f.get("bloom_path") is not None,
+                bool(f.get("has_deletes")),
+                json.dumps(f["col_stats"]) if f.get("col_stats") else None,
+            )
+            for f in self.manifest(snapshot_id)["files"]
+        ]
+        schema = (
+            "path string, bucket int, rows long, bytes long, "
+            "seq_min long, seq_max long, key_min string, key_max string, "
+            "has_bloom boolean, has_deletes boolean, col_stats string"
+        )
+        return spark.createDataFrame(rows, schema).orderBy("bucket", "path")
+
+    def bucket_summary(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Per-bucket layout health (Iceberg `partitions` analog): file
+        and row counts, total bytes, smallest file (compaction debt) and
+        whether the bucket is unresolved (scan-time LWW window due)."""
+        unres = self.unresolved_buckets(snapshot_id)
+        f = self.file_entries(spark, snapshot_id)
+        return (
+            f.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("files"),
+                F.sum("rows").alias("rows"),
+                F.sum("bytes").alias("bytes"),
+                F.min("rows").alias("min_file_rows"),
+                F.min("seq_min").alias("seq_min"),
+                F.max("seq_max").alias("seq_max"),
+            )
+            .withColumn(
+                "unresolved",
+                F.col("bucket").isin([int(b) for b in unres])
+                if unres
+                else F.lit(False),
+            )
+            .orderBy("bucket")
+        )
+
 
 _INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
 _FLOAT_ORDER = [T.FloatType(), T.DoubleType()]

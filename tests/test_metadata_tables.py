@@ -1,0 +1,69 @@
+"""Metadata tables (`history` / `file_entries` / `bucket_summary`) —
+the Iceberg `history`/`files`/`partitions` observability analog: the
+table's own metadata queryable as DataFrames, consistent with the
+manifest it is derived from."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.cdc.merge import merge_into, update_where
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+from tests.test_delete import batch_df, make_table, offsets
+from tests.test_table import SCHEMA
+
+
+def test_history_labels_operations(spark, tmp_path):
+    t = make_table(spark, tmp_path)  # one ingest merge
+    update_where(spark, t, set={"content": "'u'"}, condition="ts = 1")
+    t.compact(spark, min_files_per_bucket=1)
+    t.set_properties({"stats_cols": ["ts"]})
+    h = {r["snapshot_id"]: r for r in t.history(spark).collect()}
+    ops = [h[s]["operation"] for s in sorted(h)]
+    assert ops == ["write", "update_where", "compaction", "set_properties"]
+    first = h[min(h)]
+    assert first["rows_written"] == 40 and first["files_written"] > 0
+    assert json.loads(first["detail"])["merge_mode"] == "cow"
+    # metadata-only commit: nothing written
+    assert h[max(h)]["rows_written"] == 0
+
+
+def test_file_entries_match_manifest_and_data(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    fe = t.file_entries(spark)
+    man = t.manifest()["files"]
+    assert fe.count() == len(man)
+    assert fe.agg(F.sum("rows")).collect()[0][0] == sum(f["rows"] for f in man)
+    # every row is physically that size
+    got = {r["path"]: r["rows"] for r in fe.collect()}
+    for f in man:
+        assert got[f["path"]] == f["rows"]
+    assert fe.filter(F.col("bucket") < 0).count() == 0
+    # snapshot pinning: the first snapshot's listing, not the head's
+    fe1 = t.file_entries(spark, snapshot_id=1)
+    assert {r["path"] for r in fe1.collect()} == {
+        f["path"] for f in t.manifest(1)["files"]
+    }
+
+
+def test_bucket_summary_counts_and_unresolved_flag(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "m"), SCHEMA, ["repo", "path"], 4,
+        properties={"merge_mode": "mor"},
+    )
+    b = batch_df(spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(30)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    b2 = batch_df(spark, [(100, "update", "r", "p1", 9, "v1b")])
+    merge_into(spark, t, b2, offsets(2), scrub=False)
+    bs = {r["bucket"]: r for r in t.bucket_summary(spark).collect()}
+    man = t.manifest()["files"]
+    per_bucket_files: dict[int, int] = {}
+    for f in man:
+        per_bucket_files[f["bucket"]] = per_bucket_files.get(f["bucket"], 0) + 1
+    assert {b: r["files"] for b, r in bs.items()} == per_bucket_files
+    unres = t.unresolved_buckets()
+    assert unres and all(bs[b]["unresolved"] for b in unres)
+    assert all(not bs[b]["unresolved"] for b in bs if b not in unres)
