@@ -126,6 +126,27 @@ def decode_envelopes(
     return events, rejects
 
 
+def _dead_letter(rejects: DataFrame, rejects_dir: str, tag) -> int:
+    """Persist a rejects frame to the dead-letter dir, tagged with the
+    producing batch/epoch (partition column, so a replayed batch
+    OVERWRITES its own quarantine rows instead of duplicating them —
+    dynamic partition overwrite keeps other batches' rows). Returns the
+    reject count."""
+    import pandas as pd  # noqa: F401  (documents the frame is tiny-ish)
+
+    n = rejects.count()
+    if n:
+        (
+            rejects.withColumn("batch", F.lit(str(tag)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(rejects_dir)
+        )
+    return n
+
+
 def apply_envelope_batch(
     spark,
     table,
@@ -133,6 +154,7 @@ def apply_envelope_batch(
     offsets: dict,
     payload_schema: T.StructType | None = None,
     scrub: bool = True,
+    rejects_dir: str | None = None,
     **decode_kwargs,
 ) -> dict:
     """One-call batch path: decode + MERGE + reject accounting.
@@ -144,16 +166,25 @@ def apply_envelope_batch(
     same cursor is a no-op at the LWW layer and a visible no-advance at
     the cursor layer. ``payload_schema`` defaults to the table's data
     schema (engine columns excluded). Returns ``{"snapshot_id", "events",
-    "rejects"}``; rejects are COUNTED here — persisting them is the
-    caller's routing decision (they carry source-specific raw bytes the
-    lake table deliberately never stores).
+    "rejects"}``.
+
+    ``rejects_dir`` opts into a DEAD-LETTER sink: rejects (raw + reason)
+    land there as parquet partitioned by the cursor's ``batch_id``, so a
+    replayed batch overwrites its own quarantine rows (idempotent).
+    Without it rejects are only counted — they carry source-specific raw
+    bytes the lake table deliberately never stores.
     """
     from .merge import merge_into
 
     if payload_schema is None:
         payload_schema = table.schema()  # user schema (engine cols excluded)
     events, rejects = decode_envelopes(envelopes, payload_schema, **decode_kwargs)
-    n_rejects = rejects.count()
+    if rejects_dir is not None:
+        n_rejects = _dead_letter(
+            rejects, rejects_dir, offsets.get("batch_id", "na")
+        )
+    else:
+        n_rejects = rejects.count()
     n_events = events.count()
     if n_events == 0:
         return {
@@ -163,3 +194,127 @@ def apply_envelope_batch(
         }
     snap = merge_into(spark, table, events, offsets=offsets, scrub=scrub)
     return {"snapshot_id": snap, "events": n_events, "rejects": n_rejects}
+
+
+def stream_envelope_ingest(
+    spark,
+    table_root: str,
+    source_dir: str,
+    checkpoint_dir: str,
+    payload_schema: T.StructType | None = None,
+    n_buckets: int = 16,
+    scrub: bool = True,
+    max_files_per_trigger: int = 4,
+    auto_compact_files: int | None = 32,
+    rejects_dir: str | None = None,
+    merge_mode: str | None = None,
+    changelog: bool | None = None,
+    value_col: str = "value",
+    seq_field: str = "lsn",
+    wrapper: str | None = None,
+) -> None:
+    """Streaming connector ingestion: tail a directory of newline-
+    delimited envelope JSON files (the shape a Kafka-Connect S3/file
+    sink or a Debezium file pipe produces) with Trigger.AvailableNow,
+    decode each micro-batch, and MERGE it with full `stream_ingest`
+    parity — the per-epoch exactly-once guard (stream identity +
+    last_epoch in the table offsets), the same per-batch stats job
+    (prune ladder + adaptive CoW→MoR apply to streamed envelopes too),
+    bounded post-commit maintenance, and the changelog heal. Rejects
+    dead-letter per epoch when ``rejects_dir`` is given (partitioned by
+    epoch — a redelivered epoch overwrites its own rows).
+
+    ``payload_schema`` defaults to the TABLE's schema, so the table must
+    already exist unless a schema is passed (a connector stream cannot
+    infer payload types from raw JSON text safely).
+    """
+    from ..streaming.ingest import _checkpoint_stream_id
+    from .engine import (
+        compute_batch_stats,
+        materialize_new_changelogs,
+        open_or_create_table,
+        run_maintenance,
+    )
+    from .merge import merge_into
+
+    t0 = open_or_create_table(
+        table_root, n_buckets, merge_mode=merge_mode, changelog=changelog
+    )
+    if payload_schema is None:
+        payload_schema = t0.schema()
+    if t0.changelog_enabled():
+        materialize_new_changelogs(spark, t0, 0)  # heal pre-crash gaps
+    ckpt_id = _checkpoint_stream_id(checkpoint_dir)
+
+    src = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    events, rejects = decode_envelopes(
+        src, payload_schema, value_col=value_col, seq_field=seq_field,
+        wrapper=wrapper,
+    )
+    # one stream, two frames: tag and union so a single foreachBatch
+    # sees both (two sinks on one source would double-read the files)
+    tagged = events.withColumn("_reject_reason", F.lit(None).cast("string")) \
+        .withColumn("_raw", F.lit(None).cast("string")) \
+        .unionByName(
+            rejects.select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in events.schema.fields
+                ],
+                F.col("reason").alias("_reject_reason"),
+                F.col("raw").alias("_raw"),
+            )
+        )
+
+    def apply_epoch(bdf: DataFrame, epoch_id: int) -> None:
+        t = open_or_create_table(
+            table_root, n_buckets, merge_mode=merge_mode, changelog=changelog
+        )
+        off = t.offsets()
+        if off.get("stream_id") == ckpt_id and epoch_id <= off.get(
+            "last_epoch", -1
+        ):
+            return
+        bad = bdf.filter(F.col("_reject_reason").isNotNull())
+        if rejects_dir is not None:
+            _dead_letter(
+                bad.select(
+                    F.col("_raw").alias("raw"),
+                    F.col("_reject_reason").alias("reason"),
+                ),
+                rejects_dir,
+                f"epoch-{epoch_id}",
+            )
+        ev = bdf.filter(F.col("_reject_reason").isNull()).drop(
+            "_reject_reason", "_raw"
+        )
+        if ev.isEmpty():
+            return
+        pre_sid = t.snapshot_id
+        _, mx, touched, key_ranges, key_counts = compute_batch_stats(t, ev)
+        new_off = {
+            **off,
+            "max_seq_seen": max(off.get("max_seq_seen", 0), mx),
+            "batch_id": off.get("batch_id", -1) + 1,
+            "last_epoch": epoch_id,
+            "stream_id": ckpt_id,
+        }
+        merge_into(
+            ev.sparkSession, t, ev, offsets=new_off, scrub=scrub,
+            touched=touched, key_ranges=key_ranges, key_counts=key_counts,
+        )
+        run_maintenance(ev.sparkSession, t, touched, auto_compact_files)
+        if t.changelog_enabled():
+            materialize_new_changelogs(ev.sparkSession, t, pre_sid)
+
+    q = (
+        tagged.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -302,3 +302,73 @@ def test_envelope_streaming_matches_batch(spark, tmp_path):
         scrub=False,
     )
     assert engine_state(spark, t.root).equals(engine_state(spark, batch_t.root))
+
+
+def test_apply_envelope_batch_dead_letter_idempotent(spark, tmp_path):
+    """Rejects land in the dead-letter dir partitioned by batch_id; a
+    replayed batch OVERWRITES its own quarantine rows (no duplicates)."""
+    t = make_empty_table(spark, tmp_path)
+    dl = str(tmp_path / "dead")
+    envs = raw_df(
+        spark,
+        [env_json(1, "c", row("ok", 1, "v")), "junk{{", env_json(2, "q", row("x", 1, "v"))],
+    )
+    for _ in range(2):  # replay the same cursor
+        res = apply_envelope_batch(
+            spark, t, envs, offsets(1), scrub=False, rejects_dir=dl
+        )
+        assert res["rejects"] == 2
+    got = spark.read.parquet(dl)
+    assert got.count() == 2
+    assert {r["reason"] for r in got.collect()} == {
+        "malformed_envelope", "unknown_op",
+    }
+
+
+def test_stream_envelope_ingest_end_to_end(spark, tmp_path):
+    """The packaged streaming path: tail envelope JSON files, decode,
+    exactly-once MERGE per epoch, dead-letter rejects per epoch;
+    incremental restart picks up only new files."""
+    from image_deid_etl_spark.cdc.envelope import stream_envelope_ingest
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    chunks = [
+        [env_json(i + 1, "c", row(f"p{i}", i, f"v{i}")) for i in range(4)],
+        [env_json(10, "u", row("p0", 9, "v0b")), "garbage{{"],
+    ]
+    for i, ch in enumerate(chunks):
+        with open(src / f"c{i}.json", "w") as f:
+            f.write("\n".join(ch) + "\n")
+
+    troot = str(tmp_path / "t")
+    SnapshotTable.create(troot, SCHEMA, ["repo", "path"], 4)
+    dl = str(tmp_path / "dead")
+    ck = str(tmp_path / "ck")
+    stream_envelope_ingest(
+        spark, troot, str(src), ck, scrub=False,
+        max_files_per_trigger=1, rejects_dir=dl,
+    )
+    t = SnapshotTable(troot)
+    got = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert got == {"p0": "v0b", "p1": "v1", "p2": "v2", "p3": "v3"}
+    rej = spark.read.parquet(dl).collect()
+    assert len(rej) == 1 and rej[0]["reason"] == "malformed_envelope"
+    snap = t.snapshot_id
+
+    # drained re-run: no new commits
+    stream_envelope_ingest(
+        spark, troot, str(src), ck, scrub=False,
+        max_files_per_trigger=1, rejects_dir=dl,
+    )
+    assert SnapshotTable(troot).snapshot_id == snap
+
+    # a new file arrives: incremental pickup only
+    with open(src / "c2.json", "w") as f:
+        f.write(env_json(20, "d", row("p1", 99, None)) + "\n")
+    stream_envelope_ingest(
+        spark, troot, str(src), ck, scrub=False,
+        max_files_per_trigger=1, rejects_dir=dl,
+    )
+    t = SnapshotTable(troot)
+    assert "p1" not in {r["path"] for r in t.read(spark).collect()}
