@@ -468,3 +468,45 @@ def bootstrap_offsets(table_root: str, committed_feed_files: int, n_buckets: int
     table.commit_snapshot(
         new_files=[], touched_buckets=set(), offsets=off, lineage_extra={"bootstrap": True}
     )
+
+
+def run_table_maintenance(
+    spark: SparkSession,
+    table_root: str,
+    min_files_per_bucket: int = 8,
+    resolve_versions: bool | None = None,
+    keep_last: int | None = None,
+    changelog_keep_last: int | None = None,
+    orphan_grace_s: float = 600.0,
+) -> dict:
+    """The cron entrypoint: everything a steady-state table needs on a
+    schedule, in one idempotent call, ordered so each step makes the
+    next cheaper — (1) heal changelog gaps (crash windows), (2) fold
+    small files / resolve version stacks (`compact`), (3) expire old
+    snapshots + sweep orphan attempt dirs (only with an explicit
+    ``keep_last`` — retention is a policy decision, never a default).
+
+    Mirrors the reference's operating model — ONE cron-driven pass over
+    the backlog (`__main__.py:98-133`) — generalized to table upkeep.
+    Safe to run beside a live ingest loop: every step commits through
+    the optimistic path (a clashing bucket raises, the next cron run
+    re-plans), and the orphan sweep's grace window spares in-flight
+    writers' attempt dirs. Returns a merged report.
+    """
+    table = open_table(table_root)
+    report: dict = {"table": table_root, "snapshot_id_before": table.snapshot_id}
+    if table.changelog_enabled():
+        report["changelogs_healed"] = materialize_new_changelogs(spark, table, 0)
+    report["compact"] = table.compact(
+        spark,
+        min_files_per_bucket=min_files_per_bucket,
+        resolve_versions=resolve_versions,
+    )
+    if keep_last is not None:
+        report["expire"] = table.expire_snapshots(
+            keep_last=keep_last,
+            changelog_keep_last=changelog_keep_last,
+            orphan_grace_s=orphan_grace_s,
+        )
+    report["snapshot_id_after"] = open_table(table_root).snapshot_id
+    return report

@@ -1037,6 +1037,7 @@ def delete_where(
     condition=None,
     where: dict | None = None,
     fail_before_commit: bool = False,
+    retries: int = 0,
 ) -> dict:
     """Row-level predicate DELETE (retention sweep / right-to-erasure).
 
@@ -1074,6 +1075,11 @@ def delete_where(
     """
     if condition is None and not where:
         raise ValueError("delete_where needs a condition and/or `where` bounds")
+    if retries:
+        return with_replan(
+            delete_where, retries, spark, table, condition=condition,
+            where=where, fail_before_commit=fail_before_commit,
+        )
     from .engine import compute_batch_stats  # local: engine imports merge
 
     anchor = table.snapshot_id  # BEFORE the scan (see docstring)
@@ -1121,6 +1127,30 @@ def delete_where(
     return {"deleted": n, "snapshot_id": snap}
 
 
+def with_replan(fn, retries: int, *args, **kwargs):
+    """Bounded auto-replan for optimistic predicate mutations: re-run the
+    WHOLE operation (fresh anchor, fresh matching scan over the new head)
+    when a racing commit fails it with `ConcurrentCommitError`. This is
+    the caller-side half of the optimistic-concurrency contract — a
+    predicate mutation is re-plannable by construction (its inputs are
+    the predicate + the current state, never stale row identities), so
+    retrying IS the correct conflict resolution, unlike blind commit
+    retry which would land a stale-matched rewrite. ``retries=0`` keeps
+    the raise-to-caller behavior."""
+    from ..lake.table import ConcurrentCommitError
+
+    last: ConcurrentCommitError | None = None
+    for _ in range(retries + 1):
+        try:
+            return fn(*args, **kwargs)
+        except ConcurrentCommitError as e:
+            last = e
+    raise ConcurrentCommitError(
+        f"still conflicting after {retries} replans (heavy concurrent "
+        "write load on the matched buckets)"
+    ) from last
+
+
 def update_where(
     spark: SparkSession,
     table: SnapshotTable,
@@ -1128,6 +1158,7 @@ def update_where(
     condition=None,
     where: dict | None = None,
     fail_before_commit: bool = False,
+    retries: int = 0,
 ) -> dict:
     """Row-level predicate UPDATE — ``UPDATE table SET col = expr WHERE
     <condition>`` as a copy-on-write rewrite of exactly the files that
@@ -1181,6 +1212,11 @@ def update_where(
         _utc_bound,
     )
 
+    if retries:
+        return with_replan(
+            update_where, retries, spark, table, set, condition=condition,
+            where=where, fail_before_commit=fail_before_commit,
+        )
     assignments = dict(set)
     del set  # the param name mirrors SQL/Delta; restore no-builtin hygiene
     if not assignments:

@@ -299,6 +299,30 @@ def cmd_validate(args) -> None:
         sys.exit(2)
 
 
+def cmd_maintain(args) -> None:
+    from .cdc.engine import run_table_maintenance
+    from .lake.table import ConcurrentCommitError
+    from .session import build_session
+
+    spark = build_session(app_name="maintain")
+    try:
+        report = run_table_maintenance(
+            spark,
+            args.table,
+            min_files_per_bucket=args.min_files,
+            resolve_versions=args.resolve or None,
+            keep_last=args.keep_last,
+            changelog_keep_last=args.changelog_keep_last,
+            orphan_grace_s=args.orphan_grace,
+        )
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    except ConcurrentCommitError as e:
+        # a racing writer on a compacted bucket: re-plannable next run
+        sys.exit(f"conflict (re-run): {e}")
+    print(json.dumps(report))
+
+
 def cmd_inspect(args) -> None:
     from .cdc.engine import open_table
     from .session import build_session
@@ -414,7 +438,14 @@ def cmd_delete(args) -> None:
         except ValueError as e:
             sys.exit(f"error: bad --where bound: {e}")
     spark = build_session(app_name="delete")
-    print(json.dumps(delete_where(spark, table, condition=args.condition, where=where)))
+    print(
+        json.dumps(
+            delete_where(
+                spark, table, condition=args.condition, where=where,
+                retries=args.retries,
+            )
+        )
+    )
 
 
 def cmd_update(args) -> None:
@@ -449,6 +480,7 @@ def cmd_update(args) -> None:
             set={col: expr for col, expr in args.set},
             condition=args.condition,
             where=where,
+            retries=args.retries,
         )
     except ValueError as e:
         sys.exit(f"error: {e}")
@@ -908,6 +940,22 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--report", default=None, help="write anomaly side-outputs here")
     v.set_defaults(fn=cmd_validate)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="one-call upkeep (cron entrypoint): changelog heal + "
+        "compact + optional expire/orphan-sweep",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--min-files", type=int, default=8,
+                    help="fold buckets holding at least this many files")
+    mt.add_argument("--resolve", action="store_true",
+                    help="also fold MoR/adaptive version stacks")
+    mt.add_argument("--keep-last", type=int, default=None,
+                    help="expire snapshots beyond the newest N (default: no expiry)")
+    mt.add_argument("--changelog-keep-last", type=int, default=None)
+    mt.add_argument("--orphan-grace", type=float, default=600.0)
+    mt.set_defaults(fn=cmd_maintain)
+
     ins = sub.add_parser(
         "inspect",
         help="metadata tables: history (one row per commit), files "
@@ -972,6 +1020,11 @@ def main(argv: list[str] | None = None) -> None:
         "retention sweep should use so cold files are never listed. "
         "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
     )
+    dl.add_argument(
+        "--retries", type=int, default=0,
+        help="auto-replan this many times on a concurrent-commit conflict "
+        "(fresh anchor + fresh matching scan per attempt)",
+    )
     dl.add_argument("--branch", default=None, help="operate on an existing branch (stage the commit for write-audit-publish)")
     dl.set_defaults(fn=cmd_delete)
 
@@ -995,6 +1048,11 @@ def main(argv: list[str] | None = None) -> None:
         help="inclusive stats bounds (repeatable): file-prunes the matching "
         "scan via the table's stats_cols manifest ranges. "
         "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
+    )
+    up.add_argument(
+        "--retries", type=int, default=0,
+        help="auto-replan this many times on a concurrent-commit conflict "
+        "(fresh anchor + fresh matching scan per attempt)",
     )
     up.add_argument("--branch", default=None, help="operate on an existing branch (stage the commit for write-audit-publish)")
     up.set_defaults(fn=cmd_update)

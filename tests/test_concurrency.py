@@ -33,7 +33,7 @@ import pytest
 
 from image_deid_etl_spark.cdc.engine import open_or_create_table, run_ingest
 from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
-from image_deid_etl_spark.cdc.merge import merge_into, update_where
+from image_deid_etl_spark.cdc.merge import delete_where, merge_into, update_where
 from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
 from image_deid_etl_spark.lake.table import (
     ConcurrentCommitError,
@@ -328,3 +328,66 @@ def test_expire_grace_spares_fresh_attempt_dirs(tmp_path):
     res = t.expire_snapshots(keep_last=10, orphan_grace_s=0.0)
     assert res["removed_orphan_files"] == 1
     assert not os.path.exists(orphan)
+
+
+def test_update_delete_auto_replan_on_race(spark, tmp_path, monkeypatch):
+    """Opt-in retries: a predicate UPDATE losing the commit race to a
+    same-bucket writer re-plans (fresh anchor + fresh matching scan over
+    the new head) and applies to the RACED state — the stale-matched
+    rewrite still never lands."""
+    t = make_table(spark, tmp_path)
+    race = [batch_df(spark, [(500, "add", "r", "p0", 99, "x")])]
+
+    orig = t.write_snapshot_files
+
+    def race_once(df, *a, **kw):
+        if race:
+            b = race.pop()
+            t2 = SnapshotTable(t.root)
+            merge_into(spark, t2, b, offsets(2), scrub=False)
+        return orig(df, *a, **kw)
+
+    t.write_snapshot_files = race_once
+    res = update_where(
+        spark, t, set={"content": "'u'"}, condition="ts < 10 OR ts = 99",
+        retries=2,
+    )
+    # the replan saw the raced row (its ts=99 supersedes p0's old ts<10
+    # version, and matches via the ts=99 arm): 9 old rows + raced p0
+    assert res["updated"] == 10
+    got = rows_by_path(spark, SnapshotTable(t.root))
+    assert got["p0"] == ("u", 500)
+    assert got["p5"] == ("u", 6)
+
+    # delete flavor: the race REWRITES the matched key mid-delete; the
+    # replanned tombstone (seq_high after the race) still erases it
+    race.append(batch_df(spark, [(600, "update", "r", "p1", 98, "y")]))
+    res = delete_where(spark, t, condition="path = 'p1'", retries=1)
+    assert res["deleted"] == 1
+    assert "p1" not in rows_by_path(spark, SnapshotTable(t.root))
+
+
+def test_run_table_maintenance_one_call(spark, tmp_path):
+    """The cron entrypoint: heal + compact + expire in one idempotent
+    call; orphan sweep honors the grace default."""
+    from image_deid_etl_spark.cdc.engine import run_table_maintenance
+
+    t = make_table(spark, tmp_path)
+    for i in range(3):
+        merge_into(
+            spark, t,
+            batch_df(spark, [(1000 + i, "update", "r", f"p{i}", 50 + i, "z")]),
+            offsets(2 + i), scrub=False,
+        )
+    before = rows_by_path(spark, t)
+    rep = run_table_maintenance(
+        spark, t.root, min_files_per_bucket=2, keep_last=2,
+    )
+    assert rep["compact"]["files_after"] <= rep["compact"]["files_before"]
+    assert "expire" in rep and rep["snapshot_id_after"] >= rep["snapshot_id_before"]
+    assert rows_by_path(spark, SnapshotTable(t.root)) == before
+    # idempotent: second run folds nothing further and expires nothing new
+    rep2 = run_table_maintenance(
+        spark, t.root, min_files_per_bucket=2, keep_last=2,
+    )
+    assert rep2["compact"]["files_after"] == rep2["compact"]["files_before"]
