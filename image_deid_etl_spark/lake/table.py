@@ -692,6 +692,17 @@ class SnapshotTable:
             self.manifest(with_files=False)["properties"].get("cluster_by", [])
         )
 
+    def cluster_method(self) -> str:
+        """How maintenance rewrites order rows within a bucket when
+        ``cluster_by`` is set: ``"linear"`` (default — lexicographic on
+        the columns; best when queries filter on the leading column) or
+        ``"zorder"`` (Morton bit-interleave; file stats stay tight on
+        EVERY clustered column, the multi-dimensional data-skipping
+        shape). Numeric/timestamp columns only for zorder."""
+        return self.manifest(with_files=False)["properties"].get(
+            "cluster_method", "linear"
+        )
+
     def target_file_rows(self) -> int:
         return self.manifest(with_files=False)["partition_spec"].get(
             "target_file_rows", 1 << 19
@@ -914,7 +925,9 @@ class SnapshotTable:
     #: properties `set_properties` may change, with their validators.
     #: target_file_rows / n_buckets live in partition_spec (rebucket owns
     #: spec evolution); anything else is a typo we refuse loudly.
-    MUTABLE_PROPERTIES = ("merge_mode", "changelog", "stats_cols", "cluster_by")
+    MUTABLE_PROPERTIES = (
+        "merge_mode", "changelog", "stats_cols", "cluster_by", "cluster_method",
+    )
 
     def set_properties(
         self, props: dict, spark: SparkSession | None = None
@@ -961,6 +974,33 @@ class SnapshotTable:
                 missing = set(v) - schema_cols
                 if missing:
                     raise ValueError(f"{k} columns not in schema: {sorted(missing)}")
+        if "cluster_method" in props:
+            if props["cluster_method"] not in ("linear", "zorder"):
+                raise ValueError(
+                    "cluster_method must be linear|zorder, "
+                    f"got {props['cluster_method']!r}"
+                )
+        if (
+            props.get("cluster_method", None) == "zorder"
+            or ("cluster_by" in props and self.cluster_method() == "zorder")
+        ):
+            # zorder scales values over min/max — only orderable-numeric
+            # columns interleave meaningfully (string byte-prefix order
+            # is not implemented)
+            cols = props.get("cluster_by", self.cluster_by())
+            types = {f.name: f.dataType for f in self.schema().fields}
+            bad = [
+                c for c in cols
+                if not isinstance(
+                    types.get(c),
+                    (T.NumericType, T.TimestampType, T.TimestampNTZType),
+                )
+            ]
+            if bad:
+                raise ValueError(
+                    f"cluster_method=zorder needs numeric/timestamp "
+                    f"cluster_by columns; not orderable-numeric: {bad}"
+                )
         if self._branch is not None and "changelog" in props:
             # a changelog ENABLE staged on a branch would publish with
             # zero logs (branch logs are deferred, and publish decides
@@ -2243,6 +2283,52 @@ class SnapshotTable:
     # ------------------------------------------------------------------ #
     # write path (used by merge.py)
     # ------------------------------------------------------------------ #
+    _Z_BITS = 16  # per-column resolution; 4 cols × 16 bits fill the long
+
+    def _zorder_column(self, df: DataFrame, cols: list[str]):
+        """Morton (Z-order) sort key over ``cols`` — multi-dimensional
+        clustering so `read(where=...)` file-prunes well on EVERY
+        clustered column, not just the leading one (linear sort's
+        weakness; the Delta OPTIMIZE ZORDER analog).
+
+        Each column is scaled to a 16-bit integer over its min/max in
+        the rewrite set (one cheap narrow aggregate — compaction pays a
+        second scan of the files it rewrites anyway), then the bits are
+        interleaved into one long, all in JVM bitwise expressions
+        (whole-stage codegen; no UDF). Uniform binning: heavy value
+        skew degrades toward linear-sort behavior on the skewed column
+        — documented, and the stats-pruning residual filter keeps
+        results exact regardless. Numeric and timestamp columns only
+        (byte-prefix ordering for strings is not implemented; refused
+        at property-set time)."""
+        nums = [
+            F.col(c).cast("double")
+            for c in cols  # timestamps cast to epoch-seconds doubles
+        ]
+        bounds = df.agg(
+            *[f(c).alias(f"{i}_{j}") for i, c in enumerate(nums)
+              for j, f in enumerate((F.min, F.max))]
+        ).collect()[0]
+        top = (1 << self._Z_BITS) - 1
+        scaled = []
+        for i, c in enumerate(nums):
+            lo, hi = bounds[f"{i}_0"], bounds[f"{i}_1"]
+            if lo is None or hi is None or hi <= lo:
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            frac = (c - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+            scaled.append(
+                F.coalesce(
+                    F.floor(frac * top).cast("long"), F.lit(0).cast("long")
+                )
+            )
+        z = F.lit(0).cast("long")
+        for b in range(self._Z_BITS):
+            for i, s in enumerate(scaled):
+                bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled) + i))
+        return z
+
     def write_snapshot_files(
         self,
         df: DataFrame,
@@ -2270,6 +2356,15 @@ class SnapshotTable:
         out = os.path.join(self.root, rel)
         if "_fg" not in df.columns:
             df = df.withColumn("_fg", F.lit(-1).cast("long"))
+        sort_cols = list(cluster_by or [])
+        zexpr = None
+        if sort_cols and self.cluster_method() == "zorder":
+            # Morton key replaces the linear concatenation; the bounds
+            # aggregate runs on the pre-shuffle frame, the expression is
+            # applied AFTER the exchange (like _key: derived bytes never
+            # cross the shuffle), the sort consumes it, the write drops it
+            zexpr = self._zorder_column(df, sort_cols)
+            sort_cols = ["_zv"]
         staged = (
             df.drop("_key", "_bh1", "_bh2")
             .withColumn("_pb", F.col("_bucket"))
@@ -2288,8 +2383,13 @@ class SnapshotTable:
             # A maintenance rewrite may interpose `cluster_by` columns so
             # chunks cluster on READ-predicate ranges instead (see the
             # `cluster_by` property for the documented key-range trade).
-            .sortWithinPartitions("_pb", "_fg", *(cluster_by or []), "_key")
         )
+        if zexpr is not None:
+            staged = staged.withColumn("_zv", zexpr)
+        staged = staged.sortWithinPartitions("_pb", "_fg", *sort_cols, "_key")
+        if zexpr is not None:
+            # sort key only; the projection keeps the in-partition order
+            staged = staged.drop("_zv")
         (
             staged.write.partitionBy("_pb", "_fg")
             .option("maxRecordsPerFile", self.target_file_rows())

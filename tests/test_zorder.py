@@ -1,0 +1,119 @@
+"""Z-order (Morton) clustering: `cluster_method=zorder` makes the
+per-file stats tight on EVERY clustered column, so `read(where=...)`
+file-prunes on the non-leading column too — the case linear sort
+fundamentally cannot serve (its trailing column spans the full range in
+every file). Deterministic grid fixture; the pin is comparative: zorder
+lists strictly fewer files than the linear twin for a trailing-column
+bound, with identical results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.merge import merge_into
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.LongType(), True),
+    ]
+)
+BATCH = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+    ]
+    + SCHEMA.fields
+)
+N = 32  # 32×32 grid = 1024 rows
+
+
+def _mk(spark, tmp_path, name, method):
+    t = SnapshotTable.create(
+        str(tmp_path / name),
+        SCHEMA,
+        ["repo", "path"],
+        n_buckets=1,  # isolate clustering from bucketing
+        target_file_rows=64,  # 16 files per compaction
+        properties={
+            "stats_cols": ["a", "b"],
+            "cluster_by": ["a", "b"],
+            "cluster_method": method,
+        },
+    )
+    rows = [
+        (i + 1, "add", "r", f"p{i}", i % N, i // N) for i in range(N * N)
+    ]
+    merge_into(
+        spark, t, spark.createDataFrame(rows, BATCH),
+        {"batch_id": 0}, scrub=False,
+    )
+    t.compact(spark, min_files_per_bucket=1)
+    return t
+
+
+def _probe(spark, t, where):
+    df = t.read(spark, where=where)
+    return len(df.inputFiles()), {r["path"] for r in df.collect()}
+
+
+def test_zorder_prunes_on_every_clustered_column(spark, tmp_path):
+    lin = _mk(spark, tmp_path, "lin", "linear")
+    zor = _mk(spark, tmp_path, "zor", "zorder")
+    total = len(lin.manifest()["files"])
+    assert total >= 8  # the fixture really produced a multi-file layout
+
+    want = {f"p{i}" for i in range(N * N) if 0 <= i // N <= 3}
+    # trailing column bound: linear files all span b's full range
+    lin_files, lin_rows = _probe(spark, lin, {"b": (0, 3)})
+    zor_files, zor_rows = _probe(spark, zor, {"b": (0, 3)})
+    assert lin_rows == want and zor_rows == want  # exactness first
+    assert zor_files < lin_files, (zor_files, lin_files)
+    assert zor_files < total
+
+    # leading column: zorder must still prune (not as tight as linear's
+    # perfect run, but bounded away from a full scan)
+    want_a = {f"p{i}" for i in range(N * N) if 0 <= i % N <= 3}
+    lin_a_files, lin_a_rows = _probe(spark, lin, {"a": (0, 3)})
+    zor_a_files, zor_a_rows = _probe(spark, zor, {"a": (0, 3)})
+    assert lin_a_rows == want_a and zor_a_rows == want_a
+    assert zor_a_files < total
+
+    # 2-D box: the multi-dimensional win — zorder touches the corner
+    want_box = {
+        f"p{i}" for i in range(N * N) if i % N <= 7 and i // N <= 7
+    }
+    _, lin_box = _probe(spark, lin, {"a": (0, 7), "b": (0, 7)})
+    zb_files, zor_box = _probe(spark, zor, {"a": (0, 7), "b": (0, 7)})
+    assert lin_box == want_box and zor_box == want_box
+    assert zb_files <= total // 2
+
+
+def test_zorder_state_identical_to_linear(spark, tmp_path):
+    lin = _mk(spark, tmp_path, "l2", "linear")
+    zor = _mk(spark, tmp_path, "z2", "zorder")
+    a = lin.read(spark).orderBy("path").toPandas()
+    b = zor.read(spark).orderBy("path").toPandas()
+    assert a.equals(b)
+
+
+def test_zorder_property_guards(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "g"), SCHEMA, ["repo", "path"], 2,
+    )
+    with pytest.raises(ValueError, match="linear|zorder"):
+        t.set_properties({"cluster_method": "hilbert"})
+    with pytest.raises(ValueError, match="orderable-numeric"):
+        t.set_properties(
+            {"cluster_by": ["repo", "a"], "cluster_method": "zorder"}
+        )
+    # numeric cols pass; switching method later re-validates existing cols
+    t.set_properties({"cluster_by": ["a", "b"], "cluster_method": "zorder"})
+    assert t.cluster_method() == "zorder"
+    with pytest.raises(ValueError, match="orderable-numeric"):
+        t.set_properties({"cluster_by": ["path"]})
