@@ -230,6 +230,61 @@ def domain_cap(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-window preparation step of an LLM training/RAG pipeline
+    (`pack_sequences` is its inverse: chunking splits long docs, packing
+    concatenates short ones).
+
+    Whitespace tokenization; chunk ``i`` carries tokens
+    ``[i*stride, i*stride + budget)`` with ``stride = budget - overlap``,
+    so consecutive chunks share ``overlap`` tokens and the final chunk
+    always starts inside the document. Pure codegen — split + sequence +
+    posexplode + slice + array_join, no UDF, no shuffle (map-only over
+    whatever partitioning the corpus already has; at 100 TB the fan-out
+    multiplies rows ~n_tokens/stride with zero exchanges). Rejoining
+    with single spaces normalizes intra-chunk whitespace (deterministic
+    and engine-portable). Whitespace-only/null docs are dropped.
+
+    Output: ``(id_col, chunk_id, n_tokens, chunk_text)``, one row per
+    chunk, exactly reproducible by a relational oracle (the
+    `corpus_chunking` catalog query hashes chunk text cross-engine).
+    """
+    if overlap >= budget:
+        raise ValueError(f"overlap {overlap} must be < budget {budget}")
+    stride = budget - overlap
+    tk = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tk)
+    n_chunks = F.when(n <= budget, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - budget) / F.lit(float(stride))).cast("int")
+    )
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), tk.alias("_tk"), n_chunks.alias("_nc")
+    )
+    piece = F.slice(
+        F.col("_tk"), F.col("chunk_id") * stride + 1, F.lit(budget)
+    )
+    return (
+        base.select(
+            id_col,
+            F.col("_tk"),
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
 #: auto-sizing target for `pack_sequences`: keep every shard's sequential
 #: stream under this many rows (a shard is one task's worth of work, but
 #: streamed — the cap bounds per-shard WALL TIME, not memory)

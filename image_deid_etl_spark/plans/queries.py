@@ -2440,6 +2440,42 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_chunking",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0
+    ), sized AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(tk) - 64) / 48.0) AS INT) END AS nc
+      FROM base
+    ), exploded AS (
+      SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_id FROM sized
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(tk[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_hash
+    FROM exploded
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (`text.chunk_documents`): every document
+    split into 64-token windows with 16-token overlap, one row per
+    chunk, chunk text md5-hashed so the oracle compares exact content
+    cross-engine. Map-only fan-out — the one shuffle is the final sort."""
+    d = _t(spark, sf_dir, "documents")
+    ch = text.chunk_documents(d, "doc_id", "text", budget=64, overlap=16)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
     "corpus_top_bigrams",
     """
     WITH words AS (

@@ -534,3 +534,45 @@ def test_domain_cap_exact_and_repartition_invariant(spark):
     assert a == b
     assert len(a) == 3 * 5 + 1  # three capped domains + the tiny one
     assert (100, 1) in a
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    """Chunking invariants: chunk 0 plus each later chunk minus its
+    16-token overlap concatenates back to the whitespace-normalized
+    document; every chunk is within budget; consecutive chunks share
+    exactly the overlap suffix/prefix; degenerate docs yield one chunk;
+    empty docs are dropped."""
+    import pytest as _pytest
+
+    from image_deid_etl_spark.operators.text import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(200))),  # multi-chunk
+        (2, "a  b\n c"),  # short + messy whitespace
+        (3, "   "),  # dropped
+        (4, " ".join(f"x{i}" for i in range(64))),  # exactly budget
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ch = chunk_documents(df, budget=64, overlap=16)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+         for r in ch.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t))
+    assert 3 not in by_doc
+    assert [c for c, _, _ in by_doc[2]] == [0] and by_doc[2][0][2] == "a b c"
+    assert len(by_doc[4]) == 1 and by_doc[4][0][1] == 64
+    chunks = by_doc[1]
+    assert [c for c, _, _ in chunks] == list(range(len(chunks)))
+    assert all(n <= 64 for _, n, _ in chunks)
+    # overlap contract + reconstruction
+    rebuilt = chunks[0][2].split(" ")
+    for (_, _, prev), (_, _, cur) in zip(chunks, chunks[1:]):
+        assert prev.split(" ")[-16:] == cur.split(" ")[:16]
+        rebuilt += cur.split(" ")[16:]
+    assert rebuilt == [f"t{i}" for i in range(200)]
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, budget=16, overlap=16)
