@@ -2440,6 +2440,91 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pii_scan",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact: u' || doc_id || '@ex.org' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call (212) 555-0187' ELSE '' END AS t
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email,
+        len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS ssn,
+        len(regexp_extract_all(t, '\\b(\\+?1[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b')) AS phone
+      FROM dirty
+    )
+    SELECT category,
+           CAST(matches AS BIGINT) AS matches,
+           CAST(docs AS BIGINT) AS docs
+    FROM (
+      SELECT 'email' AS category, sum(email) AS matches,
+             count(CASE WHEN email > 0 THEN 1 END) AS docs FROM counts
+      UNION ALL
+      SELECT 'phone', sum(phone), count(CASE WHEN phone > 0 THEN 1 END) FROM counts
+      UNION ALL
+      SELECT 'ssn', sum(ssn), count(CASE WHEN ssn > 0 THEN 1 END) FROM counts
+    )
+    ORDER BY category
+    """,
+)
+def corpus_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DETECTION metrics (the measurement half of the deid pipeline —
+    scrubbing is verified by `scrub_content_native`; this counts what a
+    scanner would flag). The fixtures are clean, so both engines inject
+    the same deterministic PII (doc_id-derived emails/SSNs/phones) and
+    must then agree on per-category match and document counts — a
+    cross-engine pin of the regex dialect itself. Map-side counting;
+    the one shuffle is the tiny 3-row aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact: u"), did.cast("string"), F.lit("@ex.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" call (212) 555-0187")).otherwise(F.lit("")),
+    )
+    pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        "phone": r"\b(\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    }
+    counts = d.select(
+        *[
+            F.size(F.regexp_extract_all(dirty, F.lit(p), 0)).alias(c)
+            for c, p in pats.items()
+        ]
+    )
+    parts = [
+        counts.agg(
+            F.lit(c).alias("category"),
+            F.sum(c).cast("long").alias("matches"),
+            F.count(F.when(F.col(c) > 0, 1)).cast("long").alias("docs"),
+        )
+        for c in pats
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("category")
+
+
+@register(
     "corpus_chunking",
     """
     WITH base AS (
