@@ -264,3 +264,97 @@ def test_rebucket_after_rename_preserves_values(spark, tmp_path):
     t.rebucket(spark, 8)
     assert body_of(spark, t) == before
     assert t.n_buckets() == 8
+
+
+def test_alter_random_lifecycle_matches_oracle(spark, tmp_path):
+    """Torture: a random interleaving of merges, renames, adds, drops and
+    compactions must always read back as the pandas oracle's view of the
+    same event sequence (rename = key rename in every row, drop = column
+    removal, merge = whole-row LWW replace with None-fill for unset
+    columns). Seeded — failures reproduce."""
+    import random
+
+    rng = random.Random(7)
+    t = SnapshotTable.create(
+        str(tmp_path / "rt"),
+        T.StructType(
+            [
+                T.StructField("repo", T.StringType(), False),
+                T.StructField("path", T.StringType(), False),
+                T.StructField("c0", T.StringType(), True),
+            ]
+        ),
+        ["repo", "path"],
+        4,
+    )
+    cols = ["c0"]  # current payload columns, in schema order
+    state: dict[str, dict] = {}  # key -> {col: value}
+    next_col = 1
+    seq = 0
+    batch_no = 0
+
+    def check():
+        got = {
+            r["path"]: {c: r[c] for c in cols}
+            for r in t.read(spark).collect()
+        }
+        want = {k: {c: v.get(c) for c in cols} for k, v in state.items()}
+        assert got == want
+
+    for step in range(28):
+        op = rng.choices(
+            ["merge", "rename", "add", "drop", "compact"],
+            weights=[10, 3, 2, 2, 2],
+        )[0]
+        if op == "merge":
+            batch_no += 1
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                seq += 1
+                key = f"k{rng.randint(0, 11)}"
+                vals = {
+                    c: (f"{c}:{seq}" if rng.random() < 0.8 else None)
+                    for c in cols
+                }
+                rows.append((seq, "add", "r", key, *[vals[c] for c in cols]))
+                state[key] = vals
+            schema = T.StructType(
+                [
+                    T.StructField("seq", T.LongType(), False),
+                    T.StructField("op", T.StringType(), False),
+                    T.StructField("repo", T.StringType(), False),
+                    T.StructField("path", T.StringType(), False),
+                ]
+                + [T.StructField(c, T.StringType(), True) for c in cols]
+            )
+            merge_into(
+                spark, t, spark.createDataFrame(rows, schema),
+                {"batch_id": batch_no}, scrub=False,
+            )
+        elif op == "rename" and cols:
+            old = rng.choice(cols)
+            new = f"c{next_col}"
+            next_col += 1
+            t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            for v in state.values():
+                if old in v:
+                    v[new] = v.pop(old)
+        elif op == "add":
+            new = f"c{next_col}"
+            next_col += 1
+            t.add_column(new, "string")
+            cols.append(new)
+        elif op == "drop" and len(cols) > 1:
+            victim = rng.choice(cols)
+            t.drop_column(victim)
+            cols.remove(victim)
+            for v in state.values():
+                v.pop(victim, None)
+        elif op == "compact":
+            t.compact(spark, min_files_per_bucket=1)
+        if step % 3 == 2:
+            check()
+    check()
+    # the schema is exactly the survivor set, in evolution order
+    assert [f.name for f in t.schema().fields] == ["repo", "path"] + cols
