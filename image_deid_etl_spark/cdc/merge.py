@@ -1053,7 +1053,8 @@ def delete_where(
     enabled) records the deletes as net changes.
 
     ``condition`` is an exact row predicate (SQL string or Column over
-    the table schema); ``where`` maps column -> (lo, hi) bounds and
+    the table schema); ``where`` maps column -> a spec — (lo, hi)
+    bounds, 'is null' / 'not null', or {'in': [...]} — and
     additionally FILE-PRUNES the matching scan via ``stats_cols``
     manifest ranges (`read(where=...)`) — at 100 TB a time-bounded
     retention delete then never even lists the cold files. Either or
@@ -1202,14 +1203,16 @@ def update_where(
     the column's type; targets must be payload columns (key and engine
     columns are row identity — a key change is delete + insert).
     ``condition`` (SQL string or Column) and ``where`` (column ->
-    (lo, hi) bounds, also used for file pruning) combine with AND.
+    spec: (lo, hi) bounds, 'is null' / 'not null', or {'in': [...]},
+    also used for file pruning) combine with AND.
     Returns ``{"updated", "files_rewritten", "snapshot_id"}``.
     """
     from ..lake.table import (
         _lww_latest_versions,
+        _norm_where,
         _priors_map,
         _stats_entry_pred,
-        _utc_bound,
+        _where_cond,
     )
 
     if retries:
@@ -1241,17 +1244,14 @@ def update_where(
     anchor = table.snapshot_id  # BEFORE the scan (see docstring)
     started = time.time()
     if where:
-        where = {c: (_utc_bound(lo), _utc_bound(hi)) for c, (lo, hi) in where.items()}
+        where = _norm_where(where)
 
     def _matched():
         m = ~F.coalesce(F.col("_deleted"), F.lit(False))
         if condition is not None:
             m = m & (F.expr(condition) if isinstance(condition, str) else condition)
-        for c, (lo, hi) in (where or {}).items():
-            if lo is not None:
-                m = m & (F.col(c) >= F.lit(lo))
-            if hi is not None:
-                m = m & (F.col(c) <= F.lit(hi))
+        if where:
+            m = m & _where_cond(where)
         return m
 
     def _transform(df):

@@ -403,6 +403,27 @@ def _parse_bound(v: str, dtype):
     return v
 
 
+def _parse_where(triplets, schema_fields) -> dict:
+    """Shared --where builder for delete/update: COL LO HI triplets →
+    the `where` spec dict. LO of 'isnull'/'notnull' selects the null
+    spec (HI must be open: '-'); otherwise both parse as typed bounds."""
+    types = {f.name: f.dataType for f in schema_fields}
+    out = {}
+    for col, lo, hi in triplets:
+        if col not in types:
+            raise KeyError(col)
+        key = lo.strip().lower()
+        if key in ("isnull", "notnull"):
+            if hi.lower() not in ("null", "none", "-"):
+                raise ValueError(
+                    f"--where {col} {lo}: HI must be '-' for a null spec"
+                )
+            out[col] = "is null" if key == "isnull" else "not null"
+        else:
+            out[col] = (_parse_bound(lo, types[col]), _parse_bound(hi, types[col]))
+    return out
+
+
 def _open_maybe_branch(table_root: str, branch: str | None):
     """Open a table, optionally bound to a branch — lifecycle commands
     (delete/update/compact/changes) stage on a branch like any commit."""
@@ -424,15 +445,8 @@ def cmd_delete(args) -> None:
     table = _open_maybe_branch(args.table, args.branch)
     where = None
     if args.where:
-        types = {f.name: f.dataType for f in table.schema().fields}
         try:
-            where = {
-                col: (
-                    _parse_bound(lo, types[col]),
-                    _parse_bound(hi, types[col]),
-                )
-                for col, lo, hi in args.where
-            }
+            where = _parse_where(args.where, table.schema().fields)
         except KeyError as e:
             sys.exit(f"error: --where column {e} not in the table schema")
         except ValueError as e:
@@ -459,15 +473,8 @@ def cmd_update(args) -> None:
     table = _open_maybe_branch(args.table, args.branch)
     where = None
     if args.where:
-        types = {f.name: f.dataType for f in table.schema().fields}
         try:
-            where = {
-                col: (
-                    _parse_bound(lo, types[col]),
-                    _parse_bound(hi, types[col]),
-                )
-                for col, lo, hi in args.where
-            }
+            where = _parse_where(args.where, table.schema().fields)
         except KeyError as e:
             sys.exit(f"error: --where column {e} not in the table schema")
         except ValueError as e:
@@ -1018,7 +1025,8 @@ def main(argv: list[str] | None = None) -> None:
         help="inclusive stats bounds (repeatable): file-prunes the matching "
         "scan via the table's stats_cols manifest ranges — the form a "
         "retention sweep should use so cold files are never listed. "
-        "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
+        "'null'/'-' = open bound; LO of 'isnull'/'notnull' (HI '-') selects "
+        "the null spec; values parsed as int/float/ISO datetime/string",
     )
     dl.add_argument(
         "--retries", type=int, default=0,
@@ -1047,7 +1055,8 @@ def main(argv: list[str] | None = None) -> None:
         metavar=("COL", "LO", "HI"),
         help="inclusive stats bounds (repeatable): file-prunes the matching "
         "scan via the table's stats_cols manifest ranges. "
-        "'null'/'-' = open bound; values parsed as int/float/ISO datetime/string",
+        "'null'/'-' = open bound; LO of 'isnull'/'notnull' (HI '-') selects "
+        "the null spec; values parsed as int/float/ISO datetime/string",
     )
     up.add_argument(
         "--retries", type=int, default=0,

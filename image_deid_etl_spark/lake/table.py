@@ -1687,13 +1687,17 @@ class SnapshotTable:
         `branch_handle(name).read`). The four pinning forms are
         mutually exclusive.
 
-        ``where`` maps column -> ``(lo, hi)`` inclusive bounds (either
-        side ``None`` = open) and does two things: (a) per-FILE manifest
-        pruning on the ``col_stats`` ranges recorded for the table's
-        ``stats_cols`` (files whose range cannot intersect are never
-        listed to Spark — Iceberg-style data skipping, the difference
-        between scanning a day and scanning 100 TB for a time-range
-        query); (b) the exact residual filter in Spark, so results are
+        ``where`` maps column -> a spec: ``(lo, hi)`` inclusive bounds
+        (either side ``None`` = open), ``"is null"`` / ``"not null"``,
+        or ``{"in": [...]}`` membership (see `_norm_where`). Each spec
+        does two things: (a) per-FILE manifest pruning on the
+        ``col_stats`` min/max ranges and ``null_counts`` recorded for
+        the table's ``stats_cols`` (files whose stats prove the
+        predicate empty are never listed to Spark — Iceberg-style data
+        skipping, the difference between scanning a day and scanning
+        100 TB for a time-range query; null counts additionally prune
+        all-null files from range scans and no-null files from IS NULL
+        scans); (b) the exact residual filter in Spark, so results are
         identical with or without stats. Value-based file pruning is
         applied ONLY to resolved buckets: in an unresolved bucket a
         newer out-of-range version may supersede an in-range older one,
@@ -1721,11 +1725,11 @@ class SnapshotTable:
             snapshot_id = self.snapshot_as_of(as_of_timestamp)
         cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
         if where:
-            # naive datetime bounds → tz-aware UTC, ONCE, so the manifest
-            # pruning (_stat_norm: naive == UTC) and the residual Spark
-            # filter (F.lit of a naive datetime resolves via the SESSION
-            # timezone) agree on the same instant for any session tz
-            where = {c: (_utc_bound(lo), _utc_bound(hi)) for c, (lo, hi) in where.items()}
+            # canonical spec forms + naive datetime bounds → tz-aware UTC,
+            # ONCE, so the manifest pruning (_stat_norm: naive == UTC) and
+            # the residual Spark filter (F.lit of a naive datetime resolves
+            # via the SESSION timezone) agree on the same instant
+            where = _norm_where(where)
         pred = (
             _stats_entry_pred(where, _priors_map(self.schema(snapshot_id).fields))
             if where
@@ -1748,11 +1752,7 @@ class SnapshotTable:
                 ).unionByName(raw)
         raw = raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if where:
-            for c, (lo, hi) in where.items():
-                if lo is not None:
-                    raw = raw.filter(F.col(c) >= F.lit(lo))
-                if hi is not None:
-                    raw = raw.filter(F.col(c) <= F.lit(hi))
+            raw = raw.filter(_where_cond(where))
         return raw.select(*cols)
 
     def changed_buckets(
@@ -2417,12 +2417,21 @@ class SnapshotTable:
             key_min, key_max = _col_range(meta, "_key")
             _del_min, del_max = _col_range(meta, "_deleted")
             col_stats = {}
+            null_counts = {}
             for c in stats_cols:
                 lo, hi = (_stat_norm(v) for v in _col_range(meta, c))
                 if lo is not None and hi is not None:
                     col_stats[c] = [lo, hi]
+                nc = _col_nulls(meta, c)
+                if nc is not None:
+                    # recorded even when min/max is absent: an ALL-NULL
+                    # file has no range at all, and the null count is
+                    # exactly what lets the pruner drop it from range /
+                    # IS NOT NULL scans (and keep it for IS NULL)
+                    null_counts[c] = nc
             return {
                 **({"col_stats": col_stats} if col_stats else {}),
+                **({"null_counts": null_counts} if null_counts else {}),
                 "path": os.path.relpath(full, self.root),
                 "bucket": bucket,
                 "rows": meta.num_rows,
@@ -3586,6 +3595,68 @@ def _utc_bound(v):
     return v
 
 
+def _norm_where(where: dict) -> dict:
+    """Normalize a `where` spec dict (shared by read / update / delete).
+
+    Accepted forms per column:
+      * ``(lo, hi)``      — inclusive range, either side None = open
+                            (naive datetimes → UTC, see `_utc_bound`);
+      * ``"is null"``     — rows where the column IS NULL (aliases:
+                            ``"null"``, ``"is_null"``);
+      * ``"not null"``    — rows where the column IS NOT NULL (aliases:
+                            ``"is not null"``, ``"not_null"``);
+      * ``{"in": [...]}`` — membership (values normalized like bounds).
+    Unknown forms raise (silently ignoring a typo'd spec would scan —
+    correct but the opposite of what the caller asked to prune)."""
+    out = {}
+    for c, spec in where.items():
+        if isinstance(spec, str):
+            s = spec.strip().lower().replace("_", " ")
+            if s in ("is null", "null"):
+                out[c] = "is null"
+            elif s in ("not null", "is not null"):
+                out[c] = "not null"
+            else:
+                raise ValueError(
+                    f"bad where spec for {c!r}: {spec!r} (expected a "
+                    "(lo, hi) range, 'is null', 'not null', or "
+                    "{'in': [...]})"
+                )
+        elif isinstance(spec, dict):
+            if set(spec) != {"in"}:
+                raise ValueError(f"bad where spec for {c!r}: {spec!r}")
+            out[c] = {"in": [_utc_bound(v) for v in spec["in"]]}
+        else:
+            lo, hi = spec
+            out[c] = (_utc_bound(lo), _utc_bound(hi))
+    return out
+
+
+def _where_cond(where: dict):
+    """The exact residual/matching predicate a normalized `where` spec
+    means, as one Column — shared by `read` (residual filter) and
+    `update_where` (match guard) so pruning and filtering can never
+    disagree on semantics."""
+    cond = F.lit(True)
+    for c, spec in where.items():
+        if spec == "is null":
+            cond = cond & F.col(c).isNull()
+        elif spec == "not null":
+            cond = cond & F.col(c).isNotNull()
+        elif isinstance(spec, dict):
+            vals = spec["in"]
+            cond = cond & (
+                F.col(c).isin(vals) if vals else F.lit(False)  # IN () is empty
+            )
+        else:
+            lo, hi = spec
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+    return cond
+
+
 def _stat_norm(v):
     """Canonical JSON-safe, order-preserving form for a stats value or a
     `read(where=...)` bound: datetimes/dates → epoch MICROseconds (naive
@@ -3610,30 +3681,78 @@ def _stat_norm(v):
 
 def _stats_entry_pred(where: dict, priors: dict[str, list[str]] | None = None):
     """Manifest-entry predicate for `read(where=...)`: False only when a
-    file's recorded ``col_stats`` range PROVABLY misses every bound —
+    file's recorded stats PROVABLY make the predicate empty there —
     missing stats, unknown columns, or incomparable types keep the file
     (conservative; the residual Spark filter guarantees exactness).
+
+    Per spec form (`_norm_where` shapes):
+      * range ``(lo, hi)`` — prune when the ``col_stats`` min/max range
+        cannot intersect, or when the file is ALL NULL in the column
+        (``null_counts`` == rows; SQL comparison with NULL is never
+        true — such files have no min/max stats at all, so before null
+        counts they were "unknown, keep");
+      * ``{"in": [...]}`` — prune when every value misses the range (or
+        the file is all-null / the list is empty);
+      * ``"is null"`` — prune when the file's null count is 0;
+      * ``"not null"`` — prune when the file is all null.
+
     ``priors`` (logical column → prior physical names) lets pruning use
     stats a pre-rename file recorded under the column's old name."""
-    norm = {
-        c: (_stat_norm(lo) if lo is not None else None,
-            _stat_norm(hi) if hi is not None else None)
-        for c, (lo, hi) in where.items()
-    }
+    norm: dict[str, object] = {}
+    for c, spec in where.items():
+        if isinstance(spec, str):
+            norm[c] = spec
+        elif isinstance(spec, dict):
+            vals = [_stat_norm(v) for v in spec["in"]]
+            # a value with no canonical order (None) defeats range
+            # pruning for the whole list — mark unprunable
+            norm[c] = {"in": vals if all(v is not None for v in vals) else None}
+        else:
+            lo, hi = spec
+            norm[c] = (
+                _stat_norm(lo) if lo is not None else None,
+                _stat_norm(hi) if hi is not None else None,
+            )
     priors = priors or {}
+
+    def lookup(st: dict, c: str):
+        v = st.get(c)
+        if v is None:
+            for old in priors.get(c, ()):
+                v = st.get(old)
+                if v is not None:
+                    break
+        return v
 
     def pred(f: dict) -> bool:
         st = f.get("col_stats") or {}
-        for c, (lo, hi) in norm.items():
-            rng = st.get(c)
-            if not rng:
-                for old in priors.get(c, ()):
-                    rng = st.get(old)
-                    if rng:
-                        break
+        nc = f.get("null_counts") or {}
+        rows = f.get("rows")
+        for c, spec in norm.items():
+            nulls = lookup(nc, c)
+            if spec == "is null":
+                if nulls == 0:
+                    return False
+                continue
+            all_null = nulls is not None and rows is not None and nulls == rows
+            if spec == "not null":
+                if all_null:
+                    return False
+                continue
+            if all_null:
+                return False  # range / IN: NULL never compares true
+            rng = lookup(st, c)
             if not rng or rng[0] is None or rng[1] is None:
                 continue
             try:
+                if isinstance(spec, dict):
+                    vals = spec["in"]
+                    if vals is None:
+                        continue  # unnormalizable value in the list
+                    if not any(rng[0] <= v <= rng[1] for v in vals):
+                        return False
+                    continue
+                lo, hi = spec
                 if lo is not None and rng[1] < lo:
                     return False
                 if hi is not None and rng[0] > hi:
@@ -3643,6 +3762,27 @@ def _stats_entry_pred(where: dict, priors: dict[str, list[str]] | None = None):
         return True
 
     return pred
+
+
+def _col_nulls(meta, col: str) -> int | None:
+    """Total null count of a column from Parquet row-group stats (no
+    data read). None when the column is absent or ANY row group lacks a
+    null count — a partial sum would undercount and make the pruner
+    drop files it must keep."""
+    try:
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        ci = names.get(col)
+        if ci is None:
+            return None
+        total = 0
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_null_count:
+                return None
+            total += st.null_count
+        return total
+    except Exception:
+        return None
 
 
 def _col_range(meta, col: str):

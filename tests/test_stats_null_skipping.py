@@ -1,0 +1,208 @@
+"""Null-count and IN-list data skipping (r5, session 6).
+
+`stats_cols` manifest entries additionally record per-file NULL COUNTS
+(from parquet row-group stats, no data read), and `read(where=...)`
+grows two spec forms beyond the (lo, hi) range:
+
+* ``"is null"`` / ``"not null"`` — prune files whose null count proves
+  the predicate empty (0 nulls / all nulls);
+* ``{"in": [...]}`` — prune files whose min/max range misses EVERY
+  listed value.
+
+Range specs also gain the free win: an all-null file (no min/max stats
+at all before this change — "unknown, keep") is now provably
+prunable, because SQL comparison with NULL is never true.
+
+Reference analog: the listing-side filtering discipline of
+`image_deid_etl/orthanc.py` (never fetch what a cheap predicate can
+exclude), applied at the manifest layer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.lake.table import SnapshotTable, bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _rows(spark, rows, seq=1):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return df.select(
+        "*",
+        F.lit(seq).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+    )
+
+
+def _make_table(spark, tmp_path):
+    """Three ts-cohorts in separate commits → separate files per bucket:
+    commit 1 all-null ts, commit 2 no-null ts (0..99), commit 3 mixed
+    (100..149 + nulls)."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"stats_cols": ["ts"]},
+    )
+    batches = [
+        ([("r", f"a{i}", None, "allnull") for i in range(100)], 1),
+        ([("r", f"b{i}", i, "nonull") for i in range(100)], 2),
+        (
+            [("r", f"c{i}", 100 + i, "mixed") for i in range(50)]
+            + [("r", f"d{i}", None, "mixed") for i in range(50)],
+            3,
+        ),
+    ]
+    for rows, seq in batches:
+        e = t.write_snapshot_files(_rows(spark, rows, seq), seq)
+        t.commit_snapshot(
+            e,
+            None,
+            {"committed_feed_files": seq, "max_seq_seen": seq, "batch_id": seq - 1},
+        )
+    return t
+
+
+def test_manifest_records_null_counts(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    m = t.manifest()
+    # every file knows its ts null count; the all-null cohort's files
+    # have NO min/max range but a full null count
+    for f in m["files"]:
+        nc = f.get("null_counts", {})
+        assert "ts" in nc, f
+        if "allnull" in f["path"] or nc["ts"] == f["rows"]:
+            assert "ts" not in (f.get("col_stats") or {})
+
+
+def _n_files(df):
+    return len(df.inputFiles())
+
+
+def test_not_null_prunes_all_null_files(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark)
+    pruned = t.read(spark, where={"ts": "not null"})
+    assert _n_files(pruned) < _n_files(full)
+    assert pruned.count() == 150  # 100 no-null + 50 mixed non-null
+    # exactness vs the unpruned filter
+    assert pruned.count() == full.filter(F.col("ts").isNotNull()).count()
+
+
+def test_is_null_prunes_no_null_files(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark)
+    pruned = t.read(spark, where={"ts": "is null"})
+    assert _n_files(pruned) < _n_files(full)
+    assert pruned.count() == 150  # 100 all-null + 50 mixed null
+    assert pruned.count() == full.filter(F.col("ts").isNull()).count()
+
+
+def test_range_spec_also_drops_all_null_files(spark, tmp_path):
+    """A range bound implies NOT NULL (SQL comparison semantics): the
+    all-null cohort — previously 'no stats, keep' — is now pruned."""
+    t = _make_table(spark, tmp_path)
+    pruned = t.read(spark, where={"ts": (0, 10_000)})
+    assert pruned.count() == 150
+    # the all-null commit's files never reach Spark
+    assert _n_files(pruned) < _n_files(t.read(spark))
+    got = sorted(r.path for r in pruned.collect())
+    exp = sorted(
+        r.path
+        for r in t.read(spark)
+        .filter((F.col("ts") >= 0) & (F.col("ts") <= 10_000))
+        .collect()
+    )
+    assert got == exp
+
+
+def test_in_list_prunes_by_range(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark)
+    # values that live only in the third commit's range [100, 149]
+    pruned = t.read(spark, where={"ts": {"in": [105, 110, 149]}})
+    assert _n_files(pruned) < _n_files(full)
+    assert sorted(r.ts for r in pruned.collect()) == [105, 110, 149]
+    # values matching nothing: every stats-covered file pruned, still exact
+    assert t.read(spark, where={"ts": {"in": [10_000]}}).count() == 0
+    # empty IN-list is SQL-empty
+    assert t.read(spark, where={"ts": {"in": []}}).count() == 0
+
+
+def test_specs_combine_and_stay_conservative(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    # combined: range on ts + not-null on a column WITHOUT stats
+    # (content) — the content leg can't prune but must stay exact
+    got = t.read(spark, where={"ts": (100, 149), "content": "not null"})
+    assert got.count() == 50
+    # unknown spec strings are rejected loudly
+    with pytest.raises(ValueError):
+        t.read(spark, where={"ts": "frobnicate"})
+
+
+def test_update_delete_accept_null_specs(spark, tmp_path):
+    from image_deid_etl_spark.cdc.merge import delete_where, update_where
+
+    t = _make_table(spark, tmp_path)
+    res = update_where(
+        spark,
+        t,
+        {"content": F.lit("filled")},
+        condition=None,
+        where={"ts": "is null"},
+    )
+    assert res["updated"] == 150
+    filled = t.read(spark).filter(F.col("content") == "filled")
+    assert filled.count() == 150
+    assert filled.filter(F.col("ts").isNotNull()).count() == 0
+    # the matching scan's file pruning used the null counts: only files
+    # that HOLD nulls were rewritten
+    res2 = delete_where(spark, t, condition=None, where={"ts": "is null"})
+    assert res2["deleted"] == 150
+    assert t.read(spark).count() == 150
+    assert t.read(spark).filter(F.col("ts").isNull()).count() == 0
+
+
+def test_update_matching_scan_prunes_no_null_files(spark, tmp_path):
+    """The narrow matching scan of `update_where(where={'ts': 'is
+    null'})` must not list files whose null count is zero."""
+    t = _make_table(spark, tmp_path)
+    m = t.manifest()
+    no_null_files = [
+        f["path"] for f in m["files"] if f.get("null_counts", {}).get("ts") == 0
+    ]
+    assert no_null_files
+    from image_deid_etl_spark.cdc.merge import update_where
+
+    update_where(
+        spark, t, {"content": F.lit("x")}, condition=None, where={"ts": "is null"}
+    )
+    m2 = t.manifest()
+    survived = {f["path"] for f in m2["files"]}
+    # the zero-null files were never rewritten (same path carried forward)
+    assert set(no_null_files) <= survived
+
+
+def test_null_counts_survive_compaction_and_carry_forward(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    t.compact(spark)
+    m = t.manifest()
+    assert all("null_counts" in f and "ts" in f["null_counts"] for f in m["files"])
+    # totals preserved: 150 nulls across the table
+    assert sum(f["null_counts"]["ts"] for f in m["files"]) == 150
+    # skipping still works post-compaction
+    pruned = t.read(spark, where={"ts": "is null"})
+    assert pruned.count() == 150
