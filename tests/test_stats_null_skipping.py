@@ -206,3 +206,57 @@ def test_null_counts_survive_compaction_and_carry_forward(spark, tmp_path):
     # skipping still works post-compaction
     pruned = t.read(spark, where={"ts": "is null"})
     assert pruned.count() == 150
+
+
+def test_where_spec_property_random(spark, tmp_path):
+    """Property: for ANY where-spec mix, the pruned read returns exactly
+    the rows of the unpruned scan + the equivalent Spark filter (file
+    pruning may only drop files the stats PROVE irrelevant)."""
+    import random
+
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark).cache()
+    rng = random.Random(7)
+    vals = [None, 0, 25, 99, 100, 125, 149, 500]
+
+    def gen_spec():
+        kind = rng.choice(["range", "isnull", "notnull", "in"])
+        if kind == "range":
+            lo, hi = sorted(rng.sample([v for v in vals if v is not None], 2))
+            if rng.random() < 0.3:
+                lo = None
+            if rng.random() < 0.3:
+                hi = None
+            return (lo, hi)
+        if kind == "isnull":
+            return "is null"
+        if kind == "notnull":
+            return "not null"
+        return {"in": rng.sample([v for v in vals if v is not None], rng.randint(1, 3))}
+
+    def as_filter(c, spec):
+        if spec == "is null":
+            return F.col(c).isNull()
+        if spec == "not null":
+            return F.col(c).isNotNull()
+        if isinstance(spec, dict):
+            return F.col(c).isin(spec["in"])
+        lo, hi = spec
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(c) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(c) <= hi)
+        return cond
+
+    for trial in range(12):
+        where = {"ts": gen_spec()}
+        if rng.random() < 0.4:
+            where["content"] = rng.choice(["is null", "not null", ("a", "n")])
+        expect = full
+        for c, spec in where.items():
+            expect = expect.filter(as_filter(c, spec))
+        exp = sorted((r.path, r.ts) for r in expect.collect())
+        got = sorted((r.path, r.ts) for r in t.read(spark, where=where).collect())
+        assert got == exp, (trial, where)
+    full.unpersist()
