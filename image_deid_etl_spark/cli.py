@@ -342,6 +342,35 @@ def cmd_inspect(args) -> None:
         print(json.dumps(r.asDict(), default=str))
 
 
+def cmd_lookup(args) -> None:
+    """Point lookup: the MERGE prune ladder on the read side — fetch
+    exactly the named keys from the files that may hold them, never a
+    bucket scan (orthanc.py's per-UUID probe discipline)."""
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    key_cols = table.key_cols()
+    keys = []
+    for k in args.key:
+        if len(k) != len(key_cols):
+            sys.exit(
+                f"error: --key takes {len(key_cols)} values "
+                f"({' '.join(key_cols)}); got {k}"
+            )
+        keys.append(tuple(k))
+    spark = build_session(app_name="lookup")
+    rows = table.lookup_keys(spark, keys, snapshot_id=args.snapshot).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(
+        json.dumps({"requested": len(keys), "found": len(rows)}), file=sys.stderr
+    )
+
+
 def cmd_expire(args) -> None:
     from .cdc.engine import open_table
 
@@ -973,6 +1002,20 @@ def main(argv: list[str] | None = None) -> None:
     ins.add_argument("what", choices=["history", "files", "buckets"])
     ins.add_argument("--limit", type=int, default=None)
     ins.set_defaults(fn=cmd_inspect)
+
+    lk = sub.add_parser(
+        "lookup",
+        help="point lookup of explicit keys (bucket route + key-range + "
+        "bloom prune — reads O(keys) files, never a bucket scan); "
+        "JSON lines",
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument(
+        "--key", nargs="+", action="append", required=True,
+        help="one key's values in key-column order (repeatable)",
+    )
+    lk.add_argument("--snapshot", type=int, default=None)
+    lk.set_defaults(fn=cmd_lookup)
 
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
     x.add_argument("--table", required=True)

@@ -1755,6 +1755,112 @@ class SnapshotTable:
             raw = raw.filter(_where_cond(where))
         return raw.select(*cols)
 
+    def _lookup_candidates(
+        self, spark: SparkSession, keys: list, snapshot_id: int | None = None
+    ):
+        """Shared metadata half of `lookup_keys`: route each key through
+        the MERGE prune ladder (bucket → manifest key range → bloom
+        sidecar) and return ``(keys_df, candidate_abs_paths)``. Split out
+        so tests can pin the file bound without reading data."""
+        import numpy as np
+
+        key_cols = self.key_cols()
+        rows = []
+        for k in keys:
+            if isinstance(k, dict):
+                try:
+                    rows.append(tuple(k[c] for c in key_cols))
+                except KeyError as e:
+                    raise ValueError(f"lookup key missing column {e}") from None
+            else:
+                t = tuple(k) if not isinstance(k, str) else (k,)
+                if len(t) != len(key_cols):
+                    raise ValueError(
+                        f"lookup key {k!r} has {len(t)} values; key is {key_cols}"
+                    )
+                rows.append(t)
+        schema_fields = {f.name: f for f in self.schema(snapshot_id).fields}
+        kdf = spark.createDataFrame(
+            rows, T.StructType([schema_fields[c] for c in key_cols])
+        )
+        spec = self.manifest(snapshot_id, with_files=False)["partition_spec"]
+        # one tiny job: the EXACT write-side _key / bucket / bloom hashes
+        # (JVM xxhash64 — a driver-side reimplementation could drift)
+        info = kdf.select(
+            key_expr(key_cols).alias("_key"),
+            effective_bucket_expr(spec, key_cols).alias("_bucket"),
+            F.xxhash64(key_expr(key_cols)).alias("_h1"),
+            F.xxhash64(key_expr(key_cols), F.lit(1)).alias("_h2"),
+        ).collect()
+        by_bucket: dict[int, list] = {}
+        for r in info:
+            by_bucket.setdefault(r["_bucket"], []).append(r)
+        paths: list[str] = []
+        for f in self.files_for_buckets(set(by_bucket), snapshot_id):
+            ks = by_bucket.get(f["bucket"], ())
+            fmin, fmax = f.get("key_min"), f.get("key_max")
+            if fmin is not None and fmax is not None:
+                # conservative range leg: legacy/statless files keep all
+                ks = [r for r in ks if fmin <= r["_key"] <= fmax]
+            if not ks:
+                continue
+            bp = f.get("bloom_path")
+            if bp:
+                m = int(f["bloom_m"])
+                try:
+                    bits = np.memmap(
+                        os.path.join(self.root, bp), dtype=np.uint8, mode="r"
+                    )
+                    if len(bits) != m // 8:
+                        bits = None  # truncated sidecar — keep the file
+                except (OSError, ValueError):
+                    bits = None
+                if bits is not None and not any(
+                    (bits[(r["_h1"] % m) >> 3] >> ((r["_h1"] % m) & 7)) & 1
+                    and (bits[(r["_h2"] % m) >> 3] >> ((r["_h2"] % m) & 7)) & 1
+                    for r in ks
+                ):
+                    continue  # bloom proves no requested key is here
+            paths.append(os.path.join(self.root, f["path"]))
+        return kdf, paths
+
+    def lookup_keys(
+        self, spark: SparkSession, keys: list, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Point lookup of a SMALL explicit key set — the read-side of
+        the MERGE prune ladder. ``keys`` is a list of dicts
+        ``{key_col: value}`` or tuples in `key_cols` order.
+
+        Metadata cost is O(keys + candidate file entries) on the driver;
+        the data read lists ONLY files that may hold a requested key:
+        bucket routing (free), manifest ``key_min``/``key_max`` overlap
+        (free — files are key-clustered chunks, so a key hits ~1 file
+        per version), then the per-file bloom sidecars built lazily by
+        MERGE (no false negatives, so pruning is safe even on
+        UNRESOLVED buckets: every version of a requested key survives
+        the ladder). Matched rows LWW-resolve per key (covers MoR /
+        adaptive version stacks AND legacy null ``_key`` rows) and
+        tombstone winners drop — a deleted key is simply absent. At
+        100 TB this is the difference between serving a reconciliation
+        probe from a handful of files and scanning a bucket.
+
+        Not a substitute for `read(where=...)`: the key list is
+        enumerated driver-side, so this is for bounded lookups (ops
+        spot checks, request serving, reconciliation samples), not
+        predicates.
+        """
+        key_cols = self.key_cols()
+        if not keys:
+            return self.read(spark, snapshot_id).limit(0)
+        kdf, paths = self._lookup_candidates(spark, keys, snapshot_id)
+        hit = self.scan_files(spark, paths, snapshot_id).join(
+            F.broadcast(kdf), on=key_cols, how="left_semi"
+        )
+        res = _lww_latest_versions(hit, key_cols=key_cols)
+        res = res.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        cols = [f.name for f in self.schema(snapshot_id).fields] + ["commit_seq"]
+        return res.select(*cols)
+
     def changed_buckets(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> set[int] | None:
