@@ -139,3 +139,53 @@ def test_lookup_key_arity_and_missing_column_errors(spark, tmp_path):
         t.lookup_keys(spark, [("only-one",)])
     with pytest.raises(ValueError):
         t.lookup_keys(spark, [{"repo": "r1"}])
+
+
+def test_lookup_plan_broadcasts_keys_and_lists_pruned_files(spark, tmp_path):
+    """Plan pin: the key side broadcasts (never a shuffled join for a
+    bounded key list) and the scan's file list is the pruned candidate
+    set, not the table."""
+    t = _mk(spark, tmp_path)
+    df = t.lookup_keys(spark, [("r2", "p7")])
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    _kdf, paths = t._lookup_candidates(spark, [("r2", "p7")])
+    assert sorted(df.inputFiles()) == sorted(f"file://{q}" for q in paths) or len(
+        df.inputFiles()
+    ) == len(paths)
+
+
+def test_lookup_parity_over_ingest_lifecycle(spark, tmp_path):
+    """Integration: after a real feed ingest + UPDATE + DELETE + compact,
+    `lookup_keys` over a sample of live and deleted keys must equal the
+    full read() filtered to those keys."""
+    from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+    from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+    from image_deid_etl_spark.cdc.merge import delete_where, update_where
+
+    feed, root = str(tmp_path / "feed"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=2000, n_keys=150, dup_frac=0.05))
+    run_ingest(spark, root, feed, max_files_per_batch=4)
+    t = open_table(root)
+    update_where(
+        spark, t, {"lang": F.upper(F.col("lang"))}, condition="lang = 'python'"
+    )
+    delete_where(spark, t, condition="path like 'src/d1%'")
+    t.compact(spark)
+    full = t.read(spark)
+    live = [(r.repo, r.path) for r in full.limit(8).collect()]
+    deleted = [("org0/repo0", "src/d1/f1.py"), ("no/such", "k")]
+    keys = live + deleted
+    got = sorted(
+        (r.repo, r.path, r.content, r.commit_seq)
+        for r in t.lookup_keys(spark, keys).collect()
+    )
+    kset = set(keys)
+    exp = sorted(
+        (r.repo, r.path, r.content, r.commit_seq)
+        for r in full.collect()
+        if (r.repo, r.path) in kset
+    )
+    assert got == exp and len(got) == len(live)
