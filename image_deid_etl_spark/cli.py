@@ -378,10 +378,16 @@ def cmd_expire(args) -> None:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
+    older_than = None
+    if args.keep_hours is not None:
+        import time as _time
+
+        older_than = _time.time() - args.keep_hours * 3600.0
     res = table.expire_snapshots(
         keep_last=args.keep_last,
         changelog_keep_last=args.changelog_keep_last,
         orphan_grace_s=args.orphan_grace,
+        older_than=older_than,
     )
     print(json.dumps(res))
 
@@ -1030,6 +1036,12 @@ def main(argv: list[str] | None = None) -> None:
         "--orphan-grace", type=float, default=600.0,
         help="skip orphan attempt dirs modified within this many seconds "
              "(protects in-flight optimistic writers); 0 = sweep all",
+    )
+    x.add_argument(
+        "--keep-hours", type=float, default=None,
+        help="age gate: only expire snapshots committed more than this "
+             "many hours ago (always keeps --keep-last regardless) — "
+             "time travel stays available inside the window",
     )
     x.set_defaults(fn=cmd_expire)
 

@@ -3343,6 +3343,7 @@ class SnapshotTable:
         keep_last: int = 2,
         changelog_keep_last: int | None = None,
         orphan_grace_s: float = 600.0,
+        older_than: float | None = None,
     ) -> dict:
         """Maintenance GC: drop old snapshot manifests and delete data files
         no retained snapshot references (Iceberg `expireSnapshots` analog).
@@ -3367,11 +3368,36 @@ class SnapshotTable:
         ``remove_orphan_files`` ``older_than`` horizon): anything still
         unreferenced after the grace has no live writer. Pass 0 to force
         the old id-only behavior (tests / known-quiescent tables).
+
+        ``older_than`` (epoch seconds): when given, expiry becomes
+        AGE-gated (Iceberg ``expireOlderThan(ts).retainLast(n)``): a
+        snapshot is dropped only if it is beyond ``keep_last`` AND its
+        lineage ``committed_at`` is provably before ``older_than`` — a
+        snapshot whose commit instant is unknown (pre-upgrade lineage,
+        torn file) is RETAINED, since deleting what cannot be proven old
+        is the wrong default for a GC. The time-travel contract this
+        preserves: `read(as_of_timestamp=t)` keeps working for every
+        ``t >= older_than``.
         """
         self._require_main("expire_snapshots")
         snaps = self.snapshots()
         current = self.snapshot_id
         tail = snaps[-keep_last:] if keep_last > 0 else []  # [-0:] = whole list!
+        if older_than is not None:
+            # age gate: additionally retain every candidate committed at
+            # or after the horizon (or whose instant is unknowable)
+            for s in snaps:
+                if s in tail or s == current:
+                    continue
+                try:
+                    with open(
+                        os.path.join(self.root, LINEAGE, f"lineage-{s:010d}.json")
+                    ) as f:
+                        at = json.load(f).get("committed_at")
+                except (FileNotFoundError, json.JSONDecodeError):
+                    at = None
+                if at is None or at >= older_than:
+                    tail = [s, *tail]
         # tagged snapshots are pinned until drop_tag — the whole point of
         # a tag (tags always resolve: expiry is the only path that drops
         # snapshots, and it retains every ref here). Live branches pin

@@ -214,6 +214,45 @@ def test_expire_snapshots_sweeps_unreferenced_shards(tmp_path):
         assert isinstance(t.manifest(s)["files"], list)
 
 
+def test_expire_older_than_age_gate(tmp_path):
+    """`older_than` makes expiry age-gated (Iceberg expireOlderThan +
+    retainLast): snapshots committed at/after the horizon survive even
+    beyond keep_last — `read(as_of_timestamp=t)` keeps working for every
+    t inside the window — and a snapshot whose commit instant is
+    unknowable (torn/pre-upgrade lineage) is retained, never guessed
+    old."""
+    import json as _json
+    import time as _time
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 8)
+    for s in range(1, 6):
+        t.commit_snapshot(
+            [_fake_entry(s, 0, s)],
+            offsets={"committed_feed_files": s, "max_seq_seen": 9, "batch_id": s - 1},
+        )
+    ldir = os.path.join(t.root, "_lineage")
+    # age the first two commits past the horizon; commit 3 gets a TORN
+    # lineage file (unknowable instant)
+    horizon = _time.time() - 3600
+    for s, at in ((1, horizon - 100), (2, horizon - 50)):
+        fp = os.path.join(ldir, f"lineage-{s:010d}.json")
+        e = _json.load(open(fp))
+        e["committed_at"] = at
+        _json.dump(e, open(fp, "w"))
+    with open(os.path.join(ldir, f"lineage-{3:010d}.json"), "w") as f:
+        f.write("{torn")
+    res = t.expire_snapshots(keep_last=1, older_than=horizon)
+    # dropped: exactly the provably-old 1 and 2; 3 (unknown) and the
+    # fresh 4 are retained beyond keep_last=1
+    assert sorted(res["expired_snapshots"]) == [1, 2]
+    # snapshot 0 (create — no lineage instant) is retained too
+    assert t.snapshots() == [0, 3, 4, 5]
+    # without the age gate the same keep_last drops everything else
+    res2 = t.expire_snapshots(keep_last=1)
+    assert sorted(res2["expired_snapshots"]) == [0, 3, 4]
+    assert t.snapshots() == [5]
+
+
 def test_expire_sweeps_orphan_attempt_dirs(spark, tmp_path):
     """r5: a crash between write_snapshot_files and commit_snapshot (or an
     optimistic-concurrency loser) leaves a per-attempt uuid data dir that
