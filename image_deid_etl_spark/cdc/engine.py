@@ -478,6 +478,7 @@ def run_table_maintenance(
     keep_last: int | None = None,
     changelog_keep_last: int | None = None,
     orphan_grace_s: float = 600.0,
+    older_than: float | None = None,
 ) -> dict:
     """The cron entrypoint: everything a steady-state table needs on a
     schedule, in one idempotent call, ordered so each step makes the
@@ -507,6 +508,7 @@ def run_table_maintenance(
             keep_last=keep_last,
             changelog_keep_last=changelog_keep_last,
             orphan_grace_s=orphan_grace_s,
+            older_than=older_than,
         )
     report["snapshot_id_after"] = open_table(table_root).snapshot_id
     return report

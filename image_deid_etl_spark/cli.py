@@ -314,6 +314,11 @@ def cmd_maintain(args) -> None:
             keep_last=args.keep_last,
             changelog_keep_last=args.changelog_keep_last,
             orphan_grace_s=args.orphan_grace,
+            older_than=(
+                __import__("time").time() - args.keep_hours * 3600.0
+                if args.keep_hours is not None
+                else None
+            ),
         )
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
@@ -996,6 +1001,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="expire snapshots beyond the newest N (default: no expiry)")
     mt.add_argument("--changelog-keep-last", type=int, default=None)
     mt.add_argument("--orphan-grace", type=float, default=600.0)
+    mt.add_argument(
+        "--keep-hours", type=float, default=None,
+        help="age gate for the expire step (see expire --keep-hours)",
+    )
     mt.set_defaults(fn=cmd_maintain)
 
     ins = sub.add_parser(
