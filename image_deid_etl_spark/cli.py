@@ -393,6 +393,7 @@ def cmd_expire(args) -> None:
         changelog_keep_last=args.changelog_keep_last,
         orphan_grace_s=args.orphan_grace,
         older_than=older_than,
+        dry_run=args.dry_run,
     )
     print(json.dumps(res))
 
@@ -1051,6 +1052,10 @@ def main(argv: list[str] | None = None) -> None:
         help="age gate: only expire snapshots committed more than this "
              "many hours ago (always keeps --keep-last regardless) — "
              "time travel stays available inside the window",
+    )
+    x.add_argument(
+        "--dry-run", action="store_true",
+        help="report what WOULD be expired/reclaimed, delete nothing",
     )
     x.set_defaults(fn=cmd_expire)
 

@@ -3344,6 +3344,7 @@ class SnapshotTable:
         changelog_keep_last: int | None = None,
         orphan_grace_s: float = 600.0,
         older_than: float | None = None,
+        dry_run: bool = False,
     ) -> dict:
         """Maintenance GC: drop old snapshot manifests and delete data files
         no retained snapshot references (Iceberg `expireSnapshots` analog).
@@ -3378,6 +3379,11 @@ class SnapshotTable:
         is the wrong default for a GC. The time-travel contract this
         preserves: `read(as_of_timestamp=t)` keeps working for every
         ``t >= older_than``.
+
+        ``dry_run``: compute the full report — expired snapshots, dead
+        files, orphan sweeps, reclaimable bytes — but delete NOTHING
+        (the GC preview an operator wants before the first destructive
+        run on a production table).
         """
         self._require_main("expire_snapshots")
         snaps = self.snapshots()
@@ -3444,7 +3450,7 @@ class SnapshotTable:
                     dead_blooms.add(f["bloom_path"])
         dead_files -= live_files
         dead_blooms -= live_blooms
-        for s in expired:
+        for s in expired if not dry_run else ():
             os.remove(self._manifest_path(s))
             lpath = os.path.join(self.root, LINEAGE, f"lineage-{s:010d}.json")
             if os.path.exists(lpath):
@@ -3454,13 +3460,15 @@ class SnapshotTable:
         mdir = os.path.join(self.root, MANIFESTS)
         for fn in os.listdir(mdir):
             if fn.startswith("shard-") and fn.endswith(".json") and fn not in live_shards:
-                os.remove(os.path.join(mdir, fn))
+                if not dry_run:
+                    os.remove(os.path.join(mdir, fn))
         removed_bytes = 0
         for rel in dead_files | dead_blooms:
             full = os.path.join(self.root, rel)
             if os.path.exists(full):
                 removed_bytes += os.path.getsize(full)
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
         # orphan sweep: sidecars referenced by NO retained manifest (lazy
         # blooms built in a merge that crashed before its commit). Safe
         # under the single-writer contract; if an expire ever raced a
@@ -3474,7 +3482,8 @@ class SnapshotTable:
                 if rel not in live_blooms:
                     full = os.path.join(bdir, fn)
                     removed_bytes += os.path.getsize(full)
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
         # orphan DATA-file sweep: attempt directories referenced by NO
         # manifest at all — a crash between `write_snapshot_files` and
         # `commit_snapshot`, or an optimistic-concurrency loser, leaves a
@@ -3514,9 +3523,10 @@ class SnapshotTable:
                             kept_any = True
                         elif fn.endswith(".parquet"):
                             removed_bytes += os.path.getsize(full)
-                            os.remove(full)
+                            if not dry_run:
+                                os.remove(full)
                             orphan_files += 1
-                if not kept_any:
+                if not kept_any and not dry_run:
                     # nothing live left — drop writer markers (_SUCCESS)
                     # and the empty partition tree in one go
                     shutil.rmtree(droot, ignore_errors=True)
@@ -3542,7 +3552,8 @@ class SnapshotTable:
                             removed_bytes += os.path.getsize(
                                 os.path.join(dirpath, fn)
                             )
-                    shutil.rmtree(full, ignore_errors=True)
+                    if not dry_run:
+                        shutil.rmtree(full, ignore_errors=True)
                     if not dname.startswith(".tmp-"):
                         removed_changelogs += 1
         return {
@@ -3551,6 +3562,7 @@ class SnapshotTable:
             "removed_orphan_files": orphan_files,
             "removed_changelogs": removed_changelogs,
             "removed_bytes": removed_bytes,
+            **({"dry_run": True} if dry_run else {}),
         }
 
     def lineage(self, snapshot_id: int | None = None) -> list[dict]:

@@ -596,3 +596,41 @@ def test_snapshot_as_of_expired_history_raises(spark, tmp_path):
         t.snapshot_as_of(mid - 0.001)
     with pytest.raises(ValueError, match="expired"):
         t.read(spark, as_of_timestamp=before_all)
+
+
+def test_expire_dry_run_deletes_nothing(spark, tmp_path):
+    """--dry-run preview: the report matches what a real run would do,
+    but every manifest, shard, data file and byte stays on disk; the
+    subsequent real run removes exactly what the preview said."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 4)
+    for seq in (1, 2, 3):
+        df = make_rows(spark, [(f"r{seq}", f"p{i}", "c") for i in range(50)])
+        df = df.withColumn("commit_seq", F.lit(seq).cast("long"))
+        e = t.write_snapshot_files(df, seq)
+        t.commit_snapshot(
+            e, None,
+            {"committed_feed_files": seq, "max_seq_seen": seq, "batch_id": seq - 1},
+        )
+
+    t.compact(spark)  # supersedes the per-commit files → real dead bytes
+
+    def tree():
+        out = {}
+        for dirpath, _dirs, fnames in os.walk(t.root):
+            for fn in fnames:
+                p = os.path.join(dirpath, fn)
+                out[p] = os.path.getsize(p)
+        return out
+
+    before = tree()
+    preview = t.expire_snapshots(keep_last=1, dry_run=True)
+    assert preview["dry_run"] and preview["expired_snapshots"]
+    assert preview["removed_bytes"] > 0
+    assert tree() == before  # nothing touched
+    assert t.snapshots() == [0, 1, 2, 3, 4]  # compact = snapshot 4
+    real = t.expire_snapshots(keep_last=1)
+    assert "dry_run" not in real
+    assert real["expired_snapshots"] == preview["expired_snapshots"]
+    assert real["removed_files"] == preview["removed_files"]
+    assert real["removed_bytes"] == preview["removed_bytes"]
+    assert t.read(spark).count() == 150  # live state intact
