@@ -191,6 +191,13 @@ def main() -> None:
             "cdc_eps_delta": round(eps - prev.get("cdc_events_per_sec", 0.0), 1),
         }
     print(json.dumps(out))
+    sys.stdout.flush()
+    # the JSON line above is the whole contract; on this shared host a
+    # steal wave can stall the JVM's shutdown sequence for minutes
+    # (observed), so stop the session and exit hard rather than letting
+    # the caller's bench run hang on teardown
+    spark.stop()
+    os._exit(0)
 
 
 

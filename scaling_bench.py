@@ -75,6 +75,9 @@ stats = run_ingest(spark, table_root, feed_dir, max_files_per_batch=64, n_bucket
 dt = time.time() - t0
 print(json.dumps({{"cpus": cpus, "events": stats.events, "sec": dt,
                    "eps": stats.events / dt}}))
+sys.stdout.flush()
+spark.stop()
+os._exit(0)  # timed work is done; don't let a stalled JVM teardown (host steal waves) eat the 1800s budget
 """
 
 
