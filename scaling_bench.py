@@ -155,6 +155,12 @@ def main() -> None:
         " efficiency >= 0.8; the probed ratio is recorded with the run",
     )
     ap.add_argument(
+        "--feed-dir", default=None,
+        help="reuse an existing feed directory (skip the ~8-min 16M-event "
+        "generation between opportunistic attempts); it is NOT deleted "
+        "at exit",
+    )
+    ap.add_argument(
         "--write-md", action="store_true",
         help="overwrite BENCH/BASELINE.md with this run (it is hand-curated;"
         " default is JSON-only output)",
@@ -164,19 +170,24 @@ def main() -> None:
 
     from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
 
-    feed_dir = tempfile.mkdtemp(prefix="scale_feed_", dir="/dev/shm")
+    reuse = args.feed_dir is not None and os.path.isdir(args.feed_dir) and os.listdir(args.feed_dir)
+    feed_dir = args.feed_dir if args.feed_dir else tempfile.mkdtemp(
+        prefix="scale_feed_", dir="/dev/shm"
+    )
     try:
-        write_feed(
-            feed_dir,
-            FeedSpec(
-                n_events=args.events,
-                n_keys=max(1000, args.events // 20),
-                n_repos=100,
-                skew=0.3,
-                n_files=64,
-                content_repeat=args.content_repeat,
-            ),
-        )
+        if not reuse:
+            os.makedirs(feed_dir, exist_ok=True)
+            write_feed(
+                feed_dir,
+                FeedSpec(
+                    n_events=args.events,
+                    n_keys=max(1000, args.events // 20),
+                    n_repos=100,
+                    skew=0.3,
+                    n_files=64,
+                    content_repeat=args.content_repeat,
+                ),
+            )
         results: dict[int, list[dict]] = {c: [] for c in args.levels}
         for _ in range(args.runs):
             for cpus in args.levels:  # alternate levels within each round
@@ -210,7 +221,8 @@ def main() -> None:
         if args.write_md:
             _write_md(summary, args)
     finally:
-        shutil.rmtree(feed_dir, ignore_errors=True)
+        if args.feed_dir is None:
+            shutil.rmtree(feed_dir, ignore_errors=True)
 
 
 def _write_md(s: dict, args) -> None:
