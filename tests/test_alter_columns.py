@@ -358,3 +358,34 @@ def test_alter_random_lifecycle_matches_oracle(spark, tmp_path):
     check()
     # the schema is exactly the survivor set, in evolution order
     assert [f.name for f in t.schema().fields] == ["repo", "path"] + cols
+
+
+def test_null_spec_pruning_spans_rename(spark, tmp_path):
+    """Null-count pruning (s6) must follow a rename like min/max does:
+    old files recorded `null_counts` under the prior physical name, and
+    an `is null` / `not null` spec on the NEW name prunes through it."""
+    full = T.StructType(
+        SCHEMA.fields[:2] + [T.StructField("ts", T.LongType())] + SCHEMA.fields[2:]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "s"), full, ["repo", "path"], 4,
+        properties={"stats_cols": ["ts"]},
+    )
+    # commit 1: ts all null; commit 2: ts fully set
+    b = batch_df(spark, [(i + 1, "add", "r", f"a{i}", None, "x") for i in range(20)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    b = batch_df(
+        spark, [(100 + i, "add", "r", f"b{i}", i, "y") for i in range(20)]
+    )
+    merge_into(spark, t, b, offsets(2), scrub=False)
+    t.rename_column("ts", "event_ts")
+    full_scan = t.read(spark)
+    pruned = t.read(spark, where={"event_ts": "not null"})
+    assert pruned.count() == 20
+    assert len(pruned.inputFiles()) < len(full_scan.inputFiles())
+    pruned_null = t.read(spark, where={"event_ts": "is null"})
+    assert pruned_null.count() == 20
+    assert len(pruned_null.inputFiles()) < len(full_scan.inputFiles())
+    # range spec still drops the all-null cohort through the prior name
+    rng = t.read(spark, where={"event_ts": (5, 5)})
+    assert [r["path"] for r in rng.collect()] == ["b5"]
