@@ -328,16 +328,23 @@ def _match_files(
     key_ranges: dict[int, tuple[str, str]] | None,
     key_counts: dict[int, int] | None = None,
     adaptive_thresholds: tuple[float, float] | None = None,
-) -> tuple[list[str] | None, set[str] | None, dict[str, dict], int, int, bool]:
+) -> tuple[
+    list[str] | None, set[str] | None, dict[str, dict], int, int, bool,
+    list[str] | None,
+]:
     """The copy-on-write prune ladder (ranges → blooms → exact scan).
     Returns (matched absolute paths, matched manifest-relative paths,
     bloom entry-updates for carried files, matched rows, live rows of
     the touched buckets — those two feed `merge_into`'s adaptive
-    CoW/MoR decision — and ``has_legacy``: whether any candidate file
+    CoW/MoR decision — ``has_legacy``: whether any candidate file
     lacks key stats, which VETOES the adaptive append so the ladder's
     always-rewrite guarantee upgrades legacy files on first touch
     instead of stranding their null-``_key`` rows behind a MoR
-    append) — the files a batch key
+    append — and ``cap_candidates``: on the adaptive EARLY exit only,
+    the range-pruned candidate files' absolute paths, a conservative
+    superset of every file holding a batch key that write-time change
+    capture can use in place of the exact matched set the skipped
+    ladder would have produced; ``None`` everywhere else) — the files a batch key
     actually lives in; everything else carries forward untouched. Files
     without key stats (pre-upgrade) are treated as always-matched (the
     exact scan cannot see their null _key).
@@ -347,7 +354,7 @@ def _match_files(
     uniform-keys model (per candidate file: hit probability
     1 − (1 − file_rows/bucket_rows)^batch_distinct_keys) — when the
     estimate already clears both adaptive legs, return
-    ``(None, None, {}, est, live)`` WITHOUT running blooms or the exact
+    ``(None, None, {}, est, live, False, cap_candidates)`` WITHOUT running blooms or the exact
     scan: the caller will append MoR-style, so the ladder's entire cost
     (the dominant per-batch cost on a dense uniform batch — measured
     ~9 s/commit at the 1M-row worst case) would be pure waste. A
@@ -398,7 +405,7 @@ def _match_files(
     # not O(table); see lake/table.py manifest sharding)
     files = table.files_for_buckets(touched)
     if not files:
-        return [], set(), {}, 0, 0, False
+        return [], set(), {}, 0, 0, False, None
     live_rows = sum(f.get("rows", 0) or 0 for f in files)
     rows_by_rel = {f["path"]: f.get("rows", 0) or 0 for f in files}
 
@@ -419,7 +426,7 @@ def _match_files(
         and _ranges_overlap(f, *key_ranges[f["bucket"]])
     ]
     if not candidates:
-        return [], set(), {}, 0, live_rows, False
+        return [], set(), {}, 0, live_rows, False, None
     # Legacy files (no key stats → null stored _key) must be REWRITTEN,
     # never appended-around: the adaptive MoR append would leave them in
     # an unresolved bucket where the scan-time LWW window cannot see
@@ -465,7 +472,15 @@ def _match_files(
                     est2 += fr * (1.0 - (1.0 - min(1.0, fr / brows)) ** nk)
                 est = est2
             if est >= frac_t * live_rows and est >= amp_t * batch_keys:
-                return None, None, {}, int(est), live_rows, False
+                # the ladder never runs, but the RANGE-PRUNED candidate
+                # set is a conservative superset of every file holding a
+                # batch key — exactly what write-time change capture
+                # needs for preimages (it semi-joins on batch keys, so a
+                # superset only adds scan width, never wrong rows)
+                return (
+                    None, None, {}, int(est), live_rows, False,
+                    [os.path.join(table.root, f["path"]) for f in candidates],
+                )
     if key_counts:
         n_files_by_bucket: dict[int, int] = {}
         for f in files:
@@ -494,6 +509,7 @@ def _match_files(
                     _rows_of(sc_rel),
                     live_rows,
                     has_legacy,
+                    None,
                 )
             # mixed: short-circuited buckets are matched outright; the
             # rest still run the ladder below
@@ -515,7 +531,7 @@ def _match_files(
     bloom_updates = table.build_blooms(spark, missing) if missing else {}
     candidates = _bloom_prune(table, incoming, candidates)
     if not candidates and not legacy:
-        return pre_abs, pre_rel, bloom_updates, _rows_of(pre_rel), live_rows, has_legacy
+        return pre_abs, pre_rel, bloom_updates, _rows_of(pre_rel), live_rows, has_legacy, None
     # exact prune: one narrow scan of the candidates' _key column,
     # semi-joined against the batch keys. Collect is bounded by the
     # number of candidate FILES, never rows.
@@ -542,7 +558,7 @@ def _match_files(
             real = os.path.realpath(r["_file"].removeprefix("file:"))
             matched_abs.append(abs_by_real[real])
             matched_rel.add(rel_by_real[real])
-    return matched_abs, matched_rel, bloom_updates, _rows_of(matched_rel), live_rows, has_legacy
+    return matched_abs, matched_rel, bloom_updates, _rows_of(matched_rel), live_rows, has_legacy, None
 
 
 class SimulatedCrash(RuntimeError):
@@ -738,13 +754,21 @@ def merge_into(
     (`delete_where`) anchors at scan time, so a commit landing between
     its scan and this merge fails the commit instead of applying a
     stale-matched batch.
-    ``capture_changes`` (default on): on changelog-enabled tables, the
-    full-ladder CoW path writes this commit's classified change log
-    from its OWN ranked version sets (`_capture_changes_plan` —
-    O(matched files + batch)) right after the commit, instead of leaving
-    `materialize_changelog` to re-derive it from a two-sided
-    touched-bucket state diff. MoR/adaptive-append commits never ran the
-    window over stored state, so they keep the diff fallback.
+    ``capture_changes`` (default on): on changelog-enabled tables, any
+    commit that ran the full prune ladder writes this commit's
+    classified change log from its OWN ranked version sets
+    (`_capture_changes_plan` — O(matched files + batch)) right after
+    the commit, instead of leaving `materialize_changelog` to re-derive
+    it from a two-sided touched-bucket state diff. That covers the CoW
+    rewrite AND (r5) the adaptive CoW→MoR flip on a clean table — both
+    the post-ladder flip (exact matched set) and the metadata-estimate
+    early exit (the range-pruned candidate superset rides back instead)
+    — the flip fires exactly when touched buckets are huge, where one
+    candidate-file scan beats the diff's two full bucket-state scans by
+    the widest margin. Pure-MoR commits (no match phase) and
+    dirty-table flips (a stored winner the append does not rewrite
+    would be logged with phantom-rescrubbed bytes) keep the diff
+    fallback.
     """
     started = time.time()
     key_cols = table.key_cols()
@@ -816,11 +840,17 @@ def merge_into(
     t_match0 = time.time()
     adaptive_fired = False
     unresolved_add: set[int] = set()
+    # capture-plan file set: equals the rewrite's matched set on the CoW
+    # path, and SURVIVES the adaptive flip (the flip rebinds matched_abs
+    # to [] so nothing is rewritten, but the ladder's matched files are
+    # exactly what the change capture needs for preimages). Empty on the
+    # legs that never ran the ladder (MoR mode, adaptive early exit).
+    cap_files: list[str] = []
     if table.merge_mode() == "mor":
         matched_abs, matched_rel, bloom_updates = [], set(), {}
         unresolved_add = set(touched)
     else:
-        matched_abs, matched_rel, bloom_updates, m_rows, live_rows, has_legacy = _match_files(
+        matched_abs, matched_rel, bloom_updates, m_rows, live_rows, has_legacy, cap_cands = _match_files(
             spark, table, incoming, touched, key_ranges, key_counts,
             adaptive_thresholds=(
                 (_ADAPTIVE_REWRITE_FRAC, _ADAPTIVE_MIN_AMPLIFICATION)
@@ -829,10 +859,17 @@ def merge_into(
             ),
         )
         if matched_abs is None:
-            # early adaptive exit: the ladder never ran (see _match_files)
+            # early adaptive exit: the ladder never ran, but the range-
+            # pruned candidate superset it returned is all write-time
+            # change capture needs (the capture plan semi-joins on batch
+            # keys) — one candidate-file scan vs the diff fallback's TWO
+            # full touched-bucket state scans
             matched_abs, matched_rel = [], set()
             unresolved_add = set(touched)
             adaptive_fired = True
+            cap_files = cap_cands or []
+        else:
+            cap_files = matched_abs
         # -- adaptive CoW→MoR (r4): when a batch's matched file set is
         # most of the touched buckets' live rows AND the rewrite would be
         # heavily amplified vs the batch itself (uniform update keys over
@@ -864,11 +901,48 @@ def merge_into(
     # cohort preservation is what bounds rewrite cost by update locality
     # instead of table size. crc32(file path) is only a grouping id;
     # a collision merely merges two cohorts (harmless).
-    if matched_abs:
+    # scrub replay shape: which payload columns does THIS merge rewrite
+    # on its winners? (the capture plan must mirror the post-window scrub)
+    cols_set = {f.name for f in new_schema.fields}
+    scrub_content = scrub and not scrub_before_resolve and "content" in cols_set
+    scrub_meta_col = scrub and "meta" in cols_set
+    # capture widening (window over ALL matched rows, not just batch keys)
+    # is needed only when carried rows can change bytes — unscrubbed
+    # history (`scrub_dirty`) being rescrubbed — and is only SOUND when
+    # every touched bucket is resolved: in an unresolved bucket a carried
+    # key's newer version may sit in an UNMATCHED file and the widened
+    # window would log a phantom update of a superseded row. Such merges
+    # skip capture; the diff (gap guard / startup heal) fills their log.
+    widen_capture = (scrub_content or scrub_meta_col) and table.scrub_dirty()
+    # An adaptive-FLIPPED commit captures too (r5): `cap_files` — the
+    # ladder's exact matched set on a post-ladder flip, the range-pruned
+    # candidate superset on the early exit — covers every file with a
+    # batch key, so the capture's rank-1 over (those rows ∪ batch)
+    # equals the scan-time post-state. The append stays O(batch) and
+    # the capture costs ONE candidate-file scan, vs the two full
+    # touched-bucket state scans of the diff the flip previously fell
+    # back to (the flip fires exactly when touched buckets are huge).
+    # CLEAN tables only: the capture replays the scrub on the post
+    # side, a byte no-op on scrubbed stored bytes — but on a dirty
+    # table a stored winner the append does NOT rewrite would be
+    # logged with phantom-rescrubbed bytes.
+    adaptive_capture_ok = (
+        not adaptive_fired or (bool(cap_files) and not table.scrub_dirty())
+    )
+    do_capture = (
+        capture_changes
+        and adaptive_capture_ok
+        and table.merge_mode() != "mor"
+        and table._branch is None
+        and table.changelog_enabled()
+        and not (widen_capture and (table.unresolved_buckets() & set(touched)))
+    )
+    scan_src = matched_abs if matched_abs else (cap_files if do_capture else [])
+    if scan_src:
         # scan_files, not a raw schema read: rename-normalized — a raw
         # read would scan a renamed column as null in pre-rename files
         # and this REWRITE would then persist the nulls
-        existing = table.scan_files(spark, matched_abs)
+        existing = table.scan_files(spark, scan_src)
     else:
         existing = spark.createDataFrame([], table._read_schema())
     existing = existing.withColumn("_fg", F.crc32(F.input_file_name()).cast("long"))
@@ -884,31 +958,10 @@ def merge_into(
     ]
     existing = existing.select(*order)
     incoming_o = incoming.withColumn("_fg", F.lit(None).cast("long")).select(*order)
-    # scrub replay shape: which payload columns does THIS merge rewrite
-    # on its winners? (the capture plan must mirror the post-window scrub)
-    cols_set = {f.name for f in new_schema.fields}
-    scrub_content = scrub and not scrub_before_resolve and "content" in cols_set
-    scrub_meta_col = scrub and "meta" in cols_set
-    # capture widening (window over ALL matched rows, not just batch keys)
-    # is needed only when carried rows can change bytes — unscrubbed
-    # history (`scrub_dirty`) being rescrubbed — and is only SOUND when
-    # every touched bucket is resolved: in an unresolved bucket a carried
-    # key's newer version may sit in an UNMATCHED file and the widened
-    # window would log a phantom update of a superseded row. Such merges
-    # skip capture; the diff (gap guard / startup heal) fills their log.
-    widen_capture = (scrub_content or scrub_meta_col) and table.scrub_dirty()
-    # write-time change capture runs on this commit? (decided up front so
-    # the batch side can be persisted ONCE — the capture plan executes
-    # after the commit and would otherwise re-read the feed and re-pay
-    # the scrub UDF over the whole batch)
-    do_capture = (
-        capture_changes
-        and not adaptive_fired
-        and table.merge_mode() != "mor"
-        and table._branch is None
-        and table.changelog_enabled()
-        and not (widen_capture and (table.unresolved_buckets() & set(touched)))
-    )
+    # write-time change capture was decided up front (before `existing`,
+    # whose file source depends on it) so the batch side can be persisted
+    # ONCE — the capture plan executes after the commit and would
+    # otherwise re-read the feed and re-pay the scrub UDF over the batch
     if do_capture:
         from pyspark import StorageLevel
 
@@ -954,11 +1007,13 @@ def merge_into(
             merged = merged.withColumn("meta", scrub_meta(F.col("meta")))
 
         # -- write-time change capture (changelog fast path) -------------------
-        # Only the full-ladder CoW path knows the old winners (the MoR /
-        # adaptive-append legs never rank stored state); those commits keep
-        # the post-hoc snapshot-diff materialization. Plan built here, but
-        # EXECUTED only after the commit succeeds — a concurrency loser must
-        # never clobber the winning commit's log.
+        # Any full-ladder commit knows the old winners — the CoW rewrite
+        # AND the adaptive flip (whose `cap_files` kept the ladder's
+        # matched set even though nothing is rewritten). Only pure-MoR,
+        # the adaptive EARLY exit (ladder never ran) and dirty-table
+        # flips keep the post-hoc snapshot-diff materialization. Plan
+        # built here, but EXECUTED only after the commit succeeds — a
+        # concurrency loser must never clobber the winning commit's log.
         cap_df = None
         if do_capture:
             cap_df = _capture_changes_plan(
@@ -1001,6 +1056,7 @@ def merge_into(
                 "files_replaced": len(matched_rel),
                 "merge_mode": table.merge_mode(),
                 "adaptive_append": adaptive_fired,
+                "write_time_capture": bool(do_capture),
             },
             unresolved_add=unresolved_add or None,
             # raw payload bytes land on disk: a scrub=False batch that

@@ -905,8 +905,13 @@ def test_capture_replays_scrub_so_postimages_match_written_bytes(spark, tmp_path
 
 
 def test_capture_skipped_on_mor_and_adaptive_legs(spark, tmp_path):
-    """Paths that never rank stored state must NOT capture: the log is
-    absent after the merge and the diff fallback fills it correctly."""
+    """Paths that never rank stored state — or must not TRUST it — skip
+    capture: the log is absent after the merge and the diff fallback
+    fills it correctly. The MoR leg never runs the match phase; the
+    adaptive leg here flips on a DIRTY table (scrub=False merges mark
+    scrub_dirty), where the capture's post-side scrub replay would log
+    phantom-rescrubbed bytes for a stored winner the append never
+    rewrites — clean-table flips DO capture (next test)."""
     # pure MoR table
     t = _cap_table(tmp_path, name="mor", merge_mode="mor")
     merge_into(spark, t, _cap_batch(spark, [(1, "add", "r", "a", "v1")]),
@@ -914,12 +919,13 @@ def test_capture_skipped_on_mor_and_adaptive_legs(spark, tmp_path):
     assert not t.changelog_ready(1), "MoR leg must not capture"
     t.materialize_changelog(spark, 1)
     assert t.changelog_ready(1)
-    # adaptive append on a default table (uniform update of most keys)
+    # adaptive append on a default DIRTY table (uniform update of most keys)
     t2 = _cap_table(tmp_path, name="ad")
     boot = _cap_batch(
         spark, [(i + 1, "add", "r", f"k{i:04d}", "v1") for i in range(400)]
     )
     merge_into(spark, t2, boot, _cap_offsets(1), scrub=False)
+    assert t2.scrub_dirty(), "scrub=False payload merge must dirty the table"
     upd = _cap_batch(
         spark, [(1000 + i, "add", "r", f"k{i * 8:04d}", "v2") for i in range(50)]
     )
@@ -927,12 +933,55 @@ def test_capture_skipped_on_mor_and_adaptive_legs(spark, tmp_path):
     merge_into(spark, t2, upd, _cap_offsets(2), scrub=False, key_counts=kc)
     lin = t2.lineage()[-1]
     if lin.get("adaptive_append"):
-        assert not t2.changelog_ready(2), "adaptive leg must not capture"
+        assert not t2.changelog_ready(2), "dirty-table flip must not capture"
+        assert lin.get("write_time_capture") is False
         t2.materialize_changelog(spark, 2)
     else:  # estimate didn't fire at this scale: capture ran, still exact
         assert t2.changelog_ready(2)
     got, want = _log_frame(t2, spark, 2), _diff_frame(t2, spark, 2)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_adaptive_flip_captures_on_clean_table(spark, tmp_path):
+    """r5: an adaptive CoW→MoR flip on a CLEAN table writes its change
+    log at commit time from the ladder's matched files — NO snapshot
+    diff runs — and the log is byte-equal to the diff path's answer.
+    The flip fires exactly when touched buckets are huge, so one
+    matched-file scan vs the diff's two full bucket-state scans is the
+    widest-margin case for write-time capture."""
+    t = _cap_table(tmp_path, name="adclean")
+    boot = _cap_batch(
+        spark, [(i + 1, "add", "r", f"k{i:04d}", f"v{i}") for i in range(400)]
+    )
+    merge_into(spark, t, boot, _cap_offsets(1))  # scrub=True: table stays clean
+    assert not t.scrub_dirty()
+    # uniform 50-key update over 400 live keys in 4 buckets: every file
+    # holds batch keys -> matched rows >= 50% of live and >= 6x batch keys
+    upd_rows = [(1000 + i, "add", "r", f"k{i * 8:04d}", "v2") for i in range(49)]
+    upd_rows.append((1050, "delete", "r", "k0008", None))  # a delete too
+    upd = _cap_batch(spark, upd_rows)
+    kc = {b: 50 // 4 for b in range(4)}
+    t_live = _no_diff(open_table(t.root))  # any diff materialization raises
+    merge_into(spark, t_live, upd, _cap_offsets(2), key_counts=kc)
+    lin = t_live.lineage()[-1]
+    assert lin["adaptive_append"] is True, "flip did not fire at this scale"
+    assert lin["write_time_capture"] is True
+    assert lin["files_replaced"] == 0, "flip must still rewrite nothing"
+    assert t_live.changelog_ready(2), "clean-table flip must capture inline"
+    t_fresh = open_table(t.root)
+    got, want = _log_frame(t_fresh, spark, 2), _diff_frame(t_fresh, spark, 2)
+    pd.testing.assert_frame_equal(got, want)
+    # the delete and the updates all present, one change row set per key
+    cts = got.groupby("_change_type").size()
+    assert cts.get("delete", 0) == 1 and cts.get("update", 0) >= 1
+    # apply contract: parent state + captured change feed == current state
+    applied = _apply_changes(
+        _frame(t_fresh.read(spark, snapshot_id=1)),
+        _changes_frame(t_fresh, spark, 1, 2),
+    )
+    pd.testing.assert_frame_equal(
+        applied, _frame(t_fresh.read(spark)), check_dtype=False
+    )
 
 
 def test_capture_gap_healed_by_materialize_new_changelogs(spark, tmp_path):

@@ -410,7 +410,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
     # actually holding the keys (both here, one key each) -- and with keys
     # missing entirely, to NONE
     kr = {0: ("r\x1fa00", "r\x1fzzz")}
-    matched_abs, _, _, _, _, _ = M._match_files(
+    matched_abs, _, _, _, _, _, _ = M._match_files(
         spark, t,
         batch_df(spark, [(200, "add", "r", "a00", "y"), (201, "add", "r", "nope", "y")])
         .selectExpr("*").select(
@@ -433,7 +433,7 @@ def test_ladder_short_circuit_dense_vs_trickle(spark, tmp_path):
         bucket_expr(1, ["repo", "path"]).alias("_bucket"),
         M.key_expr(["repo", "path"]).alias("_key"),
     )
-    matched_abs, matched_rel, bloom_updates, _, _, _ = M._match_files(
+    matched_abs, matched_rel, bloom_updates, _, _, _, _ = M._match_files(
         spark, t, dense, {0}, kr, key_counts={0: 100}
     )
     assert matched_rel == files2
