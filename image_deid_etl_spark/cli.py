@@ -622,11 +622,16 @@ def cmd_branch(args) -> None:
         table = open_table(args.table)
     except FileNotFoundError as e:
         sys.exit(f"error: {e}")
-    actions = [x for x in (args.name, args.publish, args.drop) if x]
+    actions = [x for x in (args.name, args.publish, args.drop, args.rebase) if x]
     if len(actions) > 1:
-        sys.exit("error: pass a branch name to create, OR --publish, OR --drop")
+        sys.exit(
+            "error: pass a branch name to create, OR --publish, OR --drop, "
+            "OR --rebase"
+        )
     try:
-        if args.publish:
+        if args.rebase:
+            print(json.dumps(table.rebase_branch(args.rebase)))
+        elif args.publish:
             spark = None
             if table.changelog_enabled():
                 from .session import build_session
@@ -962,6 +967,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="fast-forward the published table to this branch's head")
     br.add_argument("--drop", metavar="NAME", default=None,
                     help="abandon a branch and delete its staged commits")
+    br.add_argument("--rebase", metavar="NAME", default=None,
+                    help="re-base a stale EMPTY branch onto the current "
+                         "published head (metadata-only)")
     br.set_defaults(fn=cmd_branch)
 
     rp = sub.add_parser(

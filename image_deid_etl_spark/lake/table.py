@@ -1393,6 +1393,14 @@ class SnapshotTable:
         info = self.refs().get(name)
         if not isinstance(info, dict) or info.get("type") != "branch":
             raise ValueError(f"no branch named {name!r}")
+        if info.get("rebasing_to") is not None:
+            # a crashed rebase_branch left its intent marker: the head may
+            # equal the published head, which is ALSO publish's own
+            # crash-recovery shape — misreading it would drop the branch
+            raise ConcurrentCommitError(
+                f"branch {name!r} has a rebase in progress; re-run "
+                "rebase_branch to complete it, then publish"
+            )
         head = self.branch_handle(name).snapshot_id
         base = info["base"]
         current = self.snapshot_id
@@ -1485,6 +1493,84 @@ class SnapshotTable:
                     if m and m.group(1) in sids:
                         shutil.rmtree(os.path.join(ddir, dn), ignore_errors=True)
         return {"dropped": name, "commits_discarded": len(doomed)}
+
+    @_with_commit_lock
+    def rebase_branch(self, name: str) -> dict:
+        """Re-base a STALE EMPTY branch onto the current published head
+        (Iceberg ``replace branch`` analog for the one stale shape this
+        design can produce).
+
+        A branch created for a later audit goes stale the moment the
+        published line advances past its base: its first commit — and
+        its publish — are refused (`_guard_staged_sid` /
+        `publish_branch`), and before this op the only recovery was
+        drop + re-create. ``rebase_branch`` re-points the branch at the
+        current head and records the new base: O(1) metadata, no data
+        or shard is touched, and the handle stays valid (pointer file
+        name is stable).
+
+        Only the EMPTY shape is rebasable — by design, not as a
+        shortcut. Branch ids continue the table's contiguous id line,
+        so while a branch HOLDS staged commits the published head
+        cannot move (sid-line exclusivity blocks it); a branch with
+        content whose base fell behind can therefore only exist as the
+        debris of a cross-process guard race that has ALREADY clobbered
+        one line's manifests — there is no intact state left to rebase,
+        and pretending otherwise would republish corrupt metadata. Such
+        a branch is refused with the explanation; `drop_branch` is the
+        recovery.
+
+        Crash safety: the ref records the INTENT first (a
+        ``rebasing_to`` marker), then the pointer swaps, then the final
+        ref lands. `publish_branch` refuses a marked branch (a crashed
+        rebase's ``head == published head`` shape is otherwise
+        indistinguishable from publish's OWN crash-recovery shape, and
+        misreading it would silently drop the branch); a re-run of
+        ``rebase_branch`` completes from any interruption point —
+        including a published head that advanced AGAIN after the crash,
+        which the marker proves holds no staged content.
+
+        Reference analog: the manual re-run discipline of the cron
+        pipeline (`__main__.py:98-150`) — a prepared-but-not-started
+        pass is simply restarted against current state."""
+        self._require_main("rebase_branch")
+        info = self.refs().get(name)
+        if not isinstance(info, dict) or info.get("type") != "branch":
+            raise ValueError(f"no branch named {name!r}")
+        base = info["base"]
+        marker = info.get("rebasing_to")
+        current = self.snapshot_id
+        head = self._ptr_sid(self._branch_pointer(name))
+        if head is None:
+            raise ValueError(
+                f"branch {name!r} has no pointer file (half-created or "
+                "half-dropped); drop it and re-create"
+            )
+        if base == current and head == current and marker is None:
+            return {"rebased": False, "branch": name, "base": base}
+        # the head names staged CONTENT only if it is neither the base,
+        # nor the published head, nor a crashed rebase's marker target
+        if head not in (base, current, marker):
+            raise ConcurrentCommitError(
+                f"branch {name!r} holds staged commits (ids ({base}, "
+                f"{head}]); only an EMPTY stale branch is rebasable — a "
+                "staged branch pins the published head in place, so a "
+                "diverged-with-content branch is guard-race debris with "
+                "clobbered manifests: drop it and re-stage"
+            )
+        if marker != current:  # intent before the swap (crash-safe order)
+            refs = self.refs()
+            refs[name] = {"type": "branch", "base": base, "rebasing_to": current}
+            self._write_refs(refs)
+        if head != current:
+            self._swap_pointer(
+                self._branch_pointer(name),
+                os.path.basename(self._manifest_path(current)),
+            )
+        refs = self.refs()
+        refs[name] = {"type": "branch", "base": current}
+        self._write_refs(refs)
+        return {"rebased": True, "branch": name, "base": current, "was": base}
 
     def snapshot_as_of(self, ts: float) -> int:
         """Timestamp time travel (Iceberg semantics): the snapshot that

@@ -590,3 +590,117 @@ def test_read_branch_sugar_and_fsck_broken_ref(spark, tmp_path, capsys, monkeypa
     cli.main(["validate", "--table", t.root])
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["fsck"]["broken_branch_refs"] == 0
+
+
+def test_rebase_stale_empty_branch(spark, tmp_path, capsys):
+    """A branch that staged nothing goes stale when the published head
+    advances; `rebase_branch` re-points it (metadata-only) so the WAP
+    loop resumes without drop + re-create. Staged branches are refused
+    — a diverged-with-content branch cannot exist intact under sid-line
+    exclusivity (guard-race debris only), so rebase never republishes
+    clobbered metadata."""
+    import json
+
+    from image_deid_etl_spark import cli
+
+    t = make_table(spark, tmp_path)
+    b = t.branch("audit")
+    base = t.snapshot_id
+    # fresh branch: rebase is a no-op
+    assert t.rebase_branch("audit") == {
+        "rebased": False, "branch": "audit", "base": base,
+    }
+    # published head moves on; the empty branch goes stale
+    merge_into(
+        spark, t,
+        batch_df(spark, [(100, "add", "r", "mainline", 90, "m")]),
+        offsets(2), scrub=False,
+    )
+    with pytest.raises(ConcurrentCommitError, match="stale"):
+        merge_into(
+            spark, b,
+            batch_df(spark, [(101, "add", "r", "staged", 91, "s")]),
+            offsets(3), scrub=False,
+        )
+    res = t.rebase_branch("audit")
+    assert res == {
+        "rebased": True, "branch": "audit", "base": base + 1, "was": base,
+    }
+    # the SAME handle works again (pointer file name is stable)
+    merge_into(
+        spark, b,
+        batch_df(spark, [(101, "add", "r", "staged", 91, "s")]),
+        offsets(3), scrub=False,
+    )
+    assert "staged" not in live(spark, t)  # still isolated
+    # a branch with staged commits is NOT rebasable
+    merge_into(
+        spark, t.branch_handle("audit"),
+        batch_df(spark, [(102, "add", "r", "more", 92, "s2")]),
+        offsets(4), scrub=False,
+    )
+    with pytest.raises(ConcurrentCommitError, match="holds staged commits"):
+        t.rebase_branch("audit")
+    t.publish_branch("audit")
+    assert {"mainline", "staged", "more"} <= set(live(spark, t))
+
+    # CLI surface + unknown-branch error path
+    b2 = t.branch("cli")
+    merge_into(
+        spark, t,
+        batch_df(spark, [(200, "add", "r", "again", 95, "g")]),
+        offsets(5), scrub=False,
+    )
+    cli.main(["branch", "--table", t.root, "--rebase", "cli"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebased"] is True and out["base"] == t.snapshot_id
+    assert b2.snapshot_id == t.snapshot_id
+    with pytest.raises(SystemExit):
+        cli.main(["branch", "--table", t.root, "--rebase", "ghost"])
+    t.drop_branch("cli")
+
+
+def test_rebase_crash_recovery_finishes_refs(spark, tmp_path):
+    """Crash window: the intent marker landed and the pointer swapped to
+    the published head, but the final refs update never did. Publish
+    refuses (the marker distinguishes this from publish's OWN
+    crash-recovery shape, which it would otherwise "finish" by silently
+    dropping the branch); a re-run of rebase_branch completes the refs
+    update idempotently — even after the published head advanced AGAIN
+    past the marker target."""
+    t = make_table(spark, tmp_path)
+    t.branch("audit")
+    base = t.branches()["audit"]["base"]
+    merge_into(
+        spark, t,
+        batch_df(spark, [(100, "add", "r", "mainline", 90, "m")]),
+        offsets(2), scrub=False,
+    )
+    # simulate the crash: intent marker + pointer swap, no final refs
+    refs = t.refs()
+    refs["audit"] = {"type": "branch", "base": base, "rebasing_to": t.snapshot_id}
+    t._write_refs(refs)
+    t._swap_pointer(
+        t._branch_pointer("audit"),
+        os.path.basename(t._manifest_path(t.snapshot_id)),
+    )
+    assert t.refs()["audit"]["base"] == base  # stale refs, moved pointer
+    with pytest.raises(ConcurrentCommitError, match="rebase in progress"):
+        t.publish_branch("audit")
+    # the published head may advance again before anyone re-runs: the
+    # marker proves the branch head is rebase debris, not staged content
+    merge_into(
+        spark, t,
+        batch_df(spark, [(150, "add", "r", "later", 93, "l")]),
+        offsets(3), scrub=False,
+    )
+    res = t.rebase_branch("audit")
+    assert res["rebased"] is True and res["base"] == t.snapshot_id
+    # branch is fully functional again
+    merge_into(
+        spark, t.branch_handle("audit"),
+        batch_df(spark, [(101, "add", "r", "staged", 91, "s")]),
+        offsets(4), scrub=False,
+    )
+    t.publish_branch("audit")
+    assert {"mainline", "later", "staged"} <= set(live(spark, t))
