@@ -169,7 +169,7 @@ def cmd_validate(args) -> None:
     fsck = {"missing_data_files": 0, "missing_blooms": 0, "bad_key_ranges": 0,
             "row_mismatch_files": 0, "missing_shards": 0,
             "dangling_unresolved_buckets": 0, "broken_branch_refs": 0,
-            "broken_views": 0}
+            "stalled_rebase_branches": 0, "broken_views": 0}
     # materialized views: a pointer naming a missing state dir, or a view
     # applied AHEAD of the table head (a rollback of the table cannot
     # rewind a view — it must be re-created), is a broken consumer
@@ -220,6 +220,12 @@ def cmd_validate(args) -> None:
                 table.branch_handle(_bname).manifest(with_files=False)
             except (FileNotFoundError, ValueError):
                 fsck["broken_branch_refs"] += 1
+            # a leftover rebase intent marker (crash mid-rebase) blocks
+            # publish until rebase_branch is re-run; the re-run completes
+            # it idempotently — flag it so operators notice before the
+            # publish refusal surprises them
+            if _binfo.get("rebasing_to") is not None:
+                fsck["stalled_rebase_branches"] += 1
     # sharded manifests: verify every referenced bucket shard exists
     # before materializing the file list through them
     top = table.manifest(with_files=False)

@@ -660,7 +660,7 @@ def test_rebase_stale_empty_branch(spark, tmp_path, capsys):
     t.drop_branch("cli")
 
 
-def test_rebase_crash_recovery_finishes_refs(spark, tmp_path):
+def test_rebase_crash_recovery_finishes_refs(spark, tmp_path, capsys, monkeypatch):
     """Crash window: the intent marker landed and the pointer swapped to
     the published head, but the final refs update never did. Publish
     refuses (the marker distinguishes this from publish's OWN
@@ -687,6 +687,18 @@ def test_rebase_crash_recovery_finishes_refs(spark, tmp_path):
     assert t.refs()["audit"]["base"] == base  # stale refs, moved pointer
     with pytest.raises(ConcurrentCommitError, match="rebase in progress"):
         t.publish_branch("audit")
+    # fsck flags the stalled marker (validate exits 2 until it resolves)
+    import json
+
+    from image_deid_etl_spark import cli
+
+    monkeypatch.setattr(
+        "image_deid_etl_spark.session.build_session", lambda **kw: spark
+    )
+    with pytest.raises(SystemExit):
+        cli.main(["validate", "--table", t.root])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["fsck"]["stalled_rebase_branches"] == 1
     # the published head may advance again before anyone re-runs: the
     # marker proves the branch head is rebase debris, not staged content
     merge_into(
@@ -696,6 +708,9 @@ def test_rebase_crash_recovery_finishes_refs(spark, tmp_path):
     )
     res = t.rebase_branch("audit")
     assert res["rebased"] is True and res["base"] == t.snapshot_id
+    cli.main(["validate", "--table", t.root])  # fsck clean again
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["fsck"]["stalled_rebase_branches"] == 0
     # branch is fully functional again
     merge_into(
         spark, t.branch_handle("audit"),
