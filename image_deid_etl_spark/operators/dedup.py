@@ -60,6 +60,23 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dedup FILTER: keep one deterministic representative (min id)
+    per distinct content, preserving the full row — the curation-pipeline
+    complement of `exact_dedup_groups`' per-group report.
+
+    Scale shape: ONE hash shuffle (min-over-window keyed on the content
+    hash), no self-join back to the input; the window carries whole rows
+    but each partition group is tiny (the duplicate set of one content),
+    so there is no mega-partition hazard."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("_rep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_rep"))
+        .drop("_rep")
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc (native array ops, no UDF)."""
     words = F.split(F.col(text_col), TOKEN_SPLIT)

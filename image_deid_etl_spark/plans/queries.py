@@ -1005,18 +1005,32 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+#: DuckDB replicas of `text.quality_features`' scalar expressions — ONE
+#: definition shared by the per-doc score query and the curation-pipeline
+#: funnel so the quality gate cannot desynchronize between them
+_Q_TOKENS_SQL = (
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+_Q_MWL_SQL = (
+    "round(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+    "w -> length(w)), 'sum') "
+    "/ greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)"
+)
+_Q_PUNCT_SQL = (
+    "round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) "
+    "/ greatest(length(text), 1), 6)"
+)
+
+
 @register(
     "text_quality_scores",
-    """
+    f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_m,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-           round(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                               w -> length(w)), 'sum')
-                 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS mean_word_len,
-           round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
-                 / greatest(length(text), 1), 6) AS punct_ratio,
+           {_Q_TOKENS_SQL} AS n_tokens,
+           {_Q_MWL_SQL} AS mean_word_len,
+           {_Q_PUNCT_SQL} AS punct_ratio,
            round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                  w -> w IN ('the','a','an','and','or','of','to','in','is','it',
                                             'on','for','as','at','by','with','that','this','be','are')))
@@ -2436,6 +2450,85 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.domain_cap(d, "doc_id", "source", k=10)
         .select("source", "doc_id", "rk")
         .orderBy("source", "doc_id")
+    )
+
+
+def _curation_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
+    )
+    return f"""
+  WITH q AS MATERIALIZED (
+    SELECT doc_id, lang, source, text,
+           {_Q_TOKENS_SQL} AS n_tokens, {_Q_MWL_SQL} AS mwl, {_Q_PUNCT_SQL} AS pr
+    FROM documents
+  ),
+  ok AS (
+    SELECT doc_id, lang, source, text, n_tokens FROM q
+    WHERE n_tokens >= 10 AND mwl >= 2 AND mwl <= 12 AND pr <= 0.3
+  ),
+  ded AS (
+    SELECT * FROM (
+      SELECT ok.*, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM ok
+    ) WHERE doc_id = rep
+  ),
+  capped AS (
+    SELECT * FROM (
+      SELECT ded.*,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('domcap-v1|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM ded
+    ) WHERE rk <= 20
+  ),
+  kept AS (
+    SELECT * FROM capped WHERE {_STRAT_UNIFORM_SQL} < (CASE {cases} ELSE 1.0 END)
+  )
+  SELECT lang, count(*) AS n_kept,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("corpus_curation_pipeline", _curation_sql())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel a pretraining-data pipeline runs
+    over `documents`, as ONE composed job: quality gate
+    (`text.quality_features`' C4/Gopher rules) → exact-dedup
+    keep-canonical (`dedup.exact_keep_canonical`) → per-source quota cap
+    (`text.domain_cap`, k=20) → per-language stratified downsample
+    (`text.stratified_keep`), summarized per language. Every stage is
+    deterministic (shared md5 rules), so the DuckDB oracle replays the
+    whole funnel byte-for-byte — the composition pin on top of the four
+    stages' individual oracles.
+
+    Scale shape: the quality gate and the sampling filter are map-only;
+    dedup is one min-over-window hash shuffle (no self-join back); the
+    cap's rank<=k compiles to a map-side WindowGroupLimit so a
+    mega-source never sorts in one task; the final rollup is a partial
+    aggregation over the (tiny) survivor set."""
+    d = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(d, "text").filter(F.col("quality_ok"))
+    ded = dedup.exact_keep_canonical(feats, "doc_id", "text")
+    capped = text.domain_cap(ded, "doc_id", "source", k=20)
+    kept = capped.filter(
+        text.stratified_keep(
+            F.col("doc_id"), F.col("lang"), _STRAT_RATES, default_rate=1.0
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -576,3 +576,23 @@ def test_chunk_documents_reconstruction_and_overlap(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, budget=16, overlap=16)
+
+
+def test_exact_keep_canonical_min_id_full_row(spark):
+    """Keeps exactly one row (min id) per distinct content, preserving
+    every other column; unique contents pass through untouched; result
+    is repartition-invariant (deterministic rule, no row-order input)."""
+    from image_deid_etl_spark.operators.dedup import exact_keep_canonical
+
+    rows = [
+        (3, "dup", "s1"), (1, "dup", "s2"), (2, "dup", "s3"),
+        (5, "solo", "s4"), (4, "other", "s5"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.doc_id, r.text, r.source)
+        for r in exact_keep_canonical(df, "doc_id", "text").collect()
+    }
+    assert got == {(1, "dup", "s2"), (5, "solo", "s4"), (4, "other", "s5")}
+    re = exact_keep_canonical(df.repartition(7), "doc_id", "text")
+    assert {(r.doc_id, r.text, r.source) for r in re.collect()} == got
