@@ -123,3 +123,14 @@ def test_tfidf_broadcasts_df_and_limits_window_mapside(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "row_number(), 3, Partial" in p
     assert "Python" not in p
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """The composed funnel stays pure codegen: no Python eval node, the
+    quota cap keeps its partial (map-side) WindowGroupLimit even after
+    composition with the dedup window and the final rollup, and the
+    rollup partial-aggregates (map-side combine before the shuffle)."""
+    p = plan(spark, sf_dir, "corpus_curation_pipeline")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "row_number(), 20, Partial" in p  # cap is map-side bounded
+    assert "partial_count" in p  # rollup combines before the exchange
