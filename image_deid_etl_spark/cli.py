@@ -671,7 +671,7 @@ def cmd_alter(args) -> None:
             if val not in ("true", "false"):
                 sys.exit(f"error: changelog must be true|false, got {val!r}")
             props[key] = val == "true"
-        elif key in ("stats_cols", "cluster_by"):
+        elif key in ("stats_cols", "dict_cols", "cluster_by"):
             props[key] = [c for c in val.split(",") if c]
         else:
             props[key] = val
@@ -1161,7 +1161,7 @@ def main(argv: list[str] | None = None) -> None:
     al = sub.add_parser(
         "alter",
         help="ALTER TABLE SET TBLPROPERTIES: merge_mode, changelog, "
-        "stats_cols, cluster_by (metadata-only commit)",
+        "stats_cols, dict_cols, cluster_by (metadata-only commit)",
     )
     al.add_argument("--table", required=True)
     al.add_argument(

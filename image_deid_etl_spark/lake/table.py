@@ -673,6 +673,29 @@ class SnapshotTable:
             self.manifest(with_files=False)["properties"].get("stats_cols", [])
         )
 
+    def dict_cols(self) -> list[str]:
+        """Columns whose per-file DISTINCT VALUE SET the writer records
+        in manifest entries (``dicts``) for equality/IN data skipping on
+        low-cardinality columns — the pruning min/max ranges cannot do
+        when a value is absent from a file whose range still spans it
+        (e.g. ``lang``: a file holding {'ada', 'zig'} has range
+        ada..zig, which contains every language alphabetically between).
+
+        Table property ``dict_cols`` (list), set at create or via
+        `set_properties`. Opt-in because — unlike ``stats_cols``, whose
+        min/max and null counts come free from parquet footers — the
+        dictionary needs a capped read of the column from each NEWLY
+        WRITTEN file: the scan bails as soon as more than
+        ``_DICT_MAX_VALS`` distinct values appear (one Arrow batch for a
+        high-cardinality column, which then records nothing and prunes
+        nothing), and dictionary-encoded parquet makes the read ~dict
+        pages + indices. Cost is proportional to write volume for the
+        opted-in columns only; untouched files carry their recorded
+        dicts forward by path like every other stat."""
+        return list(
+            self.manifest(with_files=False)["properties"].get("dict_cols", [])
+        )
+
     def cluster_by(self) -> list[str]:
         """Maintenance-rewrite sort columns (table property ``cluster_by``).
 
@@ -926,7 +949,8 @@ class SnapshotTable:
     #: target_file_rows / n_buckets live in partition_spec (rebucket owns
     #: spec evolution); anything else is a typo we refuse loudly.
     MUTABLE_PROPERTIES = (
-        "merge_mode", "changelog", "stats_cols", "cluster_by", "cluster_method",
+        "merge_mode", "changelog", "stats_cols", "dict_cols",
+        "cluster_by", "cluster_method",
     )
 
     def set_properties(
@@ -964,7 +988,7 @@ class SnapshotTable:
         if "changelog" in props and not isinstance(props["changelog"], bool):
             raise ValueError("changelog must be a bool")
         schema_cols = {f.name for f in self.schema().fields}
-        for k in ("stats_cols", "cluster_by"):
+        for k in ("stats_cols", "dict_cols", "cluster_by"):
             if k in props:
                 v = props[k]
                 if not isinstance(v, list) or not all(
@@ -1149,6 +1173,7 @@ class SnapshotTable:
         keys = set(cur["partition_spec"]["columns"])
         props = dict(cur["properties"])
         stats_cols = list(props.get("stats_cols") or ())
+        dict_cols = list(props.get("dict_cols") or ())
         cluster_by = list(props.get("cluster_by") or ())
         retired = set(props.get("dropped_columns", ()))
         for f in schema.fields:
@@ -1167,10 +1192,10 @@ class SnapshotTable:
         if overlap:
             raise ValueError(f"columns both dropped and renamed: {sorted(overlap)}")
         for c in drop:
-            if c in stats_cols or c in cluster_by:
+            if c in stats_cols or c in dict_cols or c in cluster_by:
                 raise ValueError(
-                    f"column {c!r} is in stats_cols/cluster_by — update the "
-                    "property first (set_properties), then drop"
+                    f"column {c!r} is in stats_cols/dict_cols/cluster_by — "
+                    "update the property first (set_properties), then drop"
                 )
         self._check_view_refs(touched, "drop/rename")
 
@@ -1222,9 +1247,13 @@ class SnapshotTable:
             props_changed = True
         if rename:
             new_stats = [rename.get(c, c) for c in stats_cols]
+            new_dicts = [rename.get(c, c) for c in dict_cols]
             new_cluster = [rename.get(c, c) for c in cluster_by]
             if new_stats != stats_cols:
                 props["stats_cols"] = new_stats
+                props_changed = True
+            if new_dicts != dict_cols:
+                props["dict_cols"] = new_dicts
                 props_changed = True
             if new_cluster != cluster_by:
                 props["cluster_by"] = new_cluster
@@ -2601,10 +2630,12 @@ class SnapshotTable:
                 targets.append((os.path.join(dirpath, fn), bucket))
 
         stats_cols = self.stats_cols()
+        dict_cols = self.dict_cols()
 
         def entry_of(t: tuple[str, int]) -> dict:
             full, bucket = t
-            meta = pq.ParquetFile(full).metadata
+            pf = pq.ParquetFile(full)
+            meta = pf.metadata
             seq_min, seq_max = _col_range(meta, "commit_seq")
             key_min, key_max = _col_range(meta, "_key")
             _del_min, del_max = _col_range(meta, "_deleted")
@@ -2621,9 +2652,15 @@ class SnapshotTable:
                     # exactly what lets the pruner drop it from range /
                     # IS NOT NULL scans (and keep it for IS NULL)
                     null_counts[c] = nc
+            dicts = {}
+            for c in dict_cols:
+                vals = _col_dict(pf, c)
+                if vals is not None:
+                    dicts[c] = vals
             return {
                 **({"col_stats": col_stats} if col_stats else {}),
                 **({"null_counts": null_counts} if null_counts else {}),
+                **({"dicts": dicts} if dicts else {}),
                 "path": os.path.relpath(full, self.root),
                 "bucket": bucket,
                 "rows": meta.num_rows,
@@ -3736,13 +3773,15 @@ class SnapshotTable:
                 f.get("bloom_path") is not None,
                 bool(f.get("has_deletes")),
                 json.dumps(f["col_stats"]) if f.get("col_stats") else None,
+                json.dumps(f["dicts"]) if f.get("dicts") else None,
             )
             for f in self.manifest(snapshot_id)["files"]
         ]
         schema = (
             "path string, bucket int, rows long, bytes long, "
             "seq_min long, seq_max long, key_min string, key_max string, "
-            "has_bloom boolean, has_deletes boolean, col_stats string"
+            "has_bloom boolean, has_deletes boolean, col_stats string, "
+            "dicts string"
         )
         return spark.createDataFrame(rows, schema).orderBy("bucket", "path")
 
@@ -3971,6 +4010,28 @@ def _stats_entry_pred(where: dict, priors: dict[str, list[str]] | None = None):
                 continue
             if all_null:
                 return False  # range / IN: NULL never compares true
+            dv = lookup(f.get("dicts") or {}, c)
+            if dv is not None:
+                # exact membership beats min/max: a file whose RANGE spans
+                # the probed value but whose recorded value SET misses it
+                # is provably empty for the predicate (the low-cardinality
+                # equality/IN case ranges cannot serve). An empty dict =
+                # all values null = never compares true.
+                try:
+                    if isinstance(spec, dict):
+                        vals = spec["in"]
+                        if vals is not None and not any(v in dv for v in vals):
+                            return False
+                    else:
+                        d_lo, d_hi = spec
+                        if not any(
+                            (d_lo is None or v >= d_lo)
+                            and (d_hi is None or v <= d_hi)
+                            for v in dv
+                        ):
+                            return False
+                except TypeError:
+                    pass  # incomparable types — dict can't prune, fall through
             rng = lookup(st, c)
             if not rng or rng[0] is None or rng[1] is None:
                 continue
@@ -4011,6 +4072,40 @@ def _col_nulls(meta, col: str) -> int | None:
                 return None
             total += st.null_count
         return total
+    except Exception:
+        return None
+
+
+#: distinct-value cap above which a file records no dictionary — the
+#: bail-out that bounds the write-path read for high-cardinality columns
+#: to roughly one Arrow batch (the scan stops the moment the cap breaks)
+_DICT_MAX_VALS = 16
+
+
+def _col_dict(pf, col: str, cap: int = _DICT_MAX_VALS) -> list | None:
+    """Distinct NON-NULL values of a column, from a capped streaming read
+    of the (typically dictionary-encoded) column — or None when the
+    column is missing, any value has no canonical JSON-safe form, or the
+    file holds more than ``cap`` distinct values (pruners treat None as
+    "no dictionary — keep the file"). Values are `_stat_norm`-canonical
+    so the pruner compares them to spec bounds on equal terms."""
+    try:
+        import pyarrow.compute as pc
+
+        if col not in pf.schema_arrow.names:
+            return None
+        seen: set = set()
+        for batch in pf.iter_batches(columns=[col], batch_size=1 << 16):
+            for v in pc.unique(batch.column(0)).to_pylist():
+                if v is None:
+                    continue
+                nv = _stat_norm(v)
+                if nv is None:
+                    return None
+                seen.add(nv)
+            if len(seen) > cap:
+                return None
+        return sorted(seen)
     except Exception:
         return None
 

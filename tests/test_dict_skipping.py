@@ -1,0 +1,313 @@
+"""Per-file value-dictionary data skipping (`dict_cols`, r5).
+
+Min/max ranges cannot prune an equality/IN probe on a low-cardinality
+column when the file's range SPANS the probed value but the file never
+holds it (a file with langs {'ada', 'zig'} has range ada..zig — every
+language between them "fits"). `dict_cols` opts such columns into a
+per-file distinct value SET in the manifest entry, recorded by a capped
+streaming read of the newly written file (bails past `_DICT_MAX_VALS`
+— high-cardinality columns record nothing and cost ~one Arrow batch).
+`read/update/delete(where=...)` then prune by exact membership.
+
+Reference analog: the listing-side exclusion discipline of
+`image_deid_etl/orthanc.py` (never fetch what metadata can exclude),
+one layer tighter than ranges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.lake.table import (
+    _DICT_MAX_VALS,
+    SnapshotTable,
+    bucket_expr,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _rows(spark, rows, seq=1):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return df.select(
+        "*",
+        F.lit(seq).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+    )
+
+
+def _commit(t, spark, rows, seq):
+    e = t.write_snapshot_files(_rows(spark, rows, seq), seq)
+    t.commit_snapshot(
+        e,
+        None,
+        {"committed_feed_files": seq, "max_seq_seen": seq, "batch_id": seq - 1},
+    )
+
+
+def _make_table(spark, tmp_path, properties=None):
+    """Two lang-cohorts whose RANGES overlap but value SETS are disjoint:
+    commit 1 holds {'ada', 'zig'} (range spans the alphabet), commit 2
+    holds {'c', 'rust'} (inside commit 1's range). Range pruning alone
+    can never separate them for an equality probe."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        SCHEMA,
+        ["repo", "path"],
+        2,
+        properties=properties
+        if properties is not None
+        else {"stats_cols": ["lang"], "dict_cols": ["lang"]},
+    )
+    _commit(
+        t,
+        spark,
+        [("r", f"a{i}", "ada" if i % 2 else "zig", "one") for i in range(100)],
+        1,
+    )
+    _commit(
+        t,
+        spark,
+        [("r", f"b{i}", "c" if i % 2 else "rust", "two") for i in range(100)],
+        2,
+    )
+    return t
+
+
+def _n_files(df):
+    return len(df.inputFiles())
+
+
+def test_manifest_records_dicts(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    for f in t.manifest()["files"]:
+        d = f.get("dicts", {})
+        assert sorted(d.get("lang", [])) in (["ada", "zig"], ["c", "rust"]), f
+
+
+def test_equality_prunes_within_overlapping_ranges(spark, tmp_path):
+    """The motivating case: both cohorts' min/max ranges contain 'go',
+    so range pruning keeps everything — the dictionary proves neither
+    cohort holds it / only one cohort holds 'rust'."""
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark)
+    # 'go' is inside both ranges but in neither value set → zero files
+    miss = t.read(spark, where={"lang": ("go", "go")})
+    assert miss.count() == 0
+    assert _n_files(miss) == 0
+    # 'rust' lives only in commit 2's files
+    hit = t.read(spark, where={"lang": {"in": ["rust"]}})
+    assert hit.count() == 50
+    assert _n_files(hit) < _n_files(full)
+    assert {r.content for r in hit.collect()} == {"two"}
+    # exactness vs the unpruned filter
+    assert hit.count() == full.filter(F.col("lang") == "rust").count()
+
+
+def test_in_list_prunes_by_membership(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark)
+    # both values miss every file's set (ranges would keep everything)
+    assert t.read(spark, where={"lang": {"in": ["go", "perl"]}}).count() == 0
+    # one value present in one cohort
+    got = t.read(spark, where={"lang": {"in": ["ada", "go"]}})
+    assert got.count() == 50
+    assert _n_files(got) < _n_files(full)
+
+
+def test_range_spec_uses_dict_membership(spark, tmp_path):
+    """A range that intersects both cohorts' min/max but contains NO
+    recorded value of one cohort prunes that cohort: ['d', 'q'] holds
+    neither 'ada' nor 'zig' but does hold commit 2's 'c'? no — 'c' < 'd';
+    it holds nothing of cohort 2 either except... nothing. Use ['q', 't']:
+    contains 'rust' only."""
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark)
+    got = t.read(spark, where={"lang": ("q", "t")})
+    assert got.count() == 50
+    assert {r.lang for r in got.collect()} == {"rust"}
+    assert _n_files(got) < _n_files(full)
+    # a range containing no value at all → zero files listed
+    assert _n_files(t.read(spark, where={"lang": ("d", "q")})) == 0
+
+
+def test_high_cardinality_column_records_no_dict(spark, tmp_path):
+    """A dict_cols column whose file exceeds the cap records nothing —
+    and reads stay exact (conservative keep)."""
+    t = SnapshotTable.create(
+        str(tmp_path / "h"),
+        SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"dict_cols": ["lang", "path"]},
+    )
+    _commit(
+        t,
+        spark,
+        [("r", f"p{i}", f"l{i % (_DICT_MAX_VALS * 4)}", "x") for i in range(400)],
+        1,
+    )
+    for f in t.manifest()["files"]:
+        d = f.get("dicts", {})
+        assert "path" not in d  # 200 distinct paths per bucket > cap
+        # lang: 64 distinct table-wide > cap → per-file may also overflow;
+        # either way reads stay exact
+    got = t.read(spark, where={"lang": ("l3", "l3")})
+    assert got.count() == t.read(spark).filter(F.col("lang") == "l3").count()
+
+
+def test_all_null_files_prune_for_equality(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "n"),
+        SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"dict_cols": ["lang"]},
+    )
+    _commit(t, spark, [("r", f"a{i}", None, "nulls") for i in range(50)], 1)
+    _commit(t, spark, [("r", f"b{i}", "go", "langs") for i in range(50)], 2)
+    # the all-null cohort records an EMPTY dict and is pruned from
+    # equality scans even without null_counts (lang not in stats_cols)
+    assert any(
+        f.get("dicts", {}).get("lang") == [] for f in t.manifest()["files"]
+    )
+    got = t.read(spark, where={"lang": ("go", "go")})
+    assert got.count() == 50
+    assert _n_files(got) < _n_files(t.read(spark))
+
+
+def test_enable_dict_cols_later(spark, tmp_path):
+    """set_properties mid-history: old files have no dict (kept,
+    conservative); new files record and prune."""
+    t = _make_table(spark, tmp_path, properties={})
+    assert all("dicts" not in f for f in t.manifest()["files"])
+    t.set_properties({"dict_cols": ["lang"]})
+    _commit(t, spark, [("r", f"c{i}", "go", "three") for i in range(100)], 3)
+    m = t.manifest()
+    with_dict = [f for f in m["files"] if "dicts" in f]
+    assert with_dict and all(f["dicts"]["lang"] == ["go"] for f in with_dict)
+    # probe a value no file holds: old (dict-less) files stay listed,
+    # new files prune — exactness holds either way
+    got = t.read(spark, where={"lang": ("perl", "perl")})
+    assert got.count() == 0
+    assert _n_files(got) < _n_files(t.read(spark))
+    # reject non-schema columns like the other list properties
+    with pytest.raises(ValueError):
+        t.set_properties({"dict_cols": ["nope"]})
+
+
+def test_dicts_survive_compaction_and_rename(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    t.compact(spark)
+    m = t.manifest()
+    assert all("lang" in f.get("dicts", {}) for f in m["files"])
+    # rename: property follows; pre-rename files' dicts (recorded under
+    # the old name) keep pruning via the prior-name lookup
+    t.alter_columns(rename={"lang": "language"})
+    assert t.dict_cols() == ["language"]
+    renamed = T.StructType(
+        [
+            f if f.name != "lang" else T.StructField("language", f.dataType, f.nullable)
+            for f in SCHEMA.fields
+        ]
+    )
+    zdf = spark.createDataFrame(
+        [("r", f"z{i}", "go", "post-rename") for i in range(20)], renamed
+    ).select(
+        "*",
+        F.lit(9).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+    )
+    e = t.write_snapshot_files(zdf, 9)
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 9, "max_seq_seen": 9, "batch_id": 8}
+    )
+    # new files record dicts under the NEW name...
+    assert any(
+        f.get("dicts", {}).get("language") == ["go"]
+        for f in t.manifest()["files"]
+    )
+    # ...old (compacted, pre-rename) files prune via the prior-name
+    # lookup: 'rust' lives only in them, so the z-files drop
+    got = t.read(spark, where={"language": ("rust", "rust")})
+    assert got.count() == 50
+    assert _n_files(got) < _n_files(t.read(spark))
+    # dropping the column while listed is refused
+    with pytest.raises(ValueError):
+        t.alter_columns(drop=["language"])
+
+
+def test_where_spec_property_random_with_dicts(spark, tmp_path):
+    """Property: any where-spec mix over a dict column returns exactly
+    the unpruned scan + filter (membership pruning may only drop files
+    the dictionary PROVES empty)."""
+    import random
+
+    t = _make_table(spark, tmp_path)
+    full = t.read(spark).cache()
+    rng = random.Random(11)
+    langs = ["ada", "c", "go", "perl", "rust", "zig"]
+
+    def gen_spec():
+        kind = rng.choice(["range", "eq", "in", "notnull"])
+        if kind == "range":
+            lo, hi = sorted(rng.sample(langs, 2))
+            return (lo, hi)
+        if kind == "eq":
+            v = rng.choice(langs)
+            return (v, v)
+        if kind == "in":
+            return {"in": rng.sample(langs, rng.randint(1, 3))}
+        return "not null"
+
+    def as_filter(spec):
+        if spec == "not null":
+            return F.col("lang").isNotNull()
+        if isinstance(spec, dict):
+            return F.col("lang").isin(spec["in"])
+        lo, hi = spec
+        return (F.col("lang") >= lo) & (F.col("lang") <= hi)
+
+    for trial in range(12):
+        spec = gen_spec()
+        exp = sorted(
+            (r.path, r.lang) for r in full.filter(as_filter(spec)).collect()
+        )
+        got = sorted(
+            (r.path, r.lang)
+            for r in t.read(spark, where={"lang": spec}).collect()
+        )
+        assert got == exp, (trial, spec)
+    full.unpersist()
+
+
+def test_update_delete_prune_by_dict(spark, tmp_path):
+    """The narrow matching scans of update/delete share the pruner: a
+    dict-missed predicate rewrites nothing."""
+    from image_deid_etl_spark.cdc.merge import delete_where, update_where
+
+    t = _make_table(spark, tmp_path)
+    before = {f["path"] for f in t.manifest()["files"]}
+    res = update_where(
+        spark,
+        t,
+        {"content": F.lit("x")},
+        condition=None,
+        where={"lang": ("go", "go")},
+    )
+    assert res["updated"] == 0
+    assert {f["path"] for f in t.manifest()["files"]} == before
+    res2 = delete_where(spark, t, condition=None, where={"lang": ("rust", "rust")})
+    assert res2["deleted"] == 50
+    assert t.read(spark).count() == 150
