@@ -142,6 +142,56 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def oov_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Closed-vocabulary OOV rate: per document, the fraction of tokens
+    OUTSIDE the corpus's own top-``vocab_size`` vocabulary — the
+    Gopher/CCNet-style "rare word" quality signal (gibberish, boilerplate
+    and wrong-language docs score high; ordinary prose scores low), with
+    the vocabulary derived from the corpus itself so no external model is
+    needed.
+
+    Scale shape: one explode + partial-aggregating groupBy builds the
+    global token counts; the vocabulary is a ``TakeOrderedAndProject``
+    of the top K (deterministic tie-break on the token string — never a
+    single-partition global window), broadcast to the token stream for a
+    map-side membership join; one final groupBy per doc. Two keyed
+    shuffles + one broadcast, all integer arithmetic (int/int division
+    only at the end — exact and engine-portable, the catalog's float
+    discipline).
+
+    Returns ``(id_col, n_tokens, n_oov, oov_ratio)`` for docs with ≥1
+    token."""
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), _WORD_RE)
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
 def hash_split(
     id_col: Column, fractions: dict[str, float], salt: str = "split-v1"
 ) -> Column:

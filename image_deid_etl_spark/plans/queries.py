@@ -1051,6 +1051,48 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "text_oov_ratio",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                          '\\s+')) AS tok
+      FROM documents
+    ),
+    tkn AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 0),
+    cnt AS (SELECT tok, count(*) AS cnt FROM tkn GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 500)
+    SELECT tkn.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS oov_ratio
+    FROM tkn LEFT JOIN vocab v ON tkn.tok = v.tok
+    GROUP BY tkn.doc_id ORDER BY tkn.doc_id
+    """,
+)
+def text_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary OOV rate per document: fraction of tokens
+    outside the corpus's own top-500 vocabulary (Gopher-style rare-word
+    quality signal; see `text.oov_ratio` for the two-shuffle + broadcast
+    scale shape and the exact-integer float discipline). Reference
+    analog: the validity gating of `custom_etl.py:41-45` (exclude rows a
+    cheap corpus-level statistic flags), lifted to token statistics."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        text.oov_ratio(d, "doc_id", "text", vocab_size=500)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            "oov_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: null text → empty word list on BOTH engines (Spark coalesces too);
 #: without the COALESCE the oracle's all-NULL ratios would fall through
 #: the CASE to the last language while Spark returns NULL
