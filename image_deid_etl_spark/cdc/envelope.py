@@ -179,21 +179,31 @@ def apply_envelope_batch(
     if payload_schema is None:
         payload_schema = table.schema()  # user schema (engine cols excluded)
     events, rejects = decode_envelopes(envelopes, payload_schema, **decode_kwargs)
-    if rejects_dir is not None:
-        n_rejects = _dead_letter(
-            rejects, rejects_dir, offsets.get("batch_id", "na")
-        )
-    else:
-        n_rejects = rejects.count()
-    n_events = events.count()
-    if n_events == 0:
-        return {
-            "snapshot_id": table.snapshot_id,
-            "events": 0,
-            "rejects": n_rejects,
-        }
-    snap = merge_into(spark, table, events, offsets=offsets, scrub=scrub)
-    return {"snapshot_id": snap, "events": n_events, "rejects": n_rejects}
+    # both frames re-execute the from_json decode of the WHOLE source on
+    # every action; without a persist this batch would parse the envelopes
+    # up to four times (reject count, dead-letter write, event count, the
+    # MERGE itself) — the streaming path persists for the same reason
+    events = events.persist()
+    rejects = rejects.persist()
+    try:
+        if rejects_dir is not None:
+            n_rejects = _dead_letter(
+                rejects, rejects_dir, offsets.get("batch_id", "na")
+            )
+        else:
+            n_rejects = rejects.count()
+        n_events = events.count()
+        if n_events == 0:
+            return {
+                "snapshot_id": table.snapshot_id,
+                "events": 0,
+                "rejects": n_rejects,
+            }
+        snap = merge_into(spark, table, events, offsets=offsets, scrub=scrub)
+        return {"snapshot_id": snap, "events": n_events, "rejects": n_rejects}
+    finally:
+        events.unpersist()
+        rejects.unpersist()
 
 
 def stream_envelope_ingest(

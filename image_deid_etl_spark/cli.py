@@ -660,6 +660,16 @@ def cmd_alter(args) -> None:
 
     table = _open_maybe_branch(args.table, args.branch)
     schema_ops = bool(args.add_column or args.drop_column or args.rename_column)
+    if schema_ops and args.branch:
+        # alter_columns would refuse deep inside the call; say it upfront.
+        # Schema evolution is main-line only: name tombstones and prior-
+        # name metadata are table-wide facts a branch publish could not
+        # merge (two branches renaming the same column have no join).
+        sys.exit(
+            "error: --add-column/--drop-column/--rename-column cannot be "
+            "staged on a branch — run them on the main table; --branch "
+            "stages property edits (--set) only"
+        )
     if not args.set and not schema_ops:
         sys.exit(
             "error: nothing to alter — pass --set and/or "
@@ -1180,7 +1190,11 @@ def main(argv: list[str] | None = None) -> None:
         "--rename-column", nargs=2, action="append", metavar=("OLD", "NEW"),
         default=None, help="rename without rewriting any data file",
     )
-    al.add_argument("--branch", default=None, help="stage the change on a branch")
+    al.add_argument(
+        "--branch", default=None,
+        help="stage a property edit (--set) on a branch; schema changes "
+        "(--add/--drop/--rename-column) are main-line only",
+    )
     al.set_defaults(fn=cmd_alter)
 
     vw = sub.add_parser(

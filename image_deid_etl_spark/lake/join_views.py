@@ -140,9 +140,10 @@ class JoinAggView(AggView):
                 "differently at seed time vs each refresh and silently "
                 f"drift the view state (predicate: {where!r})"
             )
-        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+            # leading underscore reserved for engine sidecars (`_dimrefs`)
             raise ValueError(
-                f"view name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+                f"view name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]{{0,63}}"
             )
         sum_cols = list(sum_cols or [])
         group_cols = list(group_cols)
@@ -221,7 +222,44 @@ class JoinAggView(AggView):
         )
         meta["state_dir"] = v._write_state(state, n_partitions, group_cols)
         v._commit_meta(meta)
+        v._write_dim_ref(dim, pairs, dim_exposed)
         return v
+
+    def _write_dim_ref(
+        self,
+        dim: SnapshotTable,
+        pairs: list[tuple[str, str]],
+        dim_exposed: list[str],
+    ) -> None:
+        """Back-reference under the DIM root so the dim table's
+        `alter_columns` view guard (`table.py:_view_column_refs`) sees
+        this view: the refresh projects every ``dim_exposed`` column and
+        the dim-side join keys BY NAME, so a dim rename/drop of any of
+        them would permanently break the view (recovery is drop +
+        O(fact) reseed — the retired-name tombstone forbids renaming
+        back). Stale refs (view dir since removed) are ignored and
+        swept by the reader."""
+        import hashlib
+        import json
+
+        dref_dir = os.path.join(dim.root, "views", "_dimrefs")
+        os.makedirs(dref_dir, exist_ok=True)
+        fact_root = os.path.abspath(self.table.root)
+        ref = {
+            "fact_root": fact_root,
+            "view": self.name,
+            "cols": sorted({dc for _, dc in pairs} | set(dim_exposed)),
+        }
+        key = hashlib.sha256(
+            f"{fact_root}\x00{self.name}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(dref_dir, f"{key}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ref, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------ #
     # join plumbing

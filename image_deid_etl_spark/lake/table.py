@@ -811,6 +811,7 @@ class SnapshotTable:
         self._write_refs(refs)
         return sid
 
+    @_with_commit_lock
     def rollback(
         self, to_snapshot_id: int, spark: SparkSession | None = None
     ) -> int:
@@ -933,6 +934,17 @@ class SnapshotTable:
                 "changed_buckets": changed,
             },
         }
+        # best-effort CAS (the in-process case is already serialized by
+        # the commit lock held since `cur` was read): a cross-process
+        # writer that advanced the pointer after our read must not have
+        # its manifest/lineage under the same snapshot id clobbered by
+        # our os.replace calls below
+        latest = self.manifest(with_files=False)["snapshot_id"]
+        if latest != cur["snapshot_id"]:
+            raise ConcurrentCommitError(
+                f"table advanced to snapshot {latest} during rollback "
+                f"(expected {cur['snapshot_id']}); another writer is active"
+            )
         lpath = os.path.join(self.root, LINEAGE, f"lineage-{snap:010d}.json")
         ltmp = lpath + f".tmp-{uuid.uuid4().hex}"
         with open(ltmp, "w") as f:
@@ -1093,6 +1105,46 @@ class SnapshotTable:
             for pair in m.get("on") or ():
                 cols.add(pair[0])  # fact-side join key (this table)
             out[name] = (cols, m.get("where"))
+        # DIM side of join views: the view lives under the FACT root, but
+        # its refresh projects this table's exposed/join columns by name —
+        # `JoinAggView._write_dim_ref` leaves a back-reference here so the
+        # guard fires on the dim handle too. A ref whose fact-side view no
+        # longer exists (or now points at a different dim) is stale:
+        # ignored and swept.
+        dref_dir = os.path.join(vdir, "_dimrefs")
+        if os.path.isdir(dref_dir):
+            for fn in os.listdir(dref_dir):
+                if not fn.endswith(".json"):
+                    continue
+                rpath = os.path.join(dref_dir, fn)
+                try:
+                    with open(rpath) as f:
+                        ref = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                try:
+                    with open(
+                        os.path.join(
+                            ref["fact_root"], "views", ref["view"], "_view.json"
+                        )
+                    ) as f:
+                        vm = json.load(f)
+                except FileNotFoundError:
+                    vm = None  # view removed: ref is stale
+                except (OSError, json.JSONDecodeError, KeyError, TypeError):
+                    continue  # unreadable, not provably gone: skip this pass
+                stale = vm is None or os.path.abspath(
+                    vm.get("dim_root") or ""
+                ) not in (os.path.realpath(self.root), os.path.abspath(self.root))
+                if stale:
+                    try:
+                        os.remove(rpath)
+                    except OSError:
+                        pass
+                    continue
+                out[
+                    f"{ref['view']} (join view on fact {ref['fact_root']})"
+                ] = (set(ref.get("cols") or ()), vm.get("where"))
         return out
 
     def _check_view_refs(self, touched: set[str], action: str) -> None:
@@ -2504,7 +2556,7 @@ class SnapshotTable:
     # ------------------------------------------------------------------ #
     # write path (used by merge.py)
     # ------------------------------------------------------------------ #
-    _Z_BITS = 16  # per-column resolution; 4 cols × 16 bits fill the long
+    _Z_BITS = 16  # per-column resolution ceiling; shrinks to fit 63 bits
 
     def _zorder_column(self, df: DataFrame, cols: list[str]):
         """Morton (Z-order) sort key over ``cols`` — multi-dimensional
@@ -2516,12 +2568,16 @@ class SnapshotTable:
         the rewrite set (one cheap narrow aggregate — compaction pays a
         second scan of the files it rewrites anyway), then the bits are
         interleaved into one long, all in JVM bitwise expressions
-        (whole-stage codegen; no UDF). Uniform binning: heavy value
-        skew degrades toward linear-sort behavior on the skewed column
-        — documented, and the stats-pruning residual filter keeps
-        results exact regardless. Numeric and timestamp columns only
-        (byte-prefix ordering for strings is not implemented; refused
-        at property-set time)."""
+        (whole-stage codegen; no UDF). Per-column resolution shrinks to
+        ``63 // n_cols`` bits when 16 bits each would not fit a signed
+        long: bit 63 is the sign bit (a set top bit would sort half the
+        rows BEFORE all smaller keys) and Java ``shiftleft`` wraps its
+        shift mod 64 (bit 79 would silently alias bit 15). Uniform
+        binning: heavy value skew degrades toward linear-sort behavior
+        on the skewed column — documented, and the stats-pruning
+        residual filter keeps results exact regardless. Numeric and
+        timestamp columns only (byte-prefix ordering for strings is not
+        implemented; refused at property-set time)."""
         nums = [
             F.col(c).cast("double")
             for c in cols  # timestamps cast to epoch-seconds doubles
@@ -2530,7 +2586,8 @@ class SnapshotTable:
             *[f(c).alias(f"{i}_{j}") for i, c in enumerate(nums)
               for j, f in enumerate((F.min, F.max))]
         ).collect()[0]
-        top = (1 << self._Z_BITS) - 1
+        zbits = min(self._Z_BITS, 63 // max(len(nums), 1))
+        top = (1 << zbits) - 1
         scaled = []
         for i, c in enumerate(nums):
             lo, hi = bounds[f"{i}_0"], bounds[f"{i}_1"]
@@ -2544,7 +2601,7 @@ class SnapshotTable:
                 )
             )
         z = F.lit(0).cast("long")
-        for b in range(self._Z_BITS):
+        for b in range(zbits):
             for i, s in enumerate(scaled):
                 bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
                 z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled) + i))
@@ -3732,7 +3789,11 @@ class SnapshotTable:
             rows.append(
                 (
                     int(e["snapshot_id"]),
-                    float(e["committed_at"]),
+                    # pre-upgrade lineage entries predate the field (same
+                    # tolerance as `snapshot_as_of` / the expire age gate)
+                    float(e["committed_at"])
+                    if e.get("committed_at") is not None
+                    else None,
                     op,
                     int(e["batch_id"]) if e.get("batch_id") is not None else None,
                     len(parts),

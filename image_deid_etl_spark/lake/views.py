@@ -214,11 +214,12 @@ class AggView:
                 "differently at seed time vs each refresh and silently "
                 f"drift the view state (predicate: {where!r})"
             )
-        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
             # same filesystem-safe discipline as branch names: the name
-            # is a path component under <root>/views/
+            # is a path component under <root>/views/; a leading
+            # underscore is reserved for engine sidecars (`_dimrefs`)
             raise ValueError(
-                f"view name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+                f"view name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]{{0,63}}"
             )
         sum_cols = list(sum_cols or [])
         minmax_cols = list(minmax_cols or [])

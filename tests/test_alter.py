@@ -172,3 +172,19 @@ def test_alter_cli(spark, tmp_path, capsys, monkeypatch):
     assert rep["properties"]["stats_cols"] == ["ts", "content"]
     with pytest.raises(SystemExit):
         cli.main(["alter", "--table", t.root, "--set", "changelog", "maybe"])
+
+
+def test_alter_cli_branch_schema_ops_refused_upfront(spark, tmp_path, capsys):
+    """--branch stages property edits only; schema changes are main-line
+    (alter_columns would refuse deep inside — the CLI must say it
+    clearly before opening a session)."""
+    from image_deid_etl_spark import cli
+
+    t = make_table(spark, tmp_path)
+    t.branch("audit")
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            ["alter", "--table", t.root, "--branch", "audit",
+             "--add-column", "score", "double"]
+        )
+    assert "main table" in str(exc.value)

@@ -292,3 +292,47 @@ def test_join_view_validation_and_dispatch(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         JoinAggView.create(spark, fact, dim, "jv", ["fk"], ["region"], [])
     assert av.verify(spark)["ok"]
+
+
+def test_dim_side_alter_guard(spark, tmp_path):
+    """The dim table's `alter_columns` must see join views that live
+    under the FACT root: the refresh projects every exposed dim column
+    and the dim-side join keys BY NAME, so a dim rename/drop of any of
+    them would permanently strand the view. The back-reference written
+    at create makes the guard fire on the dim handle; removing the
+    view (its fact-side dir) makes the ref stale and the alter passes,
+    sweeping the ref."""
+    import os
+    import shutil
+
+    fact, dim = make_pair(spark, tmp_path)
+    JoinAggView.create(
+        spark, fact, dim, "jv_guard", ["fk"], ["region"], ["ts"]
+    )
+    # exposed dim columns are guarded on the DIM handle
+    with pytest.raises(ValueError, match="jv_guard"):
+        dim.alter_columns(rename={"region": "zone"})
+    with pytest.raises(ValueError, match="jv_guard"):
+        dim.alter_columns(drop=["boost"])
+    # the FACT side stays guarded as before (fact-side join key)
+    with pytest.raises(ValueError, match="jv_guard"):
+        fact.alter_columns(rename={"fk": "dim_key"})
+    # a column the view never touches still alters fine on the dim
+    snap = dim.alter_columns(add=[("note", "string")])
+    assert snap == dim.snapshot_id
+    # view removed -> ref is stale: the alter passes and sweeps it
+    shutil.rmtree(os.path.join(fact.root, "views", "jv_guard"))
+    dim.alter_columns(rename={"region": "zone"})
+    dref_dir = os.path.join(dim.root, "views", "_dimrefs")
+    assert os.listdir(dref_dir) == []
+    assert "zone" in {f.name for f in dim.schema().fields}
+
+
+def test_view_name_leading_underscore_reserved(spark, tmp_path):
+    fact, dim = make_pair(spark, tmp_path)
+    with pytest.raises(ValueError, match="must match"):
+        JoinAggView.create(
+            spark, fact, dim, "_dimrefs", ["fk"], ["region"], []
+        )
+    with pytest.raises(ValueError, match="must match"):
+        AggView.create(spark, fact, "_sneaky", ["repo"], [])

@@ -67,3 +67,27 @@ def test_bucket_summary_counts_and_unresolved_flag(spark, tmp_path):
     unres = t.unresolved_buckets()
     assert unres and all(bs[b]["unresolved"] for b in unres)
     assert all(not bs[b]["unresolved"] for b in bs if b not in unres)
+
+
+def test_history_tolerates_pre_upgrade_lineage(spark, tmp_path):
+    """Lineage entries written before `committed_at` existed must not
+    crash `history` — same tolerance as `snapshot_as_of` and the expire
+    age gate (pre-upgrade tables are the norm, not the exception)."""
+    import os
+
+    t = make_table(spark, tmp_path)
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "new", 1, "n")]),
+        offsets(2), scrub=False,
+    )
+    ldir = os.path.join(t.root, "_lineage")
+    oldest = sorted(os.listdir(ldir))[0]
+    with open(os.path.join(ldir, oldest)) as f:
+        entry = json.load(f)
+    entry.pop("committed_at", None)
+    with open(os.path.join(ldir, oldest), "w") as f:
+        json.dump(entry, f)
+    h = {r["snapshot_id"]: r for r in t.history(spark).collect()}
+    assert len(h) == 2
+    assert h[min(h)]["committed_at"] is None
+    assert h[max(h)]["committed_at"] is not None

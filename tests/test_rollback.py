@@ -312,3 +312,53 @@ def test_rollback_on_branch_handle(spark, tmp_path):
     t.publish_branch("audit")
     got = live(spark, t)
     assert "keep" in got and "oops" not in got
+
+
+def test_rollback_concurrent_commit_raises_not_clobbers(
+    spark, tmp_path, monkeypatch
+):
+    """A writer that advances the table after rollback read its parent
+    must NOT be silently clobbered: rollback raises
+    ConcurrentCommitError BEFORE touching the winner's manifest or
+    lineage files, and a retry then succeeds. The interleave is driven
+    deterministically through a hook rollback calls mid-body (the
+    commit lock is reentrant, so the same-thread interloper commit is
+    legal — it models a cross-process writer the in-process lock cannot
+    serialize)."""
+    from image_deid_etl_spark.lake.table import ConcurrentCommitError
+
+    t = make_table(spark, tmp_path)
+    good = t.snapshot_id
+    merge_into(
+        spark, t, batch_df(spark, [(100, "add", "r", "bad", 1, "B")]),
+        offsets(2), scrub=False,
+    )
+
+    real = SnapshotTable.unresolved_buckets
+    fired = {"done": False}
+
+    def interloper(self, *a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            merge_into(
+                spark, t,
+                batch_df(spark, [(200, "add", "r", "winner", 2, "W")]),
+                offsets(3), scrub=False,
+            )
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "unresolved_buckets", interloper)
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        t.rollback(good)
+    monkeypatch.setattr(SnapshotTable, "unresolved_buckets", real)
+
+    # the winner's commit is fully intact: pointer, lineage, state
+    win = t.snapshot_id
+    assert "winner" in live(spark, t)
+    lin = t.lineage(win)
+    assert lin and "rollback" not in lin[0]
+    # and the recovery loop still works
+    snap = t.rollback(good)
+    assert snap == win + 1
+    got = live(spark, t)
+    assert "winner" not in got and "bad" not in got

@@ -117,3 +117,46 @@ def test_zorder_property_guards(spark, tmp_path):
     assert t.cluster_method() == "zorder"
     with pytest.raises(ValueError, match="orderable-numeric"):
         t.set_properties({"cluster_by": ["path"]})
+
+
+def test_zorder_many_columns_fits_signed_long(spark, tmp_path):
+    """Per-column resolution must shrink so the interleave fits 63 bits:
+    bit 63 is the sign bit (a set top bit would order half the rows
+    BEFORE all smaller keys) and Java shiftleft wraps mod 64 (bit 79
+    would alias bit 15). Pin: with 4 and 5 clustered columns the Morton
+    key is never negative, and distinct scaled tuples stay injective."""
+    wide = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+        ]
+        + [T.StructField(c, T.LongType(), True) for c in "abcde"]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "wide"), wide, ["repo", "path"], n_buckets=1
+    )
+    rows = [
+        (
+            "r", f"p{i}",
+            # full 16-bit-scale spread on every column: under the old
+            # 16-bit-per-column interleave the 4th column's top bit lands
+            # in the sign bit and the 5th wraps mod 64
+            (i * 7919) % 65536, (i * 104729) % 65536, (i * 1299709) % 65536,
+            (i * 15485863) % 65536, (i * 32452843) % 65536,
+        )
+        for i in range(1024)
+    ]
+    df = spark.createDataFrame(rows, wide)
+    for ncols in (4, 5):
+        cols = list("abcde")[:ncols]
+        z = df.select(
+            t._zorder_column(df, cols).alias("z"), *cols
+        ).cache()
+        assert z.filter(F.col("z") < 0).count() == 0
+        # injectivity over distinct value tuples (collisions would mean
+        # wrapped/aliased bits scrambling the interleave)
+        assert (
+            z.select("z").distinct().count()
+            == z.select(*cols).distinct().count()
+        )
+        z.unpersist()
