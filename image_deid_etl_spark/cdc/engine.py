@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake.table import SnapshotTable
+from ..lake.table import ConcurrentCommitError, SnapshotTable
 from .feed import list_feed_files, read_feed_files
 from .merge import merge_into
 
@@ -259,8 +259,9 @@ def run_maintenance(
     )
     if deep:
         worst = max(deep, key=lambda b: rows_by_b[b] / vbase[str(b)])
+        anchor = table.snapshot_id  # the state the exact count describes
         agg = (
-            table.read_raw(spark, buckets=[worst])
+            table.read_raw(spark, snapshot_id=anchor, buckets=[worst])
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(F.col("_key")).alias("nd"),
@@ -268,12 +269,21 @@ def run_maintenance(
             .collect()[0]
         )
         if agg["n"] == agg["nd"]:
-            table.commit_snapshot(
-                new_files=[],
-                offsets=table.offsets(),
-                unresolved_remove={worst},
-                lineage_extra={"resolved_metadata_only": worst},
-            )
+            # anchored like every sibling maintenance commit: a cross-
+            # process writer landing another append on `worst` between
+            # the count and this commit would make the no-duplicates
+            # verdict stale — clearing the mark then would skip LWW
+            # resolution for versions the count never saw
+            try:
+                table.commit_snapshot(
+                    new_files=[],
+                    offsets=table.offsets(),
+                    unresolved_remove={worst},
+                    lineage_extra={"resolved_metadata_only": worst},
+                    expected_parent=anchor,
+                )
+            except ConcurrentCommitError:
+                pass  # next maintenance pass recounts against the new head
             return None
         table.compact(
             spark,

@@ -292,7 +292,9 @@ def _lww_latest_versions(df: DataFrame, key_cols: list[str] | None = None) -> Da
     )
 
 
-def _with_diff_identity(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _with_diff_identity(
+    a: DataFrame, b: DataFrame, priors: dict[str, list[str]] | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Add ``_ph`` (the LWW payload hash) to both sides of a snapshot
     diff so row identity is ``(_key, commit_seq, _ph)``, not just
     ``(_key, commit_seq)`` — a payload that changed at an UNCHANGED seq
@@ -307,21 +309,33 @@ def _with_diff_identity(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFram
     ride along as typed NULLs on the ``a`` side — Spark's hash skips
     null inputs identically on both sides, so a still-null added column
     changes nothing, while an `update_where` backfilling it at an
-    unchanged seq is the state change it looks like."""
-    b_fields = {f.name: f for f in b.schema.fields}
+    unchanged seq is the state change it looks like.
+
+    A column RENAMED inside the window reads on the ``a`` side under a
+    prior physical name (the from-snapshot's schema): the alignment
+    coalesces through the recorded priors (``priors`` — the caller
+    passes `_priors_map` of the TABLE's to-schema, since projections
+    inside `_live_keyed` drop StructField metadata) exactly like the
+    scan-time name mapping — aligning by current name alone would null
+    the from-side payload, splitting the hash identity of every
+    unchanged row in the touched buckets (spurious updates) and nulling
+    the renamed column in delete/update preimages."""
+    priors = priors or {}
     a_types = {f.name: f.dataType for f in a.schema.fields}
-    a_aligned = a.select(
-        *[
-            (
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if a_types[f.name] != f.dataType
-                else F.col(f.name)
-            )
-            if f.name in a_types
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in b.schema.fields
+
+    def a_col(f: T.StructField):
+        cands = [f.name, *priors.get(f.name, ()), *_field_priors(f)]
+        names = list(dict.fromkeys(n for n in cands if n in a_types))
+        if not names:
+            return F.lit(None).cast(f.dataType).alias(f.name)
+        cols = [
+            F.col(n).cast(f.dataType) if a_types[n] != f.dataType else F.col(n)
+            for n in names
         ]
-    )
+        got = cols[0] if len(cols) == 1 else F.coalesce(*cols)
+        return got.alias(f.name)
+
+    a_aligned = a.select(*[a_col(f) for f in b.schema.fields])
     ph = lww_payload_hash(b.schema.fields)
     return a_aligned.withColumn("_ph", ph), b.withColumn("_ph", ph)
 
@@ -1104,6 +1118,12 @@ class SnapshotTable:
                 cols |= set(m.get(k) or ())
             for pair in m.get("on") or ():
                 cols.add(pair[0])  # fact-side join key (this table)
+            if m.get("kind") == "join":
+                # the refresh selects EVERY frozen fact column by name
+                # (`JoinAggView.refresh` projects *meta["fact_cols"]"),
+                # not just the agg/join/where set — renaming any of them
+                # would brick the view
+                cols |= set(m.get("fact_cols") or ())
             out[name] = (cols, m.get("where"))
         # DIM side of join views: the view lives under the FACT root, but
         # its refresh projects this table's exposed/join columns by name —
@@ -2212,8 +2232,9 @@ class SnapshotTable:
             self._live_keyed(spark, from_snapshot_id, touched),
             self._live_keyed(spark, to_id, touched),
         )
-        cols = [f.name for f in self.schema(to_id).fields] + ["commit_seq"]
-        a, b = _with_diff_identity(a, b)
+        to_fields = self.schema(to_id).fields
+        cols = [f.name for f in to_fields] + ["commit_seq"]
+        a, b = _with_diff_identity(a, b, priors=_priors_map(to_fields))
         ups = b.join(
             a.select("_key", "commit_seq", "_ph"),
             ["_key", "commit_seq", "_ph"],
@@ -3636,12 +3657,29 @@ class SnapshotTable:
             if os.path.exists(lpath):
                 os.remove(lpath)
         # shard sweep: manifest shards referenced by NO retained manifest
-        # (expired snapshots' rewritten shards + crashed-commit orphans)
+        # (expired snapshots' rewritten shards + crashed-commit orphans).
+        # The grace window covers the expire-beside-a-live-writer race:
+        # a commit writes its shards BEFORE the pointer swap, so a
+        # fresh unreferenced shard may belong to an in-flight commit —
+        # sweeping it would leave the landed manifest naming a deleted
+        # shard (every read of that bucket FileNotFoundError, and the
+        # file list is unrecoverable since later commits carry the shard
+        # by name). Older-than-grace unreferenced shards are provably
+        # dead (commits are seconds, not minutes).
+        grace_cutoff = time.time() - orphan_grace_s
+
+        def _past_grace(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) < grace_cutoff
+            except OSError:
+                return False  # vanished / unreadable: skip this sweep
+
         mdir = os.path.join(self.root, MANIFESTS)
         for fn in os.listdir(mdir):
             if fn.startswith("shard-") and fn.endswith(".json") and fn not in live_shards:
-                if not dry_run:
-                    os.remove(os.path.join(mdir, fn))
+                full = os.path.join(mdir, fn)
+                if not dry_run and _past_grace(full):
+                    os.remove(full)
         removed_bytes = 0
         for rel in dead_files | dead_blooms:
             full = os.path.join(self.root, rel)
@@ -3650,20 +3688,22 @@ class SnapshotTable:
                 if not dry_run:
                     os.remove(full)
         # orphan sweep: sidecars referenced by NO retained manifest (lazy
-        # blooms built in a merge that crashed before its commit). Safe
-        # under the single-writer contract; if an expire ever raced a
-        # merge, the merge's commit would reference a swept bloom and the
-        # probe tasks' memmap fallback (cdc/merge._bloom_prune) keeps the
-        # file a conservative always-candidate.
+        # blooms built in a merge that crashed before its commit). A
+        # swept bloom raced by a landing merge would only degrade that
+        # file to an always-candidate at probe time (memmap fallback in
+        # cdc/merge._bloom_prune), but `validate` would report it missing
+        # forever (build_blooms only builds for entries WITHOUT a
+        # bloom_path) — the same grace window keeps fresh sidecars safe.
         bdir = os.path.join(self.root, BLOOMS)
         if os.path.isdir(bdir):
             for fn in os.listdir(bdir):
                 rel = os.path.join(BLOOMS, fn)
                 if rel not in live_blooms:
                     full = os.path.join(bdir, fn)
-                    removed_bytes += os.path.getsize(full)
-                    if not dry_run:
-                        os.remove(full)
+                    if _past_grace(full):
+                        removed_bytes += os.path.getsize(full)
+                        if not dry_run:
+                            os.remove(full)
         # orphan DATA-file sweep: attempt directories referenced by NO
         # manifest at all — a crash between `write_snapshot_files` and
         # `commit_snapshot`, or an optimistic-concurrency loser, leaves a

@@ -389,3 +389,47 @@ def test_null_spec_pruning_spans_rename(spark, tmp_path):
     # range spec still drops the all-null cohort through the prior name
     rng = t.read(spark, where={"event_ts": (5, 5)})
     assert [r["path"] for r in rng.collect()] == ["b5"]
+
+
+def test_snapshot_diff_changes_across_rename(spark, tmp_path):
+    """r5 review fix: on a changelog-LESS table, a `read_changes` /
+    `classified_changes` window spanning a rename must coalesce the
+    from-side through the recorded prior names — aligning by current
+    name alone nulled the renamed column's from-side payload, splitting
+    the hash identity of every untouched row in the touched buckets
+    (spurious updates) and nulling the column in delete/update
+    preimages."""
+    t = SnapshotTable.create(str(tmp_path / "d"), SCHEMA, ["repo", "path"], 2)
+    b = batch_df(spark, [(i + 1, "add", "r", f"p{i}", i, f"v{i}") for i in range(8)])
+    merge_into(spark, t, b, offsets(1), scrub=False)
+    pre = t.snapshot_id
+    t.rename_column("content", "body")
+    renamed_batch = T.StructType(
+        BATCH_SCHEMA.fields[:2]
+        + [f for f in BATCH_SCHEMA.fields[2:] if f.name != "content"]
+        + [T.StructField("body", T.StringType())]
+    )
+    # one real update + one delete inside the window, same bucket set
+    merge_into(
+        spark, t,
+        spark.createDataFrame([(100, "update", "r", "p2", 50, "v2b")], renamed_batch),
+        offsets(2), scrub=False,
+    )
+    delete_where(spark, t, condition="path = 'p5'")
+
+    # diff path (no changelog on this table): ONLY the really-changed
+    # keys appear — untouched keys must not become spurious updates
+    ch = t.read_changes(spark, pre).orderBy("path")
+    rows = {r["path"]: r for r in ch.collect()}
+    assert set(rows) == {"p2", "p5"}, sorted(rows)
+    assert rows["p2"]["_change_type"] == "upsert" and rows["p2"]["body"] == "v2b"
+    # the delete PREIMAGE carries the pre-rename payload under the new name
+    assert rows["p5"]["_change_type"] == "delete" and rows["p5"]["body"] == "v5"
+
+    # classified path: the update preimage also carries the true value
+    cl = t.classified_changes(spark, pre)
+    by = {(r["path"], r["_change_type"]): r["body"] for r in cl.collect()}
+    assert by[("p2", "update")] == "v2b"
+    assert by[("p2", "update_preimage")] == "v2"
+    assert by[("p5", "delete")] == "v5"
+    assert ("p0", "update") not in by

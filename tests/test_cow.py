@@ -1074,3 +1074,63 @@ def test_lww_tiebreak_handles_nested_map_payload(spark):
     )
     got = _lww_latest_versions(df).collect()
     assert len(got) == 1 and got[0]["content"] == "new"
+
+
+def test_metadata_only_resolve_anchored_against_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    """r5 review fix: the metadata-only resolve must commit with
+    `expected_parent` anchored at the snapshot its exact duplicate count
+    described. A cross-process writer landing another append on the same
+    bucket between the count and the commit would otherwise get its
+    unresolved mark cleared for versions the count never saw — reads
+    would then skip LWW resolution and serve superseded rows."""
+    from image_deid_etl_spark.cdc.engine import run_maintenance
+    from image_deid_etl_spark.lake.table import SnapshotTable as ST
+
+    from tests.test_delete import SCHEMA, batch_df, offsets
+
+    t = ST.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 1,
+        properties={"merge_mode": "mor"},
+    )
+    nxt = [1]
+
+    def add(rows):
+        merge_into(spark, t, batch_df(spark, rows), offsets(nxt[0]), scrub=False)
+        nxt[0] += 1
+
+    # resolved base of 50 keys, then 3 insert-only appends -> 200 unique
+    # rows >= 4 x vbase: the depth trigger fires, exact count finds no
+    # duplicates -> metadata-only resolve would clear the mark
+    add([(i + 1, "add", "r", f"p{i:03d}", i, f"v{i}") for i in range(50)])
+    t.compact(spark, min_files_per_bucket=1)  # vbase=50, resolved
+    for j in range(3):
+        lo = 50 + j * 50
+        add([(1000 + lo + i, "add", "r", f"p{lo + i:03d}", i, "x")
+             for i in range(50)])
+    assert 0 in t.unresolved_buckets()
+
+    real = ST.read_raw
+    raced = {"fired": False}
+
+    def interloper(self, *a, **kw):
+        if not raced["fired"] and kw.get("buckets") == [0] and "snapshot_id" in kw:
+            raced["fired"] = True  # before the merge: it calls read_raw too
+            add([(9001, "add", "r", "p000", 99, "SUPERSEDES")])
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(ST, "read_raw", interloper)
+    out = run_maintenance(spark, t, {0}, auto_compact_files=999)
+    monkeypatch.setattr(ST, "read_raw", real)
+    assert raced["fired"] and out is None
+    # the stale no-duplicates verdict must NOT have cleared the mark
+    assert 0 in t.unresolved_buckets()
+    # and the racing update resolves on read (LWW window still applied)
+    got = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert got["p000"] == "SUPERSEDES" and len(got) == 200
+    # a fresh pass (no race) sees the duplicate and resolve-compacts
+    assert run_maintenance(spark, t, {0}, auto_compact_files=999) == 0
+    assert 0 not in t.unresolved_buckets()
+    got = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    assert got["p000"] == "SUPERSEDES" and len(got) == 200

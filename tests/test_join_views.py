@@ -336,3 +336,56 @@ def test_view_name_leading_underscore_reserved(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="must match"):
         AggView.create(spark, fact, "_sneaky", ["repo"], [])
+
+
+def test_fact_side_alter_guard_covers_frozen_fact_cols(spark, tmp_path):
+    """r5 review fix: refresh/verify select EVERY frozen fact column by
+    name (`meta["fact_cols"]`), not just the agg/join/where set — so
+    renaming or dropping ANY fact payload column must refuse while the
+    view exists, even one the aggregation never touches."""
+    fact_schema = T.StructType(
+        FACT_SCHEMA.fields + [T.StructField("note", T.StringType(), True)]
+    )
+    fact = SnapshotTable.create(
+        str(tmp_path / "factx"), fact_schema, ["repo", "path"], 2
+    )
+    bschema = T.StructType(
+        [T.StructField("seq", T.LongType(), False),
+         T.StructField("op", T.StringType(), False)] + fact_schema.fields
+    )
+    merge_into(
+        spark, fact,
+        spark.createDataFrame(
+            [(i + 1, "add", "r", f"p{i}", i, f"k{i % 3}", "n") for i in range(9)],
+            bschema,
+        ),
+        offsets(1), scrub=False,
+    )
+    dim = SnapshotTable.create(
+        str(tmp_path / "dimx"), DIM_SCHEMA, ["fk", "slot"], 2
+    )
+    merge_into(
+        spark, dim,
+        dim_batch(spark, [(1, "add", "k0", 0, "A", 1), (2, "add", "k1", 0, "B", 2),
+                          (3, "add", "k2", 0, "B", 3)]),
+        offsets(1), scrub=False,
+    )
+    v = JoinAggView.create(spark, fact, dim, "jvx", ["fk"], ["region"], ["ts"])
+    # `note` is in no group/sum/on/where set, but IS a frozen fact col
+    with pytest.raises(ValueError, match="jvx"):
+        fact.alter_columns(rename={"note": "memo"})
+    with pytest.raises(ValueError, match="jvx"):
+        fact.alter_columns(drop=["note"])
+    # adding a column is fine (frozen fact_cols are unaffected) and the
+    # view keeps refreshing
+    fact.alter_columns(add=[("extra", "long")])
+    merge_into(
+        spark, fact,
+        spark.createDataFrame(
+            [(100, "update", "r", "p0", 77, "k0", "n")], bschema
+        ),
+        offsets(2), scrub=False,
+    )
+    v.refresh(spark)
+    got = {r["region"]: r["sum_ts"] for r in v.read(spark).collect()}
+    assert got["A"] == 0 + 3 + 6 + 77

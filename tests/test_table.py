@@ -202,8 +202,15 @@ def test_expire_snapshots_sweeps_unreferenced_shards(tmp_path):
         )
     mdir = os.path.join(t.root, "_manifests")
     before = {f for f in os.listdir(mdir) if f.startswith("shard-")}
+    # default grace: freshly-written unreferenced shards are SKIPPED —
+    # they may belong to an in-flight commit racing this expire (sweeping
+    # one would leave the landed manifest naming a deleted shard)
     res = t.expire_snapshots(keep_last=2)
     assert res["expired_snapshots"]
+    graced = {f for f in os.listdir(mdir) if f.startswith("shard-")}
+    assert graced == before
+    # past the grace window the sweep reclaims them
+    res = t.expire_snapshots(keep_last=2, orphan_grace_s=0.0)
     after = {f for f in os.listdir(mdir) if f.startswith("shard-")}
     live = set()
     for s in t.snapshots():
