@@ -382,6 +382,39 @@ def cmd_lookup(args) -> None:
     )
 
 
+def cmd_count(args) -> None:
+    """Exact COUNT with aggregate pushdown: manifest-provable files
+    contribute their stored row counts with zero I/O; only the residue
+    (tombstoned / stats-unprovable files, unresolved buckets) scans."""
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    where = None
+    if args.where:
+        try:
+            where = _parse_where(args.where, table.schema(args.snapshot).fields)
+        except KeyError as e:
+            sys.exit(f"error: --where column {e} not in the table schema")
+        except ValueError as e:
+            sys.exit(f"error: bad --where bound: {e}")
+    spark = build_session(app_name="count")
+    print(
+        json.dumps(
+            table.count_rows(
+                spark,
+                snapshot_id=args.snapshot,
+                where=where,
+                tag=args.tag,
+                detail=True,
+            )
+        )
+    )
+
+
 def cmd_expire(args) -> None:
     from .cdc.engine import open_table
 
@@ -1056,6 +1089,22 @@ def main(argv: list[str] | None = None) -> None:
     )
     lk.add_argument("--snapshot", type=int, default=None)
     lk.set_defaults(fn=cmd_lookup)
+
+    cn = sub.add_parser(
+        "count",
+        help="exact COUNT with aggregate pushdown: manifest row counts "
+        "where stats prove the contribution, exact scan of only the "
+        "residue; prints the rows + metadata/scan breakdown",
+    )
+    cn.add_argument("--table", required=True)
+    cn.add_argument(
+        "--where", nargs=3, metavar=("COL", "LO", "HI"), action="append",
+        help="inclusive bound triplet ('-' = open side; LO of isnull/"
+        "notnull selects the null form) — repeatable, ANDed",
+    )
+    cn.add_argument("--snapshot", type=int, default=None)
+    cn.add_argument("--tag", default=None)
+    cn.set_defaults(fn=cmd_count)
 
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
     x.add_argument("--table", required=True)

@@ -1942,6 +1942,130 @@ class SnapshotTable:
             raw = raw.filter(_where_cond(where))
         return raw.select(*cols)
 
+    def _count_plan(
+        self, snapshot_id: int | None, where: dict | None
+    ) -> tuple[int, list[str], set[int]]:
+        """Split a COUNT into its three contributions (`count_rows`'
+        planning half, exposed for tests to pin the metadata/scan
+        boundary without reading data):
+
+          * ``meta_rows`` — rows summed straight from manifest entries:
+            resolved-bucket files that provably hold NO tombstones
+            (``has_deletes`` recorded False — None means pre-upgrade /
+            unknown, which scans) and, under a ``where``, whose stats
+            prove EVERY row matches (`_stats_full_match_pred`);
+          * ``residue`` — resolved-bucket file paths (table-relative)
+            that must scan exactly: possible tombstones, or a predicate
+            the stats can neither prove full nor prove empty. Files the
+            PRUNING dual proves empty are dropped entirely — they
+            contribute neither metadata rows nor scan I/O;
+          * ``unres`` — unresolved bucket ids: multiple versions per key
+            may coexist there, so file row counts mean nothing until the
+            LWW window resolves them (same discipline as `read`, which
+            also refuses value-based file pruning on these buckets).
+
+        ``where`` must already be `_norm_where`-normalized."""
+        priors = _priors_map(self.schema(snapshot_id).fields) if where else None
+        prune = _stats_entry_pred(where, priors) if where else None
+        full = _stats_full_match_pred(where, priors) if where else None
+        unres = self.unresolved_buckets(snapshot_id)
+        meta_rows = 0
+        residue: list[str] = []
+        for f in self.manifest(snapshot_id)["files"]:
+            if f["bucket"] in unres:
+                continue  # counted by the bucket-resolve scan
+            if prune is not None and not prune(f):
+                continue  # provably empty for the predicate
+            if (
+                f.get("has_deletes") is False
+                and f.get("rows") is not None
+                and (full is None or full(f))
+            ):
+                meta_rows += f["rows"]
+            else:
+                residue.append(f["path"])
+        return meta_rows, residue, unres
+
+    def count_rows(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_timestamp: float | None = None,
+        where: dict | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
+        detail: bool = False,
+    ) -> int | dict:
+        """Exact COUNT of live rows — always equal to
+        ``read(...).count()`` — answered from manifest metadata wherever
+        stats PROVE the contribution (Iceberg-style aggregate pushdown;
+        the reference's progress counts — "%d new studies found",
+        `__main__.py:133` — answered as a metadata read instead of a
+        table scan).
+
+        Every resolved-bucket file whose manifest entry records zero
+        tombstones — and, under a ``where``, whose min/max ranges, null
+        counts or value dictionary prove every row matches
+        (`_stats_full_match_pred`) — contributes its stored row count
+        with no I/O at all. On a 100 TB table a full COUNT is then one
+        manifest walk (O(files) driver work, zero executor work), and a
+        predicate COUNT scans only the files straddling the predicate
+        boundary. The residue — tombstone-bearing files, stats-unprovable
+        files, unresolved (MoR/adaptive) buckets — is counted by the
+        exact read path, so the split is invisible in the result.
+
+        Snapshot selectors (`snapshot_id` / `as_of_timestamp` / `tag` /
+        `branch`) match `read`'s and are mutually exclusive.
+        ``detail=True`` returns the breakdown dict instead of the bare
+        count: ``rows`` / ``from_metadata`` / ``files_scanned`` /
+        ``unresolved_buckets`` — the `count` CLI's output, and how an
+        operator sees whether a hot count is metadata-served."""
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp, tag, branch)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / as_of_timestamp / tag / branch"
+            )
+        if branch is not None:
+            return self.branch_handle(branch).count_rows(
+                spark, where=where, detail=detail
+            )
+        if tag is not None:
+            try:
+                snapshot_id = self.refs()[tag]
+            except KeyError:
+                raise ValueError(f"unknown tag {tag!r}") from None
+            if isinstance(snapshot_id, dict):
+                raise ValueError(
+                    f"ref {tag!r} is a branch — count it via branch=..."
+                )
+        elif as_of_timestamp is not None:
+            snapshot_id = self.snapshot_as_of(as_of_timestamp)
+        where_n = _norm_where(where) if where else None
+        meta_rows, residue, unres = self._count_plan(snapshot_id, where_n)
+        total = meta_rows
+        live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        cond = _where_cond(where_n) if where_n else F.lit(True)
+        if residue:
+            df = self.scan_files(
+                spark,
+                [os.path.join(self.root, p) for p in residue],
+                snapshot_id,
+            )
+            total += df.filter(live & cond).count()
+        if unres:
+            resolved = _lww_latest_versions(
+                self.read_raw(spark, snapshot_id, buckets=sorted(unres)),
+                key_cols=self.key_cols(),
+            )
+            total += resolved.filter(live & cond).count()
+        if detail:
+            return {
+                "rows": total,
+                "from_metadata": meta_rows,
+                "files_scanned": len(residue),
+                "unresolved_buckets": len(unres),
+            }
+        return total
+
     def _lookup_candidates(
         self, spark: SparkSession, keys: list, snapshot_id: int | None = None
     ):
@@ -4151,6 +4275,108 @@ def _stats_entry_pred(where: dict, priors: dict[str, list[str]] | None = None):
                     return False
             except TypeError:
                 continue
+        return True
+
+    return pred
+
+
+def _stats_full_match_pred(where: dict, priors: dict[str, list[str]] | None = None):
+    """Dual of `_stats_entry_pred`: True only when a file's recorded
+    stats PROVE the predicate holds for EVERY row — the admission test
+    for `count_rows`' manifest-only counting. False means "not
+    provable", never "provably empty": callers route such files to the
+    exact scan, so a wrong False costs I/O, not correctness (the exact
+    dual of the pruner, where a wrong True does).
+
+    Proof obligations per normalized (`_norm_where`) spec form:
+
+      * range ``(lo, hi)`` — no nulls recorded (``null_counts`` == 0),
+        and either the exact value DICTIONARY lies fully inside the
+        bounds, or the min/max range does. Parquet stat truncation is
+        directionally safe here too: stored min <= true min and stored
+        max >= true max, so stored-min >= lo ⇒ true-min >= lo and
+        stored-max <= hi ⇒ true-max <= hi;
+      * ``{"in": [...]}`` — no nulls, and the exact value dictionary is
+        a SUBSET of the probe list (or min == max == v ∈ list: a
+        single-valued file needs no dictionary);
+      * ``"is null"`` — all rows null (``null_counts`` == rows);
+      * ``"not null"`` — zero nulls recorded.
+
+    A bound `_stat_norm` cannot canonicalize makes the column
+    unprovable — unlike the pruning dual, where treating it as an open
+    bound is the conservative reading, here it would FABRICATE a
+    proof."""
+    priors = priors or {}
+
+    def lookup(st: dict, c: str):
+        v = st.get(c)
+        if v is None:
+            for old in priors.get(c, ()):
+                v = st.get(old)
+                if v is not None:
+                    break
+        return v
+
+    def pred(f: dict) -> bool:
+        st = f.get("col_stats") or {}
+        nc = f.get("null_counts") or {}
+        dc = f.get("dicts") or {}
+        rows = f.get("rows")
+        for c, spec in where.items():
+            nulls = lookup(nc, c)
+            if spec == "is null":
+                if rows is None or nulls is None or nulls != rows:
+                    return False
+                continue
+            if spec == "not null":
+                if nulls != 0:
+                    return False
+                continue
+            # range / IN: every row must compare TRUE, so any null —
+            # or an unrecorded null count — defeats the proof
+            if nulls != 0:
+                return False
+            dv = lookup(dc, c)
+            rng = lookup(st, c)
+            try:
+                if isinstance(spec, dict):
+                    vals = [_stat_norm(v) for v in spec["in"]]
+                    if any(v is None for v in vals):
+                        return False
+                    vs = set(vals)
+                    if dv is not None and set(dv) <= vs:
+                        continue
+                    if (
+                        rng
+                        and rng[0] is not None
+                        and rng[0] == rng[1]
+                        and rng[0] in vs
+                    ):
+                        continue
+                    return False
+                lo, hi = spec
+                nlo = _stat_norm(lo) if lo is not None else None
+                nhi = _stat_norm(hi) if hi is not None else None
+                if (lo is not None and nlo is None) or (
+                    hi is not None and nhi is None
+                ):
+                    return False
+                if dv is not None and all(
+                    (nlo is None or v >= nlo) and (nhi is None or v <= nhi)
+                    for v in dv
+                ):
+                    continue
+                if (
+                    rng
+                    and rng[0] is not None
+                    and rng[1] is not None
+                    and (nlo is None or rng[0] >= nlo)
+                    and (nhi is None or rng[1] <= nhi)
+                ):
+                    continue
+            except TypeError:
+                return False  # incomparable types — no proof possible
+            return False
         return True
 
     return pred

@@ -1,0 +1,290 @@
+"""`count_rows`: exact COUNT with Iceberg-style aggregate pushdown.
+
+Resolved-bucket files the manifest PROVES tombstone-free — and, under a
+``where``, whose min/max ranges, null counts or value dictionary prove
+every row matches (`_stats_full_match_pred`) — contribute their stored
+row counts with zero I/O; everything else (tombstone-bearing files,
+stats-unprovable files, unresolved MoR/adaptive buckets) is counted by
+the exact read path. The invariant under test everywhere:
+``count_rows(...) == read(...).count()``, with `_count_plan` pinning
+WHICH side served each file.
+
+Reference analog: the progress counts of `__main__.py:133` ("%d new
+studies found") answered as a metadata read instead of a table scan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, write_feed
+from image_deid_etl_spark.cdc.merge import delete_where
+from image_deid_etl_spark.lake.table import (
+    SnapshotTable,
+    _norm_where,
+    bucket_expr,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _commit(t, spark, rows, seq):
+    df = spark.createDataFrame(rows, SCHEMA).select(
+        "*",
+        F.lit(seq).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+    )
+    e = t.write_snapshot_files(df, seq)
+    t.commit_snapshot(
+        e,
+        None,
+        {"committed_feed_files": seq, "max_seq_seen": seq, "batch_id": seq - 1},
+    )
+
+
+def _make_table(spark, tmp_path, properties=None):
+    """Three ts-cohorts in separate commits: all-null ts, no-null ts
+    (0..99), mixed (100..149 + nulls). `lang` is dictionary-tracked."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        SCHEMA,
+        ["repo", "path"],
+        2,
+        properties=properties
+        if properties is not None
+        else {"stats_cols": ["ts", "lang"], "dict_cols": ["lang"]},
+    )
+    _commit(t, spark, [("r", f"a{i}", None, "ada", "x") for i in range(100)], 1)
+    _commit(t, spark, [("r", f"b{i}", i, "c", "y") for i in range(100)], 2)
+    _commit(
+        t,
+        spark,
+        [("r", f"c{i}", 100 + i, "rust", "z") for i in range(50)]
+        + [("r", f"d{i}", None, "zig", "z") for i in range(50)],
+        3,
+    )
+    return t
+
+
+def _check(spark, t, where=None, **sel):
+    """The core invariant: count_rows == read().count(). Returns the
+    detail breakdown for plan pins."""
+    d = t.count_rows(spark, where=where, detail=True, **sel)
+    assert d["rows"] == t.read(spark, where=where, **sel).count()
+    assert d["rows"] == t.count_rows(spark, where=where, **sel)
+    return d
+
+
+def test_full_count_is_metadata_only(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    d = _check(spark, t)
+    assert d["rows"] == 300
+    assert d["from_metadata"] == 300
+    assert d["files_scanned"] == 0
+    assert d["unresolved_buckets"] == 0
+
+
+def test_range_where_full_match_vs_straddle(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    # (0, 99) exactly covers the no-null cohort: its files prove full
+    # match; the all-null cohort prunes (NULL never compares true); the
+    # mixed cohort's range [100,149] misses entirely → also pruned
+    d = _check(spark, t, where={"ts": (0, 99)})
+    assert d == {
+        "rows": 100,
+        "from_metadata": 100,
+        "files_scanned": 0,
+        "unresolved_buckets": 0,
+    }
+    # (0, 120) straddles the mixed cohort: those files scan exactly
+    d = _check(spark, t, where={"ts": (0, 120)})
+    assert d["rows"] == 121
+    assert d["from_metadata"] == 100
+    assert d["files_scanned"] > 0
+
+
+def test_null_spec_counts(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    # all-null cohort: nulls == rows proves IS NULL fully; mixed cohort
+    # scans; no-null cohort prunes (null count 0)
+    d = _check(spark, t, where={"ts": "is null"})
+    assert d["rows"] == 150
+    assert d["from_metadata"] == 100
+    d = _check(spark, t, where={"ts": "not null"})
+    assert d["rows"] == 150
+    assert d["from_metadata"] == 100  # the no-null cohort, proven by 0
+
+
+def test_in_spec_dictionary_subset_proof(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    # {'ada','c'} ⊇ each of the first two cohorts' dicts → both counted
+    # from metadata; the mixed cohort holds {'rust','zig'} → range+dict
+    # prune it entirely
+    d = _check(spark, t, where={"lang": {"in": ["ada", "c"]}})
+    assert d == {
+        "rows": 200,
+        "from_metadata": 200,
+        "files_scanned": 0,
+        "unresolved_buckets": 0,
+    }
+    # a LIST hitting only half a file's dict is not a subset proof: the
+    # mixed cohort's {'rust','zig'} ⊄ {'rust'} → exact scan, right count
+    d = _check(spark, t, where={"lang": {"in": ["rust"]}})
+    assert d["rows"] == 50
+    assert d["from_metadata"] == 0
+    assert d["files_scanned"] > 0
+
+
+def test_timestamp_bounds_normalize(spark, tmp_path):
+    """Datetime bounds go through the same _norm_where/_stat_norm path
+    as read's pruning — a tz-naive bound must not defeat the proof."""
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("at", T.TimestampType(), True),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        str(tmp_path / "ts"),
+        schema,
+        ["repo", "path"],
+        2,
+        properties={"stats_cols": ["at"]},
+    )
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("r", f"p{i}", base + dt.timedelta(hours=i), "x") for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, schema).select(
+        "*",
+        F.lit(1).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(2, ["repo", "path"]).alias("_bucket"),
+    )
+    e = t.write_snapshot_files(df, 1)
+    t.commit_snapshot(
+        e, None, {"committed_feed_files": 1, "max_seq_seen": 1, "batch_id": 0}
+    )
+    lo = dt.datetime(2026, 1, 1)  # naive == UTC by engine convention
+    hi = dt.datetime(2026, 1, 3)
+    d = _check(spark, t, where={"at": (lo, hi)})
+    assert d["rows"] == 48
+    assert d["from_metadata"] == 48
+    assert d["files_scanned"] == 0
+
+
+def test_tombstones_route_to_exact_scan(spark, tmp_path):
+    """delete_where leaves tombstone-bearing files; their buckets (or
+    files) must come from the exact scan — and the count must agree
+    with read() before and after compaction folds them."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=2000, n_keys=300, n_files=4))
+    run_ingest(spark, root, feed, auto_compact_files=None)
+    t = open_table(root)
+    delete_where(spark, t, condition="length(path) % 7 = 0")
+    t = open_table(root)
+    d = _check(spark, t)
+    assert d["files_scanned"] > 0 or d["unresolved_buckets"] > 0
+    # compaction preserves tombstone winners → those files still scan,
+    # but the count stays exact
+    t.compact(spark, min_files_per_bucket=1)
+    t = open_table(root)
+    _check(spark, t)
+    # GC'ing tombstones below the horizon makes the table provably
+    # tombstone-free again → metadata-only
+    t.compact(spark, min_files_per_bucket=1, drop_tombstones_below=1 << 60)
+    t = open_table(root)
+    d = _check(spark, t)
+    assert d["files_scanned"] == 0
+    assert d["from_metadata"] == d["rows"]
+
+
+def test_unresolved_mor_buckets_resolve_before_counting(spark, tmp_path):
+    """A MoR table holds multiple versions per key: file row counts mean
+    nothing there — count_rows must LWW-resolve those buckets, exactly
+    like read."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=3000, n_keys=200, dup_frac=0.05, n_files=6))
+    run_ingest(
+        spark, root, feed, max_files_per_batch=2, merge_mode="mor",
+        auto_compact_files=None,
+    )
+    t = open_table(root)
+    assert t.read_raw(spark).count() > t.read(spark).count()  # real versions
+    d = _check(spark, t)
+    assert d["unresolved_buckets"] > 0
+    # resolve-compaction returns the table to metadata-served counts
+    t.compact(spark, min_files_per_bucket=1)
+    t = open_table(root)
+    d = _check(spark, t)
+    assert d["unresolved_buckets"] == 0
+
+
+def test_rename_spanning_count_uses_prior_name_stats(spark, tmp_path):
+    """After a rename, pre-rename files' stats live under the old
+    physical name — the full-match proof must find them via priors, and
+    the count must stay exact either way."""
+    t = _make_table(spark, tmp_path)
+    t.alter_columns(rename={"ts": "event_ts"})
+    t = SnapshotTable(t.root)
+    d = _check(spark, t, where={"event_ts": (0, 99)})
+    assert d["rows"] == 100
+    assert d["from_metadata"] == 100
+    assert d["files_scanned"] == 0
+
+
+def test_snapshot_pins_and_selector_guard(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    assert t.count_rows(spark, snapshot_id=1) == t.read(
+        spark, snapshot_id=1
+    ).count() == 100
+    with pytest.raises(ValueError):
+        t.count_rows(spark, snapshot_id=1, tag="x")
+
+
+def test_unprovable_bound_scans_instead_of_fabricating(spark, tmp_path):
+    """A bound _stat_norm cannot canonicalize (bool) must fall to the
+    exact scan — the pruning dual treats it as open (conservative), but
+    a full-match proof built on an open reading would overcount."""
+    from image_deid_etl_spark.lake.table import _stats_full_match_pred
+
+    pred = _stats_full_match_pred(_norm_where({"flag": (True, True)}))
+    f = {
+        "rows": 10,
+        "col_stats": {"flag": (0, 1)},
+        "null_counts": {"flag": 0},
+    }
+    assert pred(f) is False  # not provable — never a fabricated proof
+
+
+def test_random_specs_always_equal_read(spark, tmp_path):
+    """Property-style sweep: every spec mix must agree with read()."""
+    t = _make_table(spark, tmp_path)
+    specs = [
+        {"ts": (None, 50)},
+        {"ts": (120, None)},
+        {"ts": (0, 149), "lang": {"in": ["c", "zig"]}},
+        {"lang": ("a", "d")},
+        {"ts": "is null", "lang": {"in": ["ada", "zig"]}},
+        {"ts": "not null", "lang": "not null"},
+        {"ts": (60, 110)},
+        {"lang": {"in": []}},
+    ]
+    for where in specs:
+        _check(spark, t, where=where)
