@@ -716,6 +716,11 @@ def cmd_alter(args) -> None:
             props[key] = val == "true"
         elif key in ("stats_cols", "dict_cols", "cluster_by"):
             props[key] = [c for c in val.split(",") if c]
+        elif key == "dict_max_vals":
+            try:
+                props[key] = int(val)
+            except ValueError:
+                sys.exit(f"error: dict_max_vals must be an int, got {val!r}")
         else:
             props[key] = val
     spark = None

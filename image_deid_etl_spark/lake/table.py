@@ -710,6 +710,21 @@ class SnapshotTable:
             self.manifest(with_files=False)["properties"].get("dict_cols", [])
         )
 
+    def dict_max_vals(self) -> int:
+        """Distinct-value cap for ``dict_cols`` recording (table property
+        ``dict_max_vals``, default ``_DICT_MAX_VALS``): a newly written
+        file whose opted-in column exceeds the cap records no dictionary
+        (and prunes nothing). The cap is the write-cost dial — raising it
+        buys equality/IN pruning on wider-cardinality columns at a
+        proportionally longer capped column read per new file; changing
+        it affects only FUTURE files (recorded dicts are per-file facts
+        and stay exact at any cap)."""
+        return int(
+            self.manifest(with_files=False)["properties"].get(
+                "dict_max_vals", _DICT_MAX_VALS
+            )
+        )
+
     def cluster_by(self) -> list[str]:
         """Maintenance-rewrite sort columns (table property ``cluster_by``).
 
@@ -976,7 +991,7 @@ class SnapshotTable:
     #: spec evolution); anything else is a typo we refuse loudly.
     MUTABLE_PROPERTIES = (
         "merge_mode", "changelog", "stats_cols", "dict_cols",
-        "cluster_by", "cluster_method",
+        "dict_max_vals", "cluster_by", "cluster_method",
     )
 
     def set_properties(
@@ -1024,6 +1039,12 @@ class SnapshotTable:
                 missing = set(v) - schema_cols
                 if missing:
                     raise ValueError(f"{k} columns not in schema: {sorted(missing)}")
+        if "dict_max_vals" in props:
+            v = props["dict_max_vals"]
+            if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                raise ValueError(
+                    f"dict_max_vals must be a positive int, got {v!r}"
+                )
         if "cluster_method" in props:
             if props["cluster_method"] not in ("linear", "zorder"):
                 raise ValueError(
@@ -2833,6 +2854,7 @@ class SnapshotTable:
 
         stats_cols = self.stats_cols()
         dict_cols = self.dict_cols()
+        dict_cap = self.dict_max_vals()
 
         def entry_of(t: tuple[str, int]) -> dict:
             full, bucket = t
@@ -2856,7 +2878,7 @@ class SnapshotTable:
                     null_counts[c] = nc
             dicts = {}
             for c in dict_cols:
-                vals = _col_dict(pf, c)
+                vals = _col_dict(pf, c, dict_cap)
                 if vals is not None:
                     dicts[c] = vals
             return {

@@ -311,3 +311,50 @@ def test_update_delete_prune_by_dict(spark, tmp_path):
     res2 = delete_where(spark, t, condition=None, where={"lang": ("rust", "rust")})
     assert res2["deleted"] == 50
     assert t.read(spark).count() == 150
+
+
+def test_dict_max_vals_property_is_the_write_cost_dial(spark, tmp_path):
+    """`dict_max_vals` (mutable property, r5 s12) tunes the recording
+    cap: a tiny cap makes a modest-NDV column record nothing; raising it
+    via set_properties makes FUTURE files record (existing files keep
+    their per-file facts), and pruning follows the recorded dicts."""
+    t = SnapshotTable.create(
+        str(tmp_path / "cap"),
+        SCHEMA,
+        ["repo", "path"],
+        2,
+        properties={"dict_cols": ["lang"], "dict_max_vals": 2},
+    )
+    assert t.dict_max_vals() == 2
+    # 4 distinct langs per file > cap 2 → nothing recorded
+    _commit(
+        t,
+        spark,
+        [("r", f"a{i}", f"l{i % 4}", "x") for i in range(80)],
+        1,
+    )
+    assert all("lang" not in f.get("dicts", {}) for f in t.manifest()["files"])
+    # raise the cap: the NEXT commit's files record their 4-value dicts
+    t.set_properties({"dict_max_vals": 8})
+    assert t.dict_max_vals() == 8
+    _commit(
+        t,
+        spark,
+        [("r", f"b{i}", f"m{i % 4}", "y") for i in range(80)],
+        2,
+    )
+    new_files = [
+        f for f in t.manifest()["files"]
+        if any(v.startswith("m") for v in f.get("dicts", {}).get("lang", []))
+    ]
+    assert new_files, "post-raise files must record dicts"
+    # membership pruning works off the new dicts: 'q0' hits no file's
+    # dict, but only the RECORDED files can prove it — count stays exact
+    got = t.read(spark, where={"lang": ("m0", "m0")})
+    assert got.count() == 20
+    # validation: bad values refused loudly
+    import pytest as _pytest
+
+    for bad in (0, -3, True, "many"):
+        with _pytest.raises(ValueError):
+            t.set_properties({"dict_max_vals": bad})
