@@ -160,6 +160,13 @@ def main() -> None:
     raw_runs["cdc_changes_fold"] = chg["fold"]
     raw_runs["cdc_changes_diff"] = chg["diff"]
     total += fold_med + diff_med
+    cmeta_med = round(statistics.median(chg["count_meta"]), 3)
+    cscan_med = round(statistics.median(chg["count_scan"]), 3)
+    per_query["count_pushdown"] = cmeta_med
+    per_query["count_scan"] = cscan_med
+    raw_runs["count_pushdown"] = chg["count_meta"]
+    raw_runs["count_scan"] = chg["count_scan"]
+    total += cmeta_med + cscan_med
 
     out = {
         "metric": "headline_suite_plus_cdc_replay",
@@ -175,6 +182,8 @@ def main() -> None:
         "cdc_uniform_default_vs_mor": round(cow_med / mor_med, 3) if mor_med else None,
         "cdc_changes_window_rows": chg["window_rows"],
         "cdc_changes_fold_vs_diff": round(fold_med / diff_med, 3) if diff_med else None,
+        "count_meta_vs_scan": round(cmeta_med / cscan_med, 3) if cscan_med else None,
+        "count_detail": chg["count_detail"],
         "host_quiet_ratio_at_replay": quiet_ratio,
         "cpus": cpus,
     }
@@ -298,6 +307,23 @@ def _bench_changes_fold(spark, runs: int) -> dict:
             assert n_fold == n_diff, (n_fold, n_diff)
             window_rows = n_fold
         out["window_rows"] = window_rows
+        # --- aggregate-pushdown COUNT on the same big table (r5, s12) --
+        # compact first (resolves version stacks) so the manifest can
+        # PROVE every file's contribution; the scan control reads the
+        # whole table. Ratio is the point: metadata count is O(files)
+        # driver work and should be orders of magnitude cheaper.
+        t.compact(spark, min_files_per_bucket=1)
+        t = open_table(root)
+        out["count_meta"], out["count_scan"] = [], []
+        for _ in range(runs):
+            t0 = time.time()
+            n_meta = t.count_rows(spark)
+            out["count_meta"].append(round(time.time() - t0, 3))
+            t0 = time.time()
+            n_scan = t.read(spark).count()
+            out["count_scan"].append(round(time.time() - t0, 3))
+            assert n_meta == n_scan, (n_meta, n_scan)
+        out["count_detail"] = t.count_rows(spark, detail=True)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
