@@ -934,6 +934,48 @@ def cmd_export(args) -> None:
     print(json.dumps({"rows_exported": n, "out": args.out}))
 
 
+def cmd_import(args) -> None:
+    """Bulk-import existing parquet as a NEW table's first snapshot
+    (CREATE TABLE AS SELECT) — one bucket-routing pass through the
+    normal write path, so the result is indistinguishable from a
+    MERGE-built table."""
+    from .lake.table import SnapshotTable
+    from .session import build_session
+
+    spark = build_session(app_name="import")
+    df = spark.read.parquet(args.src)
+    props = {}
+    if args.stats_cols:
+        props["stats_cols"] = [c for c in args.stats_cols.split(",") if c]
+    if args.dict_cols:
+        props["dict_cols"] = [c for c in args.dict_cols.split(",") if c]
+    try:
+        t = SnapshotTable.import_dataframe(
+            spark,
+            args.table,
+            df,
+            key_cols=[c for c in args.key.split(",") if c],
+            n_buckets=args.n_buckets,
+            properties=props or None,
+            seq=args.seq,
+            on_duplicate=args.on_duplicate,
+            scrub=not args.no_scrub,
+        )
+    except ValueError as e:
+        sys.exit(f"error: {e}")
+    m = t.manifest()
+    print(
+        json.dumps(
+            {
+                "snapshot_id": m["snapshot_id"],
+                "rows": sum(f.get("rows", 0) for f in m["files"]),
+                "files": len(m["files"]),
+                "n_buckets": m["partition_spec"]["n_buckets"],
+            }
+        )
+    )
+
+
 def cmd_bootstrap(args) -> None:
     from .cdc.engine import bootstrap_offsets
 
@@ -1341,6 +1383,35 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--table", required=True)
     b.add_argument("--chunks", type=int, required=True)
     b.set_defaults(fn=cmd_bootstrap)
+
+    im = sub.add_parser(
+        "import",
+        help="bulk-import existing parquet as a NEW table's first "
+        "snapshot (CTAS): one bucket-routing pass through the normal "
+        "write path — prune ladder / skipping / count work from commit 1",
+    )
+    im.add_argument("--table", required=True, help="NEW table root")
+    im.add_argument("--src", required=True, help="source parquet path/glob")
+    im.add_argument("--key", default="repo,path", help="merge key columns (csv)")
+    im.add_argument("--n-buckets", type=int, default=16)
+    im.add_argument(
+        "--seq", type=int, default=0,
+        help="commit_seq for imported rows — keep BELOW the feed's first "
+        "event seq so feed events supersede the import under LWW",
+    )
+    im.add_argument(
+        "--on-duplicate", choices=["error", "resolve"], default="error",
+        help="error: refuse duplicate keys (sampled in the message); "
+        "resolve: keep one deterministic winner per key",
+    )
+    im.add_argument("--stats-cols", default=None, help="csv stats_cols property")
+    im.add_argument("--dict-cols", default=None, help="csv dict_cols property")
+    im.add_argument(
+        "--no-scrub", action="store_true",
+        help="skip the merge-identical content/meta anonymization (only "
+        "for corpora already scrubbed by the same rules)",
+    )
+    im.set_defaults(fn=cmd_import)
 
     g = sub.add_parser("genfeed", help="generate a deterministic synthetic feed")
     g.add_argument("--out", required=True)

@@ -490,6 +490,140 @@ class SnapshotTable:
         t._write_manifest(manifest)
         return t
 
+    @classmethod
+    def import_dataframe(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        key_cols: list[str] | None = None,
+        n_buckets: int = 16,
+        target_file_rows: int = 1 << 19,
+        properties: dict | None = None,
+        seq: int = 0,
+        on_duplicate: str = "error",
+        scrub: bool = True,
+    ) -> "SnapshotTable":
+        """Bulk-import an existing corpus as a NEW table's first snapshot
+        — the CREATE TABLE AS SELECT / onboarding path for data that
+        predates the change feed (reference analog: the initial backfill
+        of already-stored studies, `__main__.py:104-139`, before the
+        incremental loop takes over).
+
+        One distributed pass: the frame is bucket-routed on the merge
+        key and written through the normal write path (key-clustered
+        files, full manifest stats), so the imported table is
+        indistinguishable from one built by MERGE — the prune ladder,
+        data skipping, count pushdown and every lifecycle op work from
+        commit 1. A pure metadata registration (Iceberg ``add_files``
+        proper) is deliberately NOT offered: a file registered under
+        bucket b while holding keys that hash elsewhere would silently
+        escape the MERGE prune ladder on later upserts — correctness
+        over onboarding cost, and the one rewrite is embarrassingly
+        parallel (no window, no join; the import's only shuffle is the
+        bucket route).
+
+        Imported rows carry ``commit_seq = seq`` (default 0): choose it
+        BELOW the feed's first event seq, so every later feed event
+        supersedes its imported row under LWW — the import is the state
+        "before the binlog starts". Feed offsets start at zero: a
+        subsequent `run_ingest` replays the whole feed over the imported
+        base.
+
+        Key discipline: null key columns are refused (the engine's merge
+        identity is the non-null key tuple). ``on_duplicate``:
+        ``"error"`` (default) fails listing sample duplicate keys —
+        duplicate keys in a bulk import usually mean the wrong key
+        choice, not re-delivery; ``"resolve"`` keeps one deterministic
+        winner per key (the MERGE's own same-seq tie-break — payload
+        hash), stable under any input partitioning.
+
+        ``scrub`` (default True) applies the SAME anonymization the
+        MERGE applies to feed rows — the vectorized content scrub and
+        the ``meta`` map PHI-key filter — to the canonical ``content``/
+        ``meta`` columns when present, so the engine invariant (stored
+        bytes are scrubbed) holds regardless of how a row entered the
+        table; a re-scrub by a later feed event is a byte no-op
+        (idempotent transform). Pass False only for corpora already
+        anonymized by the same rules.
+        """
+        key_cols = key_cols or ["repo", "path"]
+        if os.path.exists(root) and os.listdir(root):
+            raise ValueError(
+                f"import target {root!r} already exists and is non-empty — "
+                "import creates a NEW table (ingest into an existing one)"
+            )
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"key columns not in the frame: {missing}")
+        bad = [c for c in df.columns if c.startswith("_") or c == "commit_seq"]
+        if bad:
+            raise ValueError(
+                f"reserved column names in the frame: {bad} "
+                "(engine columns and '_'-prefixed names)"
+            )
+        null_key = None
+        for c in key_cols:
+            n = F.col(c).isNull()
+            null_key = n if null_key is None else (null_key | n)
+        if df.where(null_key).take(1):
+            raise ValueError(
+                f"null values in key columns {key_cols} — the merge "
+                "identity is the non-null key tuple"
+            )
+        if on_duplicate not in ("error", "resolve"):
+            raise ValueError(
+                f"on_duplicate must be 'error' or 'resolve', got {on_duplicate!r}"
+            )
+        if on_duplicate == "error":
+            sample = (
+                df.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .take(3)
+            )
+            if sample:
+                keys = [tuple(r[c] for c in key_cols) for r in sample]
+                raise ValueError(
+                    f"duplicate keys in the import (sample: {keys}) — "
+                    "fix the key choice or pass on_duplicate='resolve'"
+                )
+        t = cls.create(
+            root,
+            T.StructType(list(df.schema.fields)),
+            key_cols,
+            n_buckets,
+            target_file_rows,
+            properties,
+        )
+        if scrub:
+            from ..cdc.scrub import scrub_meta, scrubbed
+
+            if "content" in df.columns:
+                df = df.withColumn("content", scrubbed(F.col("content")))
+            meta_f = next((f for f in df.schema.fields if f.name == "meta"), None)
+            if meta_f is not None and isinstance(meta_f.dataType, T.MapType):
+                df = df.withColumn("meta", scrub_meta(F.col("meta")))
+        staged = df.select(
+            "*",
+            F.lit(seq).cast("long").alias("commit_seq"),
+            F.lit(False).alias("_deleted"),
+            bucket_expr(n_buckets, key_cols).alias("_bucket"),
+        )
+        if on_duplicate == "resolve":
+            staged = _lww_latest_versions(
+                staged.withColumn("_key", key_expr(key_cols)), key_cols
+            )
+        entries = t.write_snapshot_files(staged, 1)
+        snap = t.commit_snapshot(
+            entries,
+            None,
+            {"committed_feed_files": 0, "max_seq_seen": seq, "batch_id": -1},
+        )
+        if t.changelog_enabled():
+            t.materialize_changelog(spark, snap)
+        return t
+
     def _manifest_path(self, snapshot_id: int) -> str:
         return os.path.join(self.root, MANIFESTS, f"manifest-{snapshot_id:010d}.json")
 

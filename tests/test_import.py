@@ -1,0 +1,217 @@
+"""Bulk import (`SnapshotTable.import_dataframe` / `import` CLI): the
+CREATE TABLE AS SELECT onboarding path for data that predates the
+change feed.
+
+One bucket-routing pass through the normal write path — the imported
+table must be indistinguishable from a MERGE-built one: prune ladder,
+data skipping, count pushdown, lookups and later ingest all work from
+commit 1, and imported rows are scrubbed by the SAME transform the
+merge applies (the deid invariant holds regardless of how a row
+entered). Reference analog: the initial backfill of already-stored
+studies (`__main__.py:104-139`) before the incremental loop takes over.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.cdc.engine import open_table, run_ingest
+from image_deid_etl_spark.cdc.feed import FeedSpec, make_events, write_feed
+from image_deid_etl_spark.cdc.oracle import fold_feed, sha256_state
+from image_deid_etl_spark.lake.table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _corpus(spark, n=500, prefix="base"):
+    rows = [
+        ("org/imported", f"{prefix}/f{i}.py", f"c{i}", "python", f"def f{i}(): pass")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_import_roundtrip_layout_and_count(spark, tmp_path):
+    src = _corpus(spark, 500)
+    t = SnapshotTable.import_dataframe(
+        spark, str(tmp_path / "t"), src, ["repo", "path"], n_buckets=4,
+        properties={"stats_cols": ["lang"]},
+    )
+    got = t.read(spark).select(*[f.name for f in SCHEMA.fields])
+    assert got.count() == 500
+    assert (
+        got.orderBy("path").toPandas().reset_index(drop=True)
+        .equals(src.orderBy("path").toPandas().reset_index(drop=True))
+    )
+    # MERGE-equivalent layout: every file bucket-routed with key stats,
+    # stats_cols recorded, and the COUNT is fully metadata-served
+    for f in t.manifest()["files"]:
+        assert f["key_min"] is not None and f["has_deletes"] is False
+        assert "lang" in f.get("col_stats", {})
+    d = t.count_rows(spark, detail=True)
+    assert d == {
+        "rows": 500,
+        "from_metadata": 500,
+        "files_scanned": 0,
+        "unresolved_buckets": 0,
+    }
+    # imported rows carry the import seq (default 0)
+    assert t.read(spark).agg(F.max("commit_seq")).collect()[0][0] == 0
+    # point lookup works from commit 1 (prune-ladder integration)
+    hit = t.lookup_keys(spark, [("org/imported", "base/f7.py")]).collect()
+    assert len(hit) == 1 and hit[0]["commit"] == "c7"
+
+
+def test_import_then_ingest_feed_supersedes(spark, tmp_path):
+    """The intended lifecycle: import the pre-feed base at seq 0, then
+    replay the feed — feed events supersede their imported rows under
+    LWW, imported-only keys survive untouched."""
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    spec = FeedSpec(n_events=2000, n_keys=150, dup_frac=0.05, n_files=4)
+    write_feed(feed, spec)
+    ev = make_events(spec)
+    # base = 200 imported-only keys + 30 keys the feed will overwrite
+    # (seeded with PRE-feed content that must lose)
+    feed_keys = (
+        ev[["repo", "path"]].drop_duplicates().head(30).itertuples(index=False)
+    )
+    base_rows = [
+        ("org/imported", f"base/f{i}.py", None, "python", f"base body {i}")
+        for i in range(200)
+    ] + [(r.repo, r.path, None, "python", "STALE pre-feed body") for r in feed_keys]
+    t = SnapshotTable.import_dataframe(
+        spark, root, spark.createDataFrame(base_rows, SCHEMA), ["repo", "path"],
+        n_buckets=8,
+    )
+    run_ingest(spark, root, feed)
+    t = open_table(root)
+    got = (
+        t.read(spark)
+        .select("repo", "path", F.sha2("content", 256).alias("sha256"))
+        .orderBy("repo", "path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    feed_state = sha256_state(fold_feed(ev))
+    base_state = sha256_state(
+        pd.DataFrame(
+            {
+                "repo": ["org/imported"] * 200,
+                "path": [f"base/f{i}.py" for i in range(200)],
+                "content": [f"base body {i}" for i in range(200)],
+            }
+        )
+    )
+    expected = (
+        pd.concat([feed_state, base_state])
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_import_scrubs_like_the_merge(spark, tmp_path):
+    """The deid invariant: imported content passes through the SAME
+    scrub as feed rows — PHI-shaped strings must not reach storage."""
+    rows = [
+        ("r", "a.py", None, "python",
+         "email bob@example.com ssn 123-45-6789 ok"),
+        ("r", "b.py", None, "python", "clean body"),
+    ]
+    t = SnapshotTable.import_dataframe(
+        spark, str(tmp_path / "t"), spark.createDataFrame(rows, SCHEMA),
+        ["repo", "path"], n_buckets=2,
+    )
+    stored = {
+        r["path"]: r["content"] for r in t.read(spark).collect()
+    }
+    assert "bob@example.com" not in stored["a.py"]
+    assert "123-45-6789" not in stored["a.py"]
+    assert stored["b.py"] == "clean body"
+    # scrub=False stores bytes verbatim (caller asserts pre-scrubbed)
+    t2 = SnapshotTable.import_dataframe(
+        spark, str(tmp_path / "t2"), spark.createDataFrame(rows, SCHEMA),
+        ["repo", "path"], n_buckets=2, scrub=False,
+    )
+    raw = {r["path"]: r["content"] for r in t2.read(spark).collect()}
+    assert "bob@example.com" in raw["a.py"]
+
+
+def test_import_duplicate_error_and_resolve(spark, tmp_path):
+    rows = [("r", "dup.py", None, "python", f"body {i}") for i in range(3)] + [
+        ("r", "solo.py", None, "python", "solo")
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(ValueError, match="duplicate keys.*dup.py"):
+        SnapshotTable.import_dataframe(
+            spark, str(tmp_path / "e"), df, ["repo", "path"], n_buckets=2
+        )
+    # resolve: one deterministic winner, identical under any partitioning
+    winners = []
+    for i, parts in enumerate((1, 7)):
+        t = SnapshotTable.import_dataframe(
+            spark, str(tmp_path / f"r{i}"), df.repartition(parts),
+            ["repo", "path"], n_buckets=2, on_duplicate="resolve",
+        )
+        rows_out = t.read(spark).orderBy("path").collect()
+        assert [r["path"] for r in rows_out] == ["dup.py", "solo.py"]
+        winners.append(rows_out[0]["content"])
+    assert winners[0] == winners[1]
+
+
+def test_import_guards(spark, tmp_path):
+    df = _corpus(spark, 5)
+    # null key refused
+    nulled = df.withColumn(
+        "path", F.when(F.col("path").endswith("f3.py"), None).otherwise(F.col("path"))
+    )
+    with pytest.raises(ValueError, match="null values in key"):
+        SnapshotTable.import_dataframe(
+            spark, str(tmp_path / "n"), nulled, ["repo", "path"], n_buckets=2
+        )
+    # reserved column names refused
+    with pytest.raises(ValueError, match="reserved column"):
+        SnapshotTable.import_dataframe(
+            spark, str(tmp_path / "rv"), df.withColumn("commit_seq", F.lit(1)),
+            ["repo", "path"], n_buckets=2,
+        )
+    # existing non-empty target refused
+    SnapshotTable.import_dataframe(
+        spark, str(tmp_path / "x"), df, ["repo", "path"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        SnapshotTable.import_dataframe(
+            spark, str(tmp_path / "x"), df, ["repo", "path"], n_buckets=2
+        )
+    # missing key column refused
+    with pytest.raises(ValueError, match="key columns not in"):
+        SnapshotTable.import_dataframe(
+            spark, str(tmp_path / "k"), df, ["repo", "nope"], n_buckets=2
+        )
+
+
+def test_import_fixture_corpus_documents(spark, tmp_path, sf_dir):
+    """Import the real documents fixture keyed on doc_id: arbitrary
+    (non-CDC) schemas import cleanly and lifecycle ops work on them."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = src.count()
+    t = SnapshotTable.import_dataframe(
+        spark, str(tmp_path / "docs"), src, ["doc_id"], n_buckets=8,
+        properties={"stats_cols": ["lang"]},
+    )
+    assert t.count_rows(spark) == n
+    langs = {r["lang"] for r in src.select("lang").distinct().collect()}
+    one = sorted(langs)[0]
+    pruned = t.read(spark, where={"lang": (one, one)})
+    assert pruned.count() == src.filter(F.col("lang") == one).count()
