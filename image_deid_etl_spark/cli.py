@@ -943,7 +943,11 @@ def cmd_import(args) -> None:
     from .session import build_session
 
     spark = build_session(app_name="import")
-    df = spark.read.parquet(args.src)
+    try:
+        df = spark.read.parquet(args.src)
+        df.schema  # force resolution so a missing path fails here
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND etc.
+        sys.exit(f"error: cannot read --src {args.src!r}: {e}")
     props = {}
     if args.stats_cols:
         props["stats_cols"] = [c for c in args.stats_cols.split(",") if c]
