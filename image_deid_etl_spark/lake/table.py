@@ -2221,6 +2221,127 @@ class SnapshotTable:
             }
         return total
 
+    #: column types whose parquet min/max statistics are EXACT values
+    #: from the data (numerics store the value bytes; strings may be
+    #: TRUNCATED — a truncated max is an upper BOUND, not a value that
+    #: exists, fine for pruning and count proofs but wrong to RETURN
+    #: as a MIN/MAX result), so only these may be served from metadata
+    _EXACT_STAT_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType,
+    )
+
+    def min_max(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        snapshot_id: int | None = None,
+        detail: bool = False,
+    ) -> dict:
+        """Exact per-column MIN/MAX over live rows — always equal to
+        ``read(...).agg(min(c), max(c))`` — served from manifest stats
+        wherever they PROVE the contribution (the second half of the
+        aggregate-pushdown surface beside `count_rows`).
+
+        A resolved-bucket file contributes its recorded ``col_stats``
+        range when (a) it provably holds no tombstones, (b) the column's
+        type stores EXACT parquet stats (numerics; string stats may be
+        truncated and date/timestamp ranges round-trip through the
+        canonical form — both scan instead), and (c) a range is recorded
+        under the column's name or a rename prior. An all-null file
+        (``null_counts`` == rows) provably contributes nothing and is
+        skipped outright. Everything else — tombstone-bearing files,
+        stat-less files, non-numeric columns, unresolved MoR/adaptive
+        buckets — aggregates through the exact read path in ONE narrow
+        Spark job, and the two halves fold together (SQL semantics:
+        nulls ignored; an empty table yields None/None).
+
+        Returns ``{col: (min, max)}``; ``detail=True`` adds the
+        ``files_scanned`` / ``unresolved_buckets`` split under
+        ``"_detail"``."""
+        missing = [c for c in cols if c not in {f.name for f in self.schema(snapshot_id).fields}]
+        if missing:
+            raise ValueError(f"columns not in the table schema: {missing}")
+        types = {f.name: f.dataType for f in self.schema(snapshot_id).fields}
+        exact = {c for c in cols if isinstance(types[c], self._EXACT_STAT_TYPES)}
+        priors = _priors_map(self.schema(snapshot_id).fields)
+
+        def lookup(st: dict, c: str):
+            v = st.get(c)
+            if v is None:
+                for old in priors.get(c, ()):
+                    v = st.get(old)
+                    if v is not None:
+                        break
+            return v
+
+        unres = self.unresolved_buckets(snapshot_id)
+        lo: dict[str, object] = {c: None for c in cols}
+        hi: dict[str, object] = {c: None for c in cols}
+        residue: list[str] = []
+        for f in self.manifest(snapshot_id)["files"]:
+            if f["bucket"] in unres:
+                continue
+            st = f.get("col_stats") or {}
+            nc = f.get("null_counts") or {}
+            rows = f.get("rows")
+            served = f.get("has_deletes") is False
+            ranges = {}
+            if served:
+                for c in cols:
+                    nulls = lookup(nc, c)
+                    if nulls is not None and rows is not None and nulls == rows:
+                        continue  # all null — contributes nothing, provably
+                    rng = lookup(st, c) if c in exact else None
+                    if not rng or rng[0] is None or rng[1] is None:
+                        served = False
+                        break
+                    ranges[c] = rng
+            if not served:
+                residue.append(f["path"])
+                continue
+            for c, (a, b) in ranges.items():
+                lo[c] = a if lo[c] is None else min(lo[c], a)
+                hi[c] = b if hi[c] is None else max(hi[c], b)
+        scans = []
+        live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        if residue:
+            scans.append(
+                self.scan_files(
+                    spark,
+                    [os.path.join(self.root, p) for p in residue],
+                    snapshot_id,
+                ).filter(live)
+            )
+        if unres:
+            scans.append(
+                _lww_latest_versions(
+                    self.read_raw(spark, snapshot_id, buckets=sorted(unres)),
+                    key_cols=self.key_cols(),
+                ).filter(live)
+            )
+        if scans:
+            df = scans[0]
+            for s in scans[1:]:
+                df = df.unionByName(s)
+            row = df.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in cols],
+            ).collect()[0]
+            for c in cols:
+                a, b = row[f"_lo_{c}"], row[f"_hi_{c}"]
+                if a is not None:
+                    lo[c] = a if lo[c] is None else min(lo[c], a)
+                if b is not None:
+                    hi[c] = b if hi[c] is None else max(hi[c], b)
+        out = {c: (lo[c], hi[c]) for c in cols}
+        if detail:
+            out["_detail"] = {
+                "files_scanned": len(residue),
+                "unresolved_buckets": len(unres),
+            }
+        return out
+
     def _lookup_candidates(
         self, spark: SparkSession, keys: list, snapshot_id: int | None = None
     ):

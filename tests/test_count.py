@@ -288,3 +288,67 @@ def test_random_specs_always_equal_read(spark, tmp_path):
     ]
     for where in specs:
         _check(spark, t, where=where)
+
+
+def test_min_max_metadata_served_numeric(spark, tmp_path):
+    """Numeric stats columns serve MIN/MAX from the manifest: the
+    all-null cohort provably contributes nothing, the other cohorts'
+    exact parquet ranges fold — zero files scanned."""
+    t = _make_table(spark, tmp_path)
+    d = t.min_max(spark, ["ts"], detail=True)
+    assert d["ts"] == (0, 149)
+    assert d["_detail"] == {"files_scanned": 0, "unresolved_buckets": 0}
+    row = t.read(spark).agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert (row[0], row[1]) == d["ts"]
+
+
+def test_min_max_string_column_scans(spark, tmp_path):
+    """String parquet stats may be truncated (an upper bound is not a
+    value that exists) — string columns must come from the exact scan,
+    and the result still matches the read-path aggregate."""
+    t = _make_table(spark, tmp_path)
+    d = t.min_max(spark, ["ts", "lang"], detail=True)
+    assert d["_detail"]["files_scanned"] > 0
+    row = t.read(spark).agg(
+        F.min("ts"), F.max("ts"), F.min("lang"), F.max("lang")
+    ).collect()[0]
+    assert d["ts"] == (row[0], row[1])
+    assert d["lang"] == (row[2], row[3]) == ("ada", "zig")
+
+
+def test_min_max_tombstones_and_rename(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    delete_where(spark, t, condition="ts >= 140")  # drops the top values
+    t = SnapshotTable(t.root)
+    d = t.min_max(spark, ["ts"], detail=True)
+    assert d["_detail"]["files_scanned"] > 0 or d["_detail"]["unresolved_buckets"] > 0
+    row = t.read(spark).agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert d["ts"] == (row[0], row[1]) == (0, 139)
+    # rename: pre-rename files' stats found via the prior name
+    t.alter_columns(rename={"ts": "event_ts"})
+    t = SnapshotTable(t.root)
+    d2 = t.min_max(spark, ["event_ts"])
+    assert d2["event_ts"] == (0, 139)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.min_max(spark, ["ts"])
+
+
+def test_min_max_empty_and_unresolved(spark, tmp_path):
+    empty = SnapshotTable.create(
+        str(tmp_path / "e"), SCHEMA, ["repo", "path"], 2,
+        properties={"stats_cols": ["ts"]},
+    )
+    assert empty.min_max(spark, ["ts"]) == {"ts": (None, None)}
+    # MoR version stacks resolve before aggregating (a superseded higher
+    # value must not leak into MAX)
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=2000, n_keys=150, dup_frac=0.1, n_files=4))
+    run_ingest(
+        spark, root, feed, max_files_per_batch=2, merge_mode="mor",
+        auto_compact_files=None,
+    )
+    t = open_table(root)
+    d = t.min_max(spark, ["lang"], detail=True)
+    assert d["_detail"]["unresolved_buckets"] > 0
+    row = t.read(spark).agg(F.min("lang"), F.max("lang")).collect()[0]
+    assert d["lang"] == (row[0], row[1])
