@@ -307,7 +307,7 @@ def _bench_changes_fold(spark, runs: int) -> dict:
             assert n_fold == n_diff, (n_fold, n_diff)
             window_rows = n_fold
         out["window_rows"] = window_rows
-        # --- aggregate-pushdown COUNT on the same big table (r5, s12) --
+        # --- aggregate-pushdown COUNT on the same big table (r5, s14) --
         # compact first (resolves version stacks) so the manifest can
         # PROVE every file's contribution; the scan control reads the
         # whole table. Ratio is the point: metadata count is O(files)

@@ -402,17 +402,17 @@ def cmd_count(args) -> None:
         except ValueError as e:
             sys.exit(f"error: bad --where bound: {e}")
     spark = build_session(app_name="count")
-    print(
-        json.dumps(
-            table.count_rows(
-                spark,
-                snapshot_id=args.snapshot,
-                where=where,
-                tag=args.tag,
-                detail=True,
-            )
+    try:
+        out = table.count_rows(
+            spark,
+            snapshot_id=args.snapshot,
+            where=where,
+            tag=args.tag,
+            detail=True,
         )
-    )
+    except ValueError as e:  # conflicting selectors / unknown tag
+        sys.exit(f"error: {e}")
+    print(json.dumps(out))
 
 
 def cmd_expire(args) -> None:
