@@ -352,3 +352,45 @@ def test_min_max_empty_and_unresolved(spark, tmp_path):
     assert d["_detail"]["unresolved_buckets"] > 0
     row = t.read(spark).agg(F.min("lang"), F.max("lang")).collect()[0]
     assert d["lang"] == (row[0], row[1])
+
+
+def test_randomized_lifecycle_pushdown_parity(spark, tmp_path):
+    """Property-style: through a random mutation sequence (ingest,
+    predicate delete/update, compaction), count_rows and min_max must
+    agree with the read path at EVERY step — the pushdown split may
+    move between metadata and scan, but never the answer."""
+    import random
+
+    from image_deid_etl_spark.cdc.merge import update_where
+
+    rng = random.Random(20260820)
+    feed, root = str(tmp_path / "f"), str(tmp_path / "t")
+    write_feed(feed, FeedSpec(n_events=1500, n_keys=200, dup_frac=0.05, n_files=6))
+    run_ingest(spark, root, feed, max_files_per_batch=2, auto_compact_files=None)
+    t = open_table(root)
+    t.set_properties({"stats_cols": ["size"] if "size" in
+                      {f.name for f in t.schema().fields} else ["lang"]})
+    t = open_table(root)
+
+    def check():
+        tt = open_table(root)
+        assert tt.count_rows(spark) == tt.read(spark).count()
+        mm = tt.min_max(spark, ["lang"])
+        row = tt.read(spark).agg(F.min("lang"), F.max("lang")).collect()[0]
+        assert mm["lang"] == (row[0], row[1])
+        n = tt.count_rows(spark, where={"lang": ("a", "mzzz")})
+        assert n == tt.read(spark, where={"lang": ("a", "mzzz")}).count()
+
+    check()
+    for step in range(4):
+        op = rng.choice(["delete", "update", "compact"])
+        if op == "delete":
+            delete_where(spark, open_table(root),
+                         condition=f"length(path) % {rng.randint(5, 9)} = 0")
+        elif op == "update":
+            update_where(spark, open_table(root),
+                         set={"lang": "upper(lang)"},
+                         condition=f"length(path) % {rng.randint(4, 7)} = 1")
+        else:
+            open_table(root).compact(spark, min_files_per_bucket=1)
+        check()
