@@ -415,6 +415,31 @@ def cmd_count(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_sql(args) -> None:
+    """Ad-hoc SQL over a table's live state: registers the read plan as
+    a temp view and runs the query — JSON lines out."""
+    from .cdc.engine import open_table
+    from .session import build_session
+
+    try:
+        table = open_table(args.table)
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
+    spark = build_session(app_name="sql")
+    try:
+        table.register_temp_view(
+            spark, args.name, snapshot_id=args.snapshot, tag=args.tag
+        )
+        df = spark.sql(args.query)
+    except ValueError as e:
+        sys.exit(f"error: {e}")
+    except Exception as e:  # AnalysisException: bad SQL / unknown column
+        sys.exit(f"error: {e}")
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_expire(args) -> None:
     from .cdc.engine import open_table
 
@@ -1156,6 +1181,20 @@ def main(argv: list[str] | None = None) -> None:
     cn.add_argument("--snapshot", type=int, default=None)
     cn.add_argument("--tag", default=None)
     cn.set_defaults(fn=cmd_count)
+
+    sq = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over the table's live state (registered as a "
+        "temp view; Catalyst pushdown applies) — JSON lines",
+    )
+    sq.add_argument("--table", required=True)
+    sq.add_argument("--query", required=True, help="SQL referencing the view name")
+    sq.add_argument("--name", default="t", help="view name (default 't')")
+    sq.add_argument("--snapshot", type=int, default=None)
+    sq.add_argument("--tag", default=None)
+    sq.add_argument("--limit", type=int, default=1000,
+                    help="row cap for the printed result (0 = no cap)")
+    sq.set_defaults(fn=cmd_sql)
 
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
     x.add_argument("--table", required=True)

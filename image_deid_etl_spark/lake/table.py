@@ -2221,6 +2221,42 @@ class SnapshotTable:
             }
         return total
 
+    def register_temp_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        as_of_timestamp: float | None = None,
+        where: dict | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
+        """Register the table's live state as a Spark temp view so plain
+        ``spark.sql`` works over it — the SQL-first face of `read` (all
+        of `read`'s snapshot selectors and the stats-pruning ``where``
+        apply; the view sees live rows under the logical schema +
+        ``commit_seq``). The view is a NAME for the read plan, not a
+        copy: Catalyst re-plans it per query, so column pruning and
+        filter pushdown still reach the parquet scan, on top of the
+        manifest-level file pruning a ``where`` already did. Returns the
+        underlying DataFrame.
+
+        Snapshot-isolation semantics: the plan lists the CURRENT
+        snapshot's concrete files at registration time, so the view
+        keeps reading that snapshot even as new commits land — a
+        repeatable-read guarantee, not staleness. Re-register (same
+        name) to move the view to the new head."""
+        df = self.read(
+            spark,
+            snapshot_id=snapshot_id,
+            as_of_timestamp=as_of_timestamp,
+            where=where,
+            tag=tag,
+            branch=branch,
+        )
+        df.createOrReplaceTempView(name)
+        return df
+
     #: column types whose parquet min/max statistics are EXACT values
     #: from the data (numerics store the value bytes; strings may be
     #: TRUNCATED — a truncated max is an upper BOUND, not a value that

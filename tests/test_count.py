@@ -394,3 +394,34 @@ def test_randomized_lifecycle_pushdown_parity(spark, tmp_path):
         else:
             open_table(root).compact(spark, min_files_per_bucket=1)
         check()
+
+
+def test_register_temp_view_sql_surface(spark, tmp_path):
+    """`register_temp_view`: plain spark.sql over the table's live
+    state, with snapshot-isolation at registration time (repeatable
+    read — a later commit is invisible until re-registration)."""
+    t = _make_table(spark, tmp_path)
+    t.register_temp_view(spark, "tv")
+    got = {
+        r["lang"]: r["n"]
+        for r in spark.sql(
+            "SELECT lang, count(*) AS n FROM tv GROUP BY lang"
+        ).collect()
+    }
+    assert got == {"ada": 100, "c": 100, "rust": 50, "zig": 50}
+    # repeatable read: a commit AFTER registration is invisible...
+    _commit(t, spark, [("r", f"e{i}", 200, "go", "w") for i in range(10)], 4)
+    assert spark.sql("SELECT count(*) AS n FROM tv").collect()[0]["n"] == 300
+    # ...until re-registration moves the view to the new head
+    SnapshotTable(t.root).register_temp_view(spark, "tv")
+    assert spark.sql("SELECT count(*) AS n FROM tv").collect()[0]["n"] == 310
+    # where-pruned registration: fewer files listed, same rows as filter
+    full = SnapshotTable(t.root).register_temp_view(spark, "tv_all")
+    pruned = SnapshotTable(t.root).register_temp_view(
+        spark, "tv_ts", where={"ts": (0, 99)}
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert spark.sql("SELECT count(*) AS n FROM tv_ts").collect()[0]["n"] == 100
+    spark.catalog.dropTempView("tv")
+    spark.catalog.dropTempView("tv_all")
+    spark.catalog.dropTempView("tv_ts")
