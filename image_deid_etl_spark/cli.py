@@ -430,6 +430,11 @@ def cmd_sql(args) -> None:
         table.register_temp_view(
             spark, args.name, snapshot_id=args.snapshot, tag=args.tag
         )
+        for name, root in args.also or ():
+            try:
+                open_table(root).register_temp_view(spark, name)
+            except FileNotFoundError as e:
+                sys.exit(f"error: --also {name}: {e}")
         df = spark.sql(args.query)
     except ValueError as e:
         sys.exit(f"error: {e}")
@@ -1194,6 +1199,11 @@ def main(argv: list[str] | None = None) -> None:
     sq.add_argument("--tag", default=None)
     sq.add_argument("--limit", type=int, default=1000,
                     help="row cap for the printed result (0 = no cap)")
+    sq.add_argument(
+        "--also", nargs=2, metavar=("NAME", "ROOT"), action="append",
+        help="register another lake table under NAME too (repeatable) — "
+        "joins across tables, e.g. a table vs its replica",
+    )
     sq.set_defaults(fn=cmd_sql)
 
     x = sub.add_parser("expire", help="GC old snapshots + unreferenced data files")
