@@ -746,11 +746,11 @@ def cmd_alter(args) -> None:
             props[key] = val == "true"
         elif key in ("stats_cols", "dict_cols", "cluster_by"):
             props[key] = [c for c in val.split(",") if c]
-        elif key == "dict_max_vals":
+        elif key in ("dict_max_vals", "target_file_bytes"):
             try:
                 props[key] = int(val)
             except ValueError:
-                sys.exit(f"error: dict_max_vals must be an int, got {val!r}")
+                sys.exit(f"error: {key} must be an int, got {val!r}")
         else:
             props[key] = val
     spark = None

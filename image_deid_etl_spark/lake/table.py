@@ -894,6 +894,31 @@ class SnapshotTable:
             "target_file_rows", 1 << 19
         )
 
+    def effective_file_rows(self) -> int:
+        """The per-file row cap the writer actually uses. By default the
+        spec's ``target_file_rows``; when the mutable ``target_file_bytes``
+        property is set, the cap is derived from the CURRENT manifest's
+        observed bytes/row over live files (free — no data read), clamped
+        to ``[1, target_file_rows]`` — the "size by bytes, ~128-512 MB a
+        file" discipline a 100 TB deployment wants (`create`'s note),
+        with the rows cap as the upper bound and the bootstrap fallback
+        (an empty table has no observation yet, so its first commit uses
+        the rows cap and every later one self-corrects). The estimate
+        tracks the table's real compression ratio as content drifts,
+        because each commit re-reads it from the manifest it just
+        wrote."""
+        rows = self.target_file_rows()
+        m = self.manifest()
+        tb = m["properties"].get("target_file_bytes")
+        if not tb:
+            return rows
+        tot_b = sum(f.get("bytes", 0) or 0 for f in m["files"])
+        tot_r = sum(f.get("rows", 0) or 0 for f in m["files"])
+        if not tot_b or not tot_r:
+            return rows
+        est = max(1, tot_b // tot_r)
+        return max(1, min(rows, int(tb) // est))
+
     def seq_high(self, spark: SparkSession | None = None) -> int:
         """High-water mark over every ``commit_seq`` the table has EVER
         stored, folded with ``offsets.max_seq_seen`` — the seq a
@@ -1126,6 +1151,7 @@ class SnapshotTable:
     MUTABLE_PROPERTIES = (
         "merge_mode", "changelog", "stats_cols", "dict_cols",
         "dict_max_vals", "cluster_by", "cluster_method",
+        "target_file_bytes",
     )
 
     def set_properties(
@@ -1178,6 +1204,12 @@ class SnapshotTable:
             if not isinstance(v, int) or isinstance(v, bool) or v < 1:
                 raise ValueError(
                     f"dict_max_vals must be a positive int, got {v!r}"
+                )
+        if "target_file_bytes" in props:
+            v = props["target_file_bytes"]
+            if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                raise ValueError(
+                    f"target_file_bytes must be a positive int, got {v!r}"
                 )
         if "cluster_method" in props:
             if props["cluster_method"] not in ("linear", "zorder"):
@@ -3127,7 +3159,7 @@ class SnapshotTable:
             staged = staged.drop("_zv")
         (
             staged.write.partitionBy("_pb", "_fg")
-            .option("maxRecordsPerFile", self.target_file_rows())
+            .option("maxRecordsPerFile", self.effective_file_rows())
             .mode("overwrite")
             .parquet(out)
         )

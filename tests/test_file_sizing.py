@@ -1,0 +1,90 @@
+"""Byte-based file sizing (`target_file_bytes`, r5 s14): the writer's
+per-file row cap derived from the manifest's observed bytes/row —
+`create`'s "size by bytes on a real deployment (~128-512 MB/file)" note
+made real, with the spec's `target_file_rows` as the upper bound and
+the empty-table bootstrap falling back to it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from image_deid_etl_spark.lake.table import SnapshotTable, bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _commit(t, spark, rows, seq):
+    df = spark.createDataFrame(rows, SCHEMA).select(
+        "*",
+        F.lit(seq).cast("long").alias("commit_seq"),
+        F.lit(False).alias("_deleted"),
+        bucket_expr(1, ["repo", "path"]).alias("_bucket"),
+    )
+    e = t.write_snapshot_files(df, seq)
+    t.commit_snapshot(
+        e,
+        None,
+        {"committed_feed_files": seq, "max_seq_seen": seq, "batch_id": seq - 1},
+    )
+
+
+def _rows(n, body):
+    return [("r", f"p{i:06d}", body * 40) for i in range(n)]
+
+
+def test_byte_cap_derives_from_observed_row_width(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 1,
+        properties={"target_file_bytes": 1 << 14},  # 16 KiB files
+    )
+    # bootstrap: no observation yet — the rows cap applies, one file
+    assert t.effective_file_rows() == t.target_file_rows()
+    _commit(t, spark, _rows(2000, "x" * 8), 1)
+    m = t.manifest()
+    assert len(m["files"]) == 1
+    # now the manifest knows bytes/row; the derived cap must target
+    # ~16 KiB files and the next same-shape commit must split
+    est = sum(f["bytes"] for f in m["files"]) // sum(f["rows"] for f in m["files"])
+    expected = max(1, min(t.target_file_rows(), (1 << 14) // est))
+    assert t.effective_file_rows() == expected
+    _commit(t, spark, _rows(2000, "y" * 8), 2)
+    new_files = [f for f in t.manifest()["files"] if f["seq_min"] == 2]
+    assert len(new_files) > 1  # split by the byte-derived cap
+    for f in new_files:
+        assert f["rows"] <= expected
+
+
+def test_rows_cap_stays_the_upper_bound(spark, tmp_path):
+    """A huge byte target must never RAISE the cap above the spec's
+    target_file_rows."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, ["repo", "path"], 1,
+        target_file_rows=500,
+        properties={"target_file_bytes": 1 << 40},
+    )
+    _commit(t, spark, _rows(1200, "z"), 1)
+    assert t.effective_file_rows() == 500
+    _commit(t, spark, _rows(1200, "w"), 2)
+    new_files = [f for f in t.manifest()["files"] if f["seq_min"] == 2]
+    assert all(f["rows"] <= 500 for f in new_files)
+    assert len(new_files) >= 3  # 1200 rows / 500 cap
+
+
+def test_property_mutable_and_validated(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, ["repo", "path"], 1)
+    _commit(t, spark, _rows(500, "v" * 8), 1)
+    assert t.effective_file_rows() == t.target_file_rows()  # unset → rows
+    t.set_properties({"target_file_bytes": 1 << 13})
+    t = SnapshotTable(t.root)
+    assert t.effective_file_rows() < t.target_file_rows()
+    for bad in (0, -1, True, "128m"):
+        with pytest.raises(ValueError):
+            t.set_properties({"target_file_bytes": bad})
