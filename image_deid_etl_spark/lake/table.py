@@ -906,14 +906,22 @@ class SnapshotTable:
         the rows cap and every later one self-corrects). The estimate
         tracks the table's real compression ratio as content drifts,
         because each commit re-reads it from the manifest it just
-        wrote."""
+        wrote.
+
+        O(one shard), NOT O(live files): keys hash uniformly over
+        buckets, so bucket 0's files are a representative bytes/row
+        sample — loading every shard for this estimate would put
+        O(table) driver work on the per-commit hot path the sharded
+        manifest exists to avoid."""
         rows = self.target_file_rows()
-        m = self.manifest()
-        tb = m["properties"].get("target_file_bytes")
+        tb = self.manifest(with_files=False)["properties"].get(
+            "target_file_bytes"
+        )
         if not tb:
             return rows
-        tot_b = sum(f.get("bytes", 0) or 0 for f in m["files"])
-        tot_r = sum(f.get("rows", 0) or 0 for f in m["files"])
+        sample = self.files_for_buckets({0})
+        tot_b = sum(f.get("bytes", 0) or 0 for f in sample)
+        tot_r = sum(f.get("rows", 0) or 0 for f in sample)
         if not tot_b or not tot_r:
             return rows
         est = max(1, tot_b // tot_r)
