@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Round-6 optimization side-bench (guide §1.4): noop-sink isolation of
+individual headline queries plus sub-stage breakdowns of the expensive
+ones. NOT the driver contract — `bench.py` stays the frozen measurement;
+this file exists so before/after numbers in OPTIMIZATION_r06.md have a
+reproducible source.
+
+Usage:
+    python bench_extra.py [query ...]            # time whole queries
+    python bench_extra.py --stages knn_lsh_multiprobe
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0), BENCH_RUNS (3).
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from image_deid_etl_spark.plans import QUERIES  # noqa: E402
+from image_deid_etl_spark.session import build_session  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_df(spark, label, make, runs=3):
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        df = make()
+        spark.sparkContext.setJobDescription(label)
+        _noop(df)
+        spark.sparkContext.setJobDescription(None)
+        times.append(round(time.time() - t0, 3))
+    med = round(statistics.median(times), 3)
+    print(json.dumps({"label": label, "median": med, "runs": times}))
+    return med
+
+
+def knn_stages(spark, sf_dir, multiprobe=True):
+    """Sub-stage isolation for the LSH kNN path."""
+    from pyspark.sql import functions as F
+
+    from image_deid_etl_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim, n_planes, n_bands = 64, 8, 2
+
+    def banded():
+        return e.select(
+            F.col("vec_id"),
+            F.explode(
+                F.array(
+                    *[
+                        similarity.lsh_bucket_banded(
+                            F.col("embedding"), dim, n_planes, b
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+
+    time_df(spark, "knn: banded (16 plane folds + explode)", banded)
+
+    def cand():
+        b = banded()
+        if multiprobe:
+            probes = b.select(
+                "vec_id",
+                F.explode(
+                    F.array_union(
+                        F.array(F.col("bucket")),
+                        similarity._hamming1_probes(F.col("bucket"), n_planes),
+                    )
+                ).alias("bucket"),
+            )
+            a, c = probes.alias("a"), b.alias("c")
+        else:
+            a, c = b.alias("a"), b.alias("c")
+        return (
+            a.join(c, on="bucket")
+            .filter(F.col("a.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+            )
+            .distinct()
+        )
+
+    time_df(spark, "knn: candidates distinct", cand)
+    n = cand().count()
+    print(json.dumps({"label": "knn: n_candidate_pairs", "value": n}))
+    time_df(
+        spark,
+        "knn: full query",
+        lambda: QUERIES["knn_lsh_multiprobe" if multiprobe else "knn_lsh_bucketed"](
+            spark, sf_dir
+        ),
+    )
+
+
+def minhash_stages(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from image_deid_etl_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    time_df(
+        spark,
+        "minhash: shingles distinct",
+        lambda: dedup.shingles(d, "doc_id", "text", 3),
+    )
+    time_df(
+        spark,
+        "minhash: signatures",
+        lambda: dedup.minhash_signatures(
+            dedup.shingles(d, "doc_id", "text", 3), "doc_id", 8
+        ),
+    )
+    time_df(
+        spark,
+        "minhash: full query",
+        lambda: QUERIES["dedup_minhash_lsh"](spark, sf_dir),
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    extra = {}
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        extra["spark.local.dir"] = "/dev/shm/bench_spark_local"
+    spark = build_session(app_name="bench_extra", extra_conf=extra)
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()  # warmup
+
+    args = sys.argv[1:]
+    if args and args[0] == "--stages":
+        which = args[1] if len(args) > 1 else "knn_lsh_multiprobe"
+        if which.startswith("knn"):
+            knn_stages(spark, sf_dir, multiprobe="multiprobe" in which)
+        elif which.startswith("dedup_minhash"):
+            minhash_stages(spark, sf_dir)
+    else:
+        names = args or list(QUERIES)
+        for name in names:
+            time_df(spark, name, lambda n=name: QUERIES[n](spark, sf_dir), runs)
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,8 @@ import os
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .scale import fan_out, shared
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -42,9 +44,14 @@ def _canon_ckpt_dir(p: str) -> str:
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, token) pairs — the inverted-index base."""
+    """Distinct (id, token) pairs — the inverted-index base.
+
+    `fan_out` first (r6): the explode and the partial distinct fuse into
+    the SCAN stage, so on a low-split input (single-row-group file) every
+    downstream md5/vote would otherwise run in one task."""
     return (
-        df.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("tok"))
+        fan_out(df.select(id_col, text_col))
+        .select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("tok"))
         .filter(F.length("tok") > 0)
         .distinct()
     )
@@ -91,8 +98,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # fan_out (r6): the split+transform+explode and the partial distinct
+    # fuse into the scan stage — parallelize BEFORE the heavy per-row work
     return (
-        df.select(id_col, F.explode(sh).alias("shingle"))
+        fan_out(df.select(id_col, text_col))
+        .select(id_col, F.explode(sh).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
@@ -117,16 +127,28 @@ def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any full band are
-    candidate near-duplicates. Returns distinct (id_a < id_b) pairs."""
+    candidate near-duplicates. Returns distinct (id_a < id_b) pairs.
+
+    r6 plan surgery (VERDICT r5 "Next round" #2): ALL band keys are
+    emitted by ONE projection + `explode` — the single-pass pattern
+    `simhash_pairs` already used — instead of a per-band `unionByName`
+    over the unpersisted signature aggregate, which re-ran the whole
+    shingle→md5→groupBy DAG once per band. The banded frame is then
+    `shared` (materialized once) because a broadcast-hash self-join
+    cannot reuse exchanges between its two sides, so even the single-pass
+    plan would execute the signature DAG twice."""
     rows_per_band = num_hashes // bands
-    banded = None
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sig.select(
-            F.col(id_col),
-            F.concat_ws("|", F.lit(str(b)), *[F.col(c) for c in cols]).alias("band_key"),
+    band_exprs = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(bands)
+    ]
+    banded = shared(
+        sig.select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("band_key"))
+    )
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
@@ -171,7 +193,11 @@ def ngram_jaccard_pairs(
     Jaccard is then over *rare* shingles only (both sizes and
     intersections use the pruned set — internally consistent semantics).
     """
-    sh = shingles(df, id_col, text_col, n)
+    # r6: the shingle inverted index is referenced up to four times below
+    # (df-count build, pruning join, per-doc sizes, both self-join sides);
+    # a broadcast self-join cannot share exchanges, so without `shared`
+    # each reference re-executes the whole explode+distinct DAG.
+    sh = shared(shingles(df, id_col, text_col, n))
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -179,7 +205,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = shared(sh.join(rare, "shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -286,7 +312,9 @@ def winnowing_fingerprints(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(winnow, out_schema)
+    # fan_out (r6): the numpy fold runs inside the scan stage — on a
+    # single-row-group input that is ONE Python worker for the whole table
+    return fan_out(df.select(id_col, text_col)).mapInPandas(winnow, out_schema)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -342,8 +370,14 @@ def simhash_pairs(
         F.concat(F.lit(f"{b}|"), F.substring("simhash", b * width + 1, width))
         for b in range(bands)
     ]
-    banded = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_exprs)).alias("band_key")
+    # `shared` (r6): the broadcast self-join below cannot reuse exchanges
+    # between its sides, so both would re-run the tokenize+md5+groupBy DAG
+    banded = shared(
+        fp.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.array(*band_exprs)).alias("band_key"),
+        )
     )
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
@@ -647,11 +681,12 @@ def contamination_counts(
         .select("shingle")
         .distinct()
     )
-    tr = shingles(base.filter(~F.col("_is_eval")), id_col, text_col, n=n)
+    # r6: `tr` feeds both the totals aggregate and the shared-shingle join
+    tr = shared(shingles(base.filter(~F.col("_is_eval")), id_col, text_col, n=n))
     totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    shared = (
+    shared_counts = (
         tr.join(ev, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return totals.join(shared, id_col)
+    return totals.join(shared_counts, id_col)

@@ -1,0 +1,65 @@
+"""Scale-adaptive execution helpers shared by the CPU-heavy operators.
+
+Two problems these solve (round-6 optimization, guide §2):
+
+* **Under-parallel scans** (guide §2.5 "input skew … repartition
+  immediately after the read"): this harness's tables are single-row-group
+  Parquet files, so a scan — and every map-side expression fused into its
+  stage (md5 shingles, regex chains, hyperplane folds) — runs as ONE task
+  regardless of core count. A Parquet row group cannot be split across
+  tasks, so no `maxPartitionBytes`/`minPartitionNum` setting helps; the
+  only way to spread the per-row CPU is one cheap round-robin shuffle of
+  the (small) input. `fan_out` does that ADAPTIVELY: it repartitions only
+  when the plan's current partition count is below the session's default
+  parallelism, so on a real cluster — where a 100 TB scan already has
+  thousands of splits — it is a structural no-op and never adds an
+  exchange.
+
+* **Self-join re-execution** (guide §2.4 "two operations keyed the same
+  way can often share one exchange"): a DataFrame referenced on both
+  sides of a join (LSH band tables, shingle inverted indexes) is planned
+  as two independent subtrees, and broadcast-hash self-joins make
+  exchange reuse impossible (one side is a BroadcastExchange, the other
+  streams) — the whole upstream DAG runs once PER REFERENCE. `shared`
+  materializes such a frame exactly once per query invocation via an
+  eager `localCheckpoint`, so N references cost one computation plus N
+  reads of the materialized blocks. This is per-invocation plan surgery,
+  not cross-run caching: every fresh call of a query builder recomputes
+  from the Parquet inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition `df` up to the session's default
+    parallelism — but ONLY when its current plan yields fewer partitions
+    (the small-file / single-row-group case). On an input that is already
+    at least core-parallel (any real at-scale scan) this returns `df`
+    unchanged, so the extra exchange exists exactly where the alternative
+    is idle cores.
+    """
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans where .rdd compilation fails: skip
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
+def shared(df: DataFrame) -> DataFrame:
+    """Materialize `df` once (eager localCheckpoint) so a plan that
+    references it several times — both sides of a self-join, a build side
+    reused across stages — computes it once instead of once per
+    reference. Storage is executor-local MEMORY_AND_DISK, reclaimed by
+    the ContextCleaner when the frame is garbage-collected; at 100 TB the
+    frames passed here are derived aggregates (signatures, band keys,
+    inverted-index entries) orders of magnitude smaller than the corpus.
+    """
+    return df.localCheckpoint(eager=True)

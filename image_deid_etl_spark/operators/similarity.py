@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .scale import fan_out, shared
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -78,14 +80,25 @@ def cosine_knn(
     the scan side streams once — at scale this is one pass over the table
     per query batch, the standard exact-kNN baseline.
     """
+    # r6: precompute each side's norm ONCE PER VECTOR before the cross
+    # join (identical expression → identical double, but evaluated n+q
+    # times instead of n×q times), and fan_out the scan so the per-pair
+    # dot folds don't run inside a single-split scan stage.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qnorm"),
     )
-    joined = items.alias("i").crossJoin(F.broadcast(q))
+    i = fan_out(items.select(id_col, vec_col)).withColumn(
+        "_inorm", _norm(F.col(vec_col))
+    )
+    joined = i.alias("i").crossJoin(F.broadcast(q))
     scored = joined.filter(F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+        (_dot(F.col("_qvec"), F.col(vec_col)) / (F.col("_qnorm") * F.col("_inorm"))).alias(
+            "_cos"
+        ),
     )
     return _rank_topk(scored, k)
 
@@ -298,17 +311,24 @@ def lsh_bucketed_knn(
     """
     # all bands in ONE projection + explode — a single scan of the items
     # table computes every band's bucket (per-band union branches would
-    # rescan the table once per band)
-    banded = items.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    lsh_bucket_banded(F.col(vec_col), dim, n_planes, b)
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bucket"),
+    # rescan the table once per band). r6: `fan_out` first (the plane
+    # folds otherwise run inside a 1-split scan stage), then `shared`
+    # so the candidate self-join's two sides — which a broadcast join
+    # cannot share — read ONE materialization of the n_bands×n_planes
+    # hyperplane folds instead of computing them twice.
+    base = fan_out(items.select(id_col, vec_col))
+    banded = shared(
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        lsh_bucket_banded(F.col(vec_col), dim, n_planes, b)
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
     )
     if multiprobe:
         # query side probes home + every Hamming-1 bucket; the candidate
@@ -337,16 +357,39 @@ def lsh_bucketed_knn(
             F.col(f"c.{id_col}").alias("neighbor_id"),
         )
         .distinct()
+        # r6: hash-distribute the deduplicated pair set by the WINDOW key
+        # before scoring — (a) the exact-cosine folds (the per-pair CPU)
+        # run at full shuffle parallelism instead of whatever handful of
+        # partitions the distinct aggregate coalesced to, and (b) the
+        # top-k window's required ClusteredDistribution(query_id) is
+        # already satisfied, so this exchange REPLACES the window's (net
+        # shuffle count unchanged; the broadcast vector-attach joins
+        # below preserve partitioning).
+        .repartition("query_id")
     )
-    va = items.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_va"))
-    vb = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    # r6: each vector's norm is computed ONCE here (identical expression,
+    # identical double) instead of once per candidate pair inside
+    # `cosine_similarity` — at ~10^2 candidates per vector that removes
+    # ~2/3 of the interpreted fold work in the scoring stage.
+    va = items.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = items.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     scored = (
         cand.join(va, "query_id")
         .join(vb, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_cos"),
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "_cos"
+            ),
         )
     )
     return _rank_topk(scored, k)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..cdc.scrub import duckdb_scrub_expr, scrubbed_native
 from ..operators import dedup, multimodal, similarity, text
+from ..operators.scale import fan_out, shared
 from ..operators.relational import (
     anti_join_frontier,
     asof_nearest,
@@ -507,11 +508,19 @@ def part_type_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scrub_content_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13 — the PHI scrub as pure JVM regexp chain + sha256 invariant."""
+    """P13 — the PHI scrub as pure JVM regexp chain + sha256 invariant.
+
+    r6: sort FIRST, project after. With the projection below the sort,
+    the range exchange's sampling job evaluated the whole regex+sha256
+    chain a second time, and the chain itself ran inside the 1-split scan
+    stage; sorting the raw rows first makes the range exchange both the
+    fan-out (the heavy projection runs on the 32 post-shuffle partitions)
+    and sample only cheap base rows. Output rows and their order are
+    unchanged (projection is narrow/order-preserving)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    return d.select("doc_id", "text").orderBy("doc_id").select(
         "doc_id", F.sha2(scrubbed_native(F.col("text")), 256).alias("scrubbed_sha")
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -734,9 +743,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=8 char-grams, window=4):
     the guaranteed-coverage near-dup fingerprint set per document."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.winnowing_fingerprints(d, "doc_id", "text", k=8, window=4).orderBy(
-        "doc_id", "fp"
-    )
+    # r6: `shared` before the sort — the range exchange's sampling job
+    # would otherwise run the whole numpy mapInPandas pass a second time
+    return shared(
+        dedup.winnowing_fingerprints(d, "doc_id", "text", k=8, window=4)
+    ).orderBy("doc_id", "fp")
 
 
 _COS_SQL = """
@@ -918,16 +929,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, any-band agreement recovers recall); exact cosine verifies
     within the candidate set."""
     e = _t(spark, sf_dir, "embeddings")
-    banded = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    similarity.lsh_bucket_banded(F.col("embedding"), 64, 8, b)
-                    for b in range(2)
-                ]
-            )
-        ).alias("bucket"),
+    # r6: fan_out the plane folds, materialize the band table once for
+    # the self-join, and compute each side's norm per VECTOR rather than
+    # per candidate pair (identical expression → identical doubles) —
+    # the same plan surgery as `similarity.lsh_bucketed_knn`
+    banded = shared(
+        fan_out(e.select("vec_id", "embedding")).select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        similarity.lsh_bucket_banded(F.col("embedding"), 64, 8, b)
+                        for b in range(2)
+                    ]
+                )
+            ).alias("bucket"),
+        )
     )
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
@@ -936,12 +953,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("c.vec_id").alias("id_b"))
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    va = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        similarity._norm(F.col("embedding")).alias("_na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        similarity._norm(F.col("embedding")).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(similarity.cosine_similarity(F.col("_va"), F.col("_vb")) >= 0.25)
+        .filter(
+            (similarity._dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            >= 0.25
+        )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
@@ -1039,8 +1067,11 @@ _Q_PUNCT_SQL = (
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: sort the raw rows FIRST (see scrub_content_native) — the split/
+    # regex/array-filter feature chain then runs once, parallel, after the
+    # range exchange instead of twice inside a 1-split scan stage
     d = _t(spark, sf_dir, "documents")
-    feats = text.quality_features(d, "text")
+    feats = text.quality_features(d.select("doc_id", "text").orderBy("doc_id"), "text")
     return feats.select(
         "doc_id",
         F.col("n_chars_m").cast("long").alias("n_chars_m"),
@@ -1048,7 +1079,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_word_len",
         "punct_ratio",
         "stopword_ratio",
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -1173,9 +1204,14 @@ def media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable half: binary payload +
     typed metadata through the real mapInPandas feature extractor."""
     d = _t(spark, sf_dir, "documents")
-    media = multimodal.synthesize_media(d, "doc_id", "text")
+    # r6: fan_out the payload synthesis (sha256 + Python decode otherwise
+    # run inside the 1-split scan stage) and `shared` the small feature
+    # output so the sort's sampling job cannot re-run the Python pass
+    media = multimodal.synthesize_media(fan_out(d.select("doc_id", "text")), "doc_id", "text")
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", "kind", "byte_len", "sha256").orderBy("media_id")
+    return shared(
+        feats.select("media_id", "kind", "byte_len", "sha256")
+    ).orderBy("media_id")
 
 
 @register(
@@ -2337,7 +2373,10 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the greedy fold as a recursive CTE. Summarized per
     (shard, bin) so the result pins every bin boundary."""
     d = _t(spark, sf_dir, "documents")
-    packed = text.pack_sequences(d, budget=512, n_shards=4)
+    # r6: fan_out — the tokenize + md5-shard projection otherwise runs
+    # inside the 1-split scan stage (the fold itself stays n_shards-wide,
+    # fixed by the shard hash semantics)
+    packed = text.pack_sequences(fan_out(d.select("doc_id", "text")), budget=512, n_shards=4)
     return (
         packed.groupBy("shard", "bin")
         .agg(
@@ -2778,22 +2817,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 terms by raw TF-IDF
     (score = tf * N / df — the log-free variant keeps the oracle
     float-exact: one bigint product, one IEEE division, identical in
-    both engines). Shape at 100 TB: the tf agg partially aggregates
-    before its shuffle; df is one compact row per distinct term and
-    broadcasts to the join; N rides a broadcast cross join (one row);
-    the rank<=3 window compiles to a map-side WindowGroupLimit on the
-    per-doc partition. No driver collection anywhere."""
+    both engines). Shape at 100 TB (r6, VERDICT r5 #3): the tf agg
+    partially aggregates before its shuffle and is materialized ONCE
+    (`shared`) — df and N are then derived from tf (tf already holds one
+    row per (doc, term), so count-per-term == count distinct doc) instead
+    of three independent re-executions of the token explode; the df side
+    joins back by a SHUFFLE hash join on `term` — never a broadcast: df
+    is one row per DISTINCT CORPUS TERM, unbounded on a 100 TB corpus
+    (code identifiers), so r5's forced broadcast was the scale-killer.
+    N stays a one-row broadcast cross join; the rank<=3 window compiles
+    to a map-side WindowGroupLimit. No driver collection anywhere."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    terms = d.select(
+    terms = fan_out(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.filter(F.split("text", " "), lambda w: w != F.lit(""))
         ).alias("term"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = terms.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+    tf = shared(terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(df.hint("shuffle_hash"), "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         F.round(

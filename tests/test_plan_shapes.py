@@ -114,12 +114,17 @@ def test_top_bigrams_is_partial_agg_plus_takeordered(spark, sf_dir):
     assert "Python" not in p
 
 
-def test_tfidf_broadcasts_df_and_limits_window_mapside(spark, sf_dir):
-    """tfidf_top_terms must broadcast the per-term df side (compact: one
-    row per distinct term) and compile its rank<=3 filter to a map-side
+def test_tfidf_shuffle_joins_df_and_limits_window_mapside(spark, sf_dir):
+    """tfidf_top_terms must join the per-term df side with a SHUFFLE hash
+    join — df is one row per DISTINCT CORPUS TERM, unbounded at 100 TB,
+    so it must never be broadcast (r5 VERDICT #3; the one-row N scalar
+    may stay a broadcast) — and compile its rank<=3 filter to a map-side
     WindowGroupLimit, so no document's term list funnels a global sort."""
     p = plan(spark, sf_dir, "tfidf_top_terms")
-    assert "BroadcastHashJoin" in p
+    assert "ShuffledHashJoin" in p
+    # the only broadcast allowed is the one-row N scalar (nested-loop /
+    # cross); the df-side equi-join must not be a BroadcastHashJoin
+    assert "BroadcastHashJoin" not in p
     assert "WindowGroupLimit" in p
     assert "row_number(), 3, Partial" in p
     assert "Python" not in p
