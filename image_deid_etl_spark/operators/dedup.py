@@ -157,7 +157,13 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+        # repartition THEN dedup (r6): pair duplication is only ~`bands`×,
+        # so a pre-shuffle partial dedup barely shrinks the stream while
+        # its per-task hash map must hold the task's whole pair set —
+        # shuffle the raw 16-byte pairs instead and dedup once per key
+        # range (see similarity.lsh_bucketed_knn, measured ~8×)
+        .repartition("id_a")
+        .dropDuplicates()
     )
 
 
@@ -389,7 +395,9 @@ def simhash_pairs(
             F.col("a.simhash").alias("_sa"),
             F.col("c.simhash").alias("_sb"),
         )
-        .distinct()
+        # repartition THEN dedup (r6) — see lsh_candidate_pairs
+        .repartition("id_a")
+        .dropDuplicates()
     )
     hamming = sum(
         (F.substring("_sa", i + 1, 1) != F.substring("_sb", i + 1, 1)).cast("int")

@@ -356,16 +356,22 @@ def lsh_bucketed_knn(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"c.{id_col}").alias("neighbor_id"),
         )
-        .distinct()
-        # r6: hash-distribute the deduplicated pair set by the WINDOW key
-        # before scoring — (a) the exact-cosine folds (the per-pair CPU)
-        # run at full shuffle parallelism instead of whatever handful of
-        # partitions the distinct aggregate coalesced to, and (b) the
-        # top-k window's required ClusteredDistribution(query_id) is
-        # already satisfied, so this exchange REPLACES the window's (net
-        # shuffle count unchanged; the broadcast vector-attach joins
-        # below preserve partitioning).
+        # r6: hash-distribute the RAW pair stream by the WINDOW key, THEN
+        # dedup. Ordering matters enormously (measured 68 s → ~8 s at
+        # sf1.0): `.distinct()` before any repartition runs a map-side
+        # partial dedup whose per-task hash map must absorb the entire
+        # 10^8-row candidate stream (duplicate factor is only ~n_bands,
+        # so the map barely shrinks the shuffle while thrashing the heap
+        # — guide §2.3 "aggregate before you shuffle" explicitly does NOT
+        # pay off for near-unique keys). Shuffling the raw 16-byte pairs
+        # is cheap; the single post-shuffle aggregate dedups each key
+        # range once. hash(query_id) also satisfies both the dedup's
+        # ClusteredDistribution(query_id, neighbor_id) and the top-k
+        # window's ClusteredDistribution(query_id), so ONE exchange
+        # serves dedup, scoring parallelism, and the window (the
+        # broadcast vector-attach joins preserve partitioning).
         .repartition("query_id")
+        .dropDuplicates()
     )
     # r6: each vector's norm is computed ONCE here (identical expression,
     # identical double) instead of once per candidate pair inside

@@ -951,7 +951,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(c, on="bucket")
         .filter(F.col("a.vec_id") < F.col("c.vec_id"))
         .select(F.col("a.vec_id").alias("id_a"), F.col("c.vec_id").alias("id_b"))
-        .distinct()
+        # repartition THEN dedup (r6) — see similarity.lsh_bucketed_knn
+        .repartition("id_a")
+        .dropDuplicates()
     )
     va = e.select(
         F.col("vec_id").alias("id_a"),
