@@ -53,6 +53,21 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def sorted_fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally order `df` by `cols` (equivalent to `orderBy(*cols)`) at
+    EXPLICIT width: range-repartition into `defaultParallelism` partitions
+    and sort within each. An implicit `orderBy` leaves the partition count
+    to AQE coalescing, whose 1 MB-floor byte heuristic under-parallelizes
+    CPU-heavy downstream projections over small-byte inputs (observed: 8
+    partitions on 32 cores for a 6 MB corpus whose per-row regex work was
+    the actual cost). The explicit partition count is never below the
+    session's core count, and on a real cluster defaultParallelism is the
+    executor-core total — the same floor a final output sort wants.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(target, *cols).sortWithinPartitions(*cols)
+
+
 def shared(df: DataFrame) -> DataFrame:
     """Materialize `df` once (eager localCheckpoint) so a plan that
     references it several times — both sides of a self-join, a build side

@@ -349,53 +349,77 @@ def lsh_bucketed_knn(
         a, c = probes.alias("a"), banded.alias("c")
     else:
         a, c = banded.alias("a"), banded.alias("c")
+    # r6: the candidate relation is SYMMETRIC — (x, y) collides iff some
+    # band's signatures are within Hamming distance ≤ 1 (home-home, or
+    # one flip either way), a condition independent of which side probes.
+    # So generate each unordered pair ONCE (lo < hi), score it once, and
+    # mirror the scored row with an inline explode: half the dedup
+    # volume, half the attach-join probes and half the exact-cosine folds
+    # of the both-directions formulation, for one extra (tiny, map-side
+    # WindowGroupLimit-pruned) exchange in front of the top-k window.
     cand = (
         a.join(c, on="bucket")
-        .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.col(f"a.{id_col}").alias("_lo"),
+            F.col(f"c.{id_col}").alias("_hi"),
         )
-        # r6: hash-distribute the RAW pair stream by the WINDOW key, THEN
-        # dedup. Ordering matters enormously (measured 68 s → ~8 s at
-        # sf1.0): `.distinct()` before any repartition runs a map-side
-        # partial dedup whose per-task hash map must absorb the entire
-        # 10^8-row candidate stream (duplicate factor is only ~n_bands,
-        # so the map barely shrinks the shuffle while thrashing the heap
-        # — guide §2.3 "aggregate before you shuffle" explicitly does NOT
-        # pay off for near-unique keys). Shuffling the raw 16-byte pairs
-        # is cheap; the single post-shuffle aggregate dedups each key
-        # range once. hash(query_id) also satisfies both the dedup's
-        # ClusteredDistribution(query_id, neighbor_id) and the top-k
-        # window's ClusteredDistribution(query_id), so ONE exchange
-        # serves dedup, scoring parallelism, and the window (the
-        # broadcast vector-attach joins preserve partitioning).
-        .repartition("query_id")
+        # hash-distribute the RAW pair stream, THEN dedup. Ordering
+        # matters enormously (measured 68 s → ~8 s at sf1.0):
+        # `.distinct()` before any repartition runs a map-side partial
+        # dedup whose per-task hash map must absorb the entire 10^8-row
+        # candidate stream (duplicate factor is only ~n_bands, so the map
+        # barely shrinks the shuffle while thrashing the heap — guide
+        # §2.3 "aggregate before you shuffle" explicitly does NOT pay off
+        # for near-unique keys). Shuffling the raw 16-byte pairs is
+        # cheap; the single post-shuffle aggregate dedups each key range
+        # once.
+        .repartition("_lo")
         .dropDuplicates()
     )
-    # r6: each vector's norm is computed ONCE here (identical expression,
+    # each vector's norm is computed ONCE here (identical expression,
     # identical double) instead of once per candidate pair inside
     # `cosine_similarity` — at ~10^2 candidates per vector that removes
     # ~2/3 of the interpreted fold work in the scoring stage.
-    va = items.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
+    vlo = items.select(
+        F.col(id_col).alias("_lo"),
+        F.col(vec_col).alias("_vlo"),
+        _norm(F.col(vec_col)).alias("_nlo"),
     )
-    vb = items.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
+    vhi = items.select(
+        F.col(id_col).alias("_hi"),
+        F.col(vec_col).alias("_vhi"),
+        _norm(F.col(vec_col)).alias("_nhi"),
     )
-    scored = (
-        cand.join(va, "query_id")
-        .join(vb, "neighbor_id")
+    # cosine is direction-independent bit-for-bit: the fold multiplies
+    # element pairs (commutative) in the same index order, and the norm
+    # product commutes — so one scored row serves both (lo→hi) and
+    # (hi→lo) without any float divergence from the two-sided plan.
+    scored_half = (
+        cand.join(vlo, "_lo")
+        .join(vhi, "_hi")
         .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+            "_lo",
+            "_hi",
+            (_dot(F.col("_vlo"), F.col("_vhi")) / (F.col("_nlo") * F.col("_nhi"))).alias(
                 "_cos"
             ),
         )
     )
+    scored = scored_half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_lo").alias("query_id"),
+                    F.col("_hi").alias("neighbor_id"),
+                    F.col("_cos").alias("_cos"),
+                ),
+                F.struct(
+                    F.col("_hi").alias("query_id"),
+                    F.col("_lo").alias("neighbor_id"),
+                    F.col("_cos").alias("_cos"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.query_id", "_s.neighbor_id", "_s._cos")
     return _rank_topk(scored, k)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..cdc.scrub import duckdb_scrub_expr, scrubbed_native
 from ..operators import dedup, multimodal, similarity, text
-from ..operators.scale import fan_out, shared
+from ..operators.scale import fan_out, shared, sorted_fan_out
 from ..operators.relational import (
     anti_join_frontier,
     asof_nearest,
@@ -518,7 +518,7 @@ def scrub_content_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sample only cheap base rows. Output rows and their order are
     unchanged (projection is narrow/order-preserving)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "text").orderBy("doc_id").select(
+    return sorted_fan_out(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.sha2(scrubbed_native(F.col("text")), 256).alias("scrubbed_sha")
     )
 
@@ -1085,7 +1085,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex/array-filter feature chain then runs once, parallel, after the
     # range exchange instead of twice inside a 1-split scan stage
     d = _t(spark, sf_dir, "documents")
-    feats = text.quality_features(d.select("doc_id", "text").orderBy("doc_id"), "text")
+    feats = text.quality_features(
+        sorted_fan_out(d.select("doc_id", "text"), "doc_id"), "text"
+    )
     return feats.select(
         "doc_id",
         F.col("n_chars_m").cast("long").alias("n_chars_m"),
