@@ -30,6 +30,8 @@ Two problems these solve (round-6 optimization, guide §2):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -76,5 +78,12 @@ def shared(df: DataFrame) -> DataFrame:
     the ContextCleaner when the frame is garbage-collected; at 100 TB the
     frames passed here are derived aggregates (signatures, band keys,
     inverted-index entries) orders of magnitude smaller than the corpus.
+
+    ``SPARK_GRAFT_NO_SHARED=1`` disables the materialization (returns
+    `df` unchanged) — used by plan capture so `explain` shows the full
+    DAG instead of a `Scan ExistingRDD` leaf, and by A/B measurement of
+    the materialization itself. Never set it in production paths.
     """
+    if os.environ.get("SPARK_GRAFT_NO_SHARED"):
+        return df
     return df.localCheckpoint(eager=True)

@@ -1,0 +1,61 @@
+"""Unit pins for the r6 scale-adaptive execution helpers
+(`operators/scale.py`): fan_out's no-op-on-parallel-input contract,
+sorted_fan_out's global order, and shared()'s single-computation
+semantics — the properties every r6 plan-surgery site relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_deid_etl_spark.operators.scale import fan_out, shared, sorted_fan_out
+
+
+def test_fan_out_widens_narrow_input(spark):
+    df = spark.range(0, 10_000, 1, 1)  # one partition, like a 1-row-group scan
+    out = fan_out(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 10_000
+
+
+def test_fan_out_is_noop_on_already_parallel_input(spark):
+    wide = spark.sparkContext.defaultParallelism * 2
+    df = spark.range(0, 10_000, 1, wide)  # an at-scale scan is already wide
+    out = fan_out(df)
+    # must NOT add an exchange (the 100 TB no-regression contract):
+    # same plan object back, partition count untouched
+    assert out is df
+    assert out.rdd.getNumPartitions() == wide
+
+
+def test_sorted_fan_out_matches_orderby(spark):
+    df = spark.range(0, 5_000, 1, 1).select(
+        (F.col("id") * 7919 % 5_000).alias("k"), F.col("id").alias("v")
+    )
+    got = sorted_fan_out(df, "k").collect()
+    exp = df.orderBy("k").collect()
+    assert [r["k"] for r in got] == [r["k"] for r in exp]
+    # and it really is core-wide, not AQE's byte-floor choice
+    assert (
+        sorted_fan_out(df, "k").rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_shared_computes_once_and_preserves_rows(spark):
+    import pyspark.sql.functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counting(x):
+        acc.add(1)
+        return x
+
+    base = spark.range(0, 100, 1, 4).select(counting("id").alias("x"))
+    mat = shared(base)  # eager: computed exactly once, right here
+    n_after_materialize = acc.value
+    assert n_after_materialize == 100
+    # both sides of a self-join read the materialization, not the DAG
+    j = mat.alias("a").join(mat.alias("b"), "x").count()
+    assert j == 100
+    assert acc.value == n_after_materialize  # no re-execution
