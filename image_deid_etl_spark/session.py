@@ -60,6 +60,12 @@ def build_session(
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # floor on scan parallelism (r6): with fewer than `cpus` split
+        # bins Spark shrinks split size so a small multi-row-group file
+        # (e.g. one 132 MB fact table = 2 default splits) scans core-wide;
+        # a no-op on any at-scale input, whose scans already exceed the
+        # floor (Spark can never split below row-group granularity)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
